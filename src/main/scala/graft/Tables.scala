@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables
+  * (/root/repo/TESTDATA.md). Every query takes the sf directory as a
+  * parameter so the same code runs at any scale factor; at cluster
+  * scale the same `spark.read.parquet` call reads a partitioned
+  * directory tree and Catalyst prunes partitions/columns as usual.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+
+  /** `events.ts` is a nanosecond parquet timestamp, which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a
+    * raw long (legacy nanosAsLong) and floor-convert to the engine's
+    * microsecond TimestampType — integer `div`, NOT double division:
+    * epoch-nanos (~1.7e18) exceeds double's 53-bit mantissa, so a
+    * float path would corrupt microseconds. DuckDB truncates ns→µs the
+    * same way, keeping oracle parity.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

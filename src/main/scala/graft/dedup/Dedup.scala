@@ -1,0 +1,185 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextOps, VectorOps}
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant is a *bucket join* — documents
+  * are exploded into candidate-bucket keys (LSH band, SimHash chunk,
+  * sign-bit bucket), shuffled once on the bucket key, and compared
+  * quadratically only within buckets. No all-pairs cross join ever
+  * materializes, so the plans survive a 100TB corpus as long as
+  * buckets stay small (band width / chunk size are the knobs).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id of
+    * each group. One hash shuffle; the md5 is computed map-side.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup that returns the deduplicated corpus (first doc_id
+    * wins, matching the reference's first-match lookup bias,
+    * syllabus_ai_graph.py:190-201).
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, idCol)
+  }
+
+  // -------------------------------------------------------------- MinHash
+  /** numHashes = bands * rowsPerBand MinHash signature over word
+    * k-shingles. Hash family: xxhash64 seeded by the hash index —
+    * deterministic across runs/partitions.
+    */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = TextOps.shingles(TextOps.tokenize(col(textCol)), shingleK)
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+    docs.select(col(idCol), sig.as("minhash"))
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand`, hash each band, explode to (band_idx, band_hash)
+    * bucket keys, and self-join within buckets. Output: (id_a, id_b)
+    * with id_a < id_b, distinct.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignature(docs, idCol, textCol, shingleK, bands * rowsPerBand)
+    val banded = sigs.select(col(idCol), posexplode(array((0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(col("minhash"), b * rowsPerBand + r + 1))): _*)
+    }: _*)).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs verified with exact shingle Jaccard
+    * (candidates from [[minhashCandidates]], then one join back to
+    * each side's shingle set).
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    withJaccard(cands, docs, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram (word-shingle) Jaccard for a pair list: joins each
+    * side to its distinct shingle set and computes
+    * |A∩B| / |A∪B| with array built-ins.
+    */
+  def withJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      TextOps.shingles(TextOps.tokenize(col(textCol)), shingleK).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+          .otherwise(0.0))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** n-gram Jaccard near-dups with length-bucket candidate generation
+    * (docs within the same (length div bucketWidth) bucket or adjacent
+    * buckets are candidates) — the LSH-free variant for corpora where
+    * near-dups have similar length.
+    */
+  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3, bucketWidth: Int = 50): DataFrame = {
+    val withBucket = docs.select(col(idCol),
+      (length(col(textCol)) / bucketWidth).cast("long").as("len_bucket"))
+    // each doc probes its own and the next bucket => adjacent-bucket
+    // pairs meet exactly once
+    val a = withBucket.select(col(idCol).as("id_a"),
+      explode(array(col("len_bucket"), col("len_bucket") + 1)).as("bk"))
+    val b = withBucket.select(col(idCol).as("id_b"), col("len_bucket").as("bk"))
+    val cands = a.join(b, "bk").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    withJaccard(cands, docs, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- SimHash
+  /** 64-bit SimHash per document: explode tokens, xxhash64 each, and
+    * sum per-bit +1/-1 votes as 64 partial-aggregated columns (map-side
+    * combine keeps the shuffle at one row per (doc, 64 longs)).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.tokenize(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = toks.groupBy(col(idCol)).agg(
+      (0 until 64).map(i =>
+        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$i")).head,
+      (0 until 64).map(i =>
+        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$i")).tail: _*)
+    votes.select(col(idCol),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Candidate generation: pigeonhole on 4 16-bit chunks — any pair
+    * within Hamming distance 3 shares at least one exact chunk, so a
+    * bucket join on (chunk_idx, chunk_value) finds all of them; exact
+    * bit_count(xor) verifies.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole is only complete for maxHamming <= 3")
+    val sh = simhash(docs, idCol, textCol)
+    val chunked = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-dup pairs. Candidates: sign-bit bucket on
+    * the first `signBits` components (near-identical vectors share the
+    * bucket); verify with exact cosine.
+    */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, signBits: Int = 12): DataFrame = {
+    val bucketed = emb.select(col(idCol), col(vecCol),
+      VectorOps.signBucket(col(vecCol), signBits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with a typed metadata struct alongside. The
+  * Spark-side mechanics — schema, per-partition batched processing,
+  * deterministic output — are real; the codec itself is a STUB
+  * (`FakeCodec`) because no image/audio libraries ship in this
+  * container. Swapping in a real decoder means replacing one pure
+  * function; the distributed plumbing does not change.
+  *
+  * Scale notes: decode runs inside `mapPartitions`, so per-partition
+  * codec state (a real decoder's native context) is initialized once
+  * per task, not once per row; payload bytes never shuffle — features
+  * are extracted before any wide operation.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, feature: Array[Float])
+
+  /** Deterministic fake codec: derives plausible media properties
+    * purely from the payload bytes. Stands in for e.g. a JPEG decode +
+    * resize + patch-embed step.
+    */
+  object FakeCodec {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
+      val h = payload.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
+      val width = 64 + math.floorMod(h, 1024).toInt
+      val height = 64 + math.floorMod(h >> 10, 1024).toInt
+      val frames = kind match {
+        case "video" => 1 + math.floorMod(h >> 20, 300).toInt
+        case "audio" => 1 + math.floorMod(h >> 20, 48000).toInt
+        case _ => 1
+      }
+      (width, height, frames)
+    }
+
+    /** Fake 8-dim feature vector from rolling byte statistics. */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) {
+        out(i % 8) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Attach a binary payload column (here synthesized from text —
+    * UTF-8 bytes standing in for media bytes) plus a kind tag. In a
+    * real pipeline this is the ingest step reading blob files.
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Per-partition batched decode + feature extraction. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-task codec init would go here (native contexts, models…)
+      rows.map { r =>
+        val (w, h, f) = FakeCodec.decode(r.kind, r.payload)
+        MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, w, h, f,
+          FakeCodec.features(r.payload))
+      }
+    }
+  }
+}

@@ -1,0 +1,460 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.{Batching, Segmentation}
+
+/** Core relational surface (SURVEY.md §2.C, Q-SCAN … Q-NEST).
+  *
+  * Every query here is paired with an ANSI-SQL oracle (run by the
+  * driver in DuckDB over the same parquet). Parity rules, applied
+  * uniformly:
+  *
+  *  - Float aggregation is ORDER-DEPENDENT in IEEE754, and Spark and
+  *    DuckDB would sum in different orders. All double sums go through
+  *    an exact decimal cast (`sum(cast(x as decimal(28,10)))`) in BOTH
+  *    engines, then back to double — bit-identical results.
+  *  - Every output column is explicitly aliased; integer outputs are
+  *    normalized to BIGINT on both sides (DuckDB counts/extracts
+  *    default to int64/hugeint; Spark's size()/year() are int32).
+  *  - Every query ends in a deterministic total ORDER BY.
+  *  - Windows order by a unique tiebreaker so lag/row_number are
+  *    deterministic under key collisions.
+  */
+object Core {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact (decimal-path) sum of a double column, returned as double.
+    *
+    * Scale 2 on purpose, twice over: (a) the money/value columns are
+    * 2-decimal data, so the per-element double→decimal cast is exact
+    * in both engines; (b) DuckDB converts decimal→double as
+    * (double)(scaled int128) / 10^scale, which is only correctly
+    * rounded while the scaled integer fits in double's 53-bit
+    * mantissa — scale 2 keeps sums exact up to ~9e13.
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+  private val DSUM = "CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Exact revenue sum: price * (1 - discount) with BOTH factors cast
+    * to decimal BEFORE multiplying — casting the double *product*
+    * diverges between engines (Spark rounds a double's shortest
+    * decimal string, DuckDB its exact binary value). 2-decimal ×
+    * 2-decimal is exactly 4-decimal, so every step is exact; the final
+    * rescale to scale 4 (a trailing-zero truncation, never a rounding)
+    * keeps the scaled integer inside double's mantissa for the cast.
+    */
+  private def revSum(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 4)) *
+      (lit(1.0) - discount).cast(DecimalType(18, 4)))
+      .cast(DecimalType(28, 4)).cast("double")
+  private val REVSUM = "CAST(CAST(sum(CAST(%s AS DECIMAL(18,4)) * CAST(1.0 - %s AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- Q-SCAN
+  /** Scan + project + filter with a string predicate (reference O1/O2,
+    * syllabus_parser.py:48-70). Filter and 3-column projection both
+    * push into the parquet scan (PushedFilters / ReadSchema).
+    */
+  private val qScan: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("lang") === "en" && length(col("text")) > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  private val qScanSql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE lang = 'en' AND length(text) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- Q-SEG
+  /** Ordered segmentation / sessionization (reference O4,
+    * syllabus_parser.py:118-154): running count of marker rows per
+    * user, pre-first-marker rows dropped, per-segment aggregates.
+    * Parallelism = per-user window partitions; one hash shuffle.
+    */
+  private val qSeg: Q = (s, d) => {
+    val seg = Segmentation.segment(
+      Tables.events(s, d),
+      col("user_id"), col("event_type") === "signup",
+      col("ts"), col("event_id"))
+    seg.groupBy(col("user_id"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("seg_start"),
+        max(col("ts")).as("seg_end"),
+        dsum(col("value")).as("seg_value"))
+      .orderBy("user_id", "segment")
+  }
+
+  private val qSegSql =
+    s"""WITH seg AS (
+       |  SELECT user_id, ts, value,
+       |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment
+       |  FROM events)
+       |SELECT user_id, segment, count(*) AS n_events,
+       |       min(ts) AS seg_start, max(ts) AS seg_end,
+       |       ${DSUM.format("value")} AS seg_value
+       |FROM seg WHERE segment >= 1
+       |GROUP BY user_id, segment
+       |ORDER BY user_id, segment""".stripMargin
+
+  // --------------------------------------------------------------- Q-CLEAN
+  /** Marker-title cleanup (reference O3, syllabus_parser.py:85-93):
+    * remove marker substring, trim whitespace + ' -:' charset.
+    */
+  private val qClean: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Segmentation.cleanTitle(col("text"), "spark").as("cleaned"))
+      .orderBy("doc_id")
+
+  private val qCleanSql =
+    """SELECT doc_id, trim(trim(replace(text, 'spark', '')), ' -:') AS cleaned
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q-BATCH
+  /** row_number bucketing with partial final batch (reference O9,
+    * syllabus_ai_graph.py:146-182). Global-order window is the exact-
+    * semantics variant; Batching.withBatchIdScalable is the cluster
+    * path (tested equivalent in BatchingSpec).
+    */
+  private val qBatch: Q = (s, d) =>
+    Batching.withBatchId(Tables.orders(s, d), 5, col("o_orderkey"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("batch_total"))
+      .orderBy("batch_id")
+
+  private val qBatchSql =
+    s"""WITH b AS (
+       |  SELECT o_totalprice,
+       |         (row_number() OVER (ORDER BY o_orderkey) - 1) // 5 AS batch_id
+       |  FROM orders)
+       |SELECT batch_id, count(*) AS n_orders,
+       |       ${DSUM.format("o_totalprice")} AS batch_total
+       |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
+  // -------------------------------------------------------------- Q-JOIN-B
+  /** 5-way star join, revenue by nation (reference O10 generalized,
+    * syllabus_ai_graph.py:190-201). Dimensions are broadcast
+    * explicitly; lineitem⋈orders is the only shuffle join.
+    */
+  private val qJoinB: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val dims = broadcast(
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"), col("n_name")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+  }
+
+  private val qJoinBSql =
+    s"""SELECT n_name,
+       |       ${REVSUM.format("l_extendedprice", "l_discount")} AS revenue,
+       |       count(*) AS n_lineitems
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------------- Q-JOIN-SA
+  /** Left-semi: customers having orders (reference O10 hit path). */
+  private val qJoinSemi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  private val qJoinSemiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti: customers without orders (reference O10 miss ⇒ empty,
+    * syllabus_ai_graph.py:199-201).
+    */
+  private val qJoinAnti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  private val qJoinAntiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------------- Q-AGG
+  /** TPC-H Q1-shaped hash aggregate with partial/final + distinct
+    * (reference O12 generalized, syllabus_ai_graph.py:281).
+    */
+  private val qAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val qAggSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${DSUM.format("l_quantity")} AS sum_qty,
+       |       ${DSUM.format("l_extendedprice")} AS sum_base_price,
+       |       ${REVSUM.format("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |       ${DSUM.format("l_quantity")} / count(*) AS avg_qty,
+       |       count(*) AS count_order,
+       |       count(DISTINCT l_partkey) AS n_parts
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q-CUBE
+  /** ROLLUP grouping sets (engine-surface completion of Q-AGG). */
+  private val qRollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val qRollupSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |       count(*) AS n_rows,
+       |       ${DSUM.format("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ----------------------------------------------------------------- Q-WIN
+  /** Ranking + analytic + sliding frame (reference O4/O9 window
+    * foundations). Window orders by (o_orderdate, o_orderkey) — the
+    * unique tiebreaker keeps lag/row_number deterministic.
+    */
+  private val qWin: Q = (s, d) => {
+    val byDateKey = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(byDateKey).cast("long").as("rn"),
+      rank().over(byDate).cast("long").as("rnk"),
+      lag(col("o_totalprice"), 1).over(byDateKey).as("prev_price"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .over(byDateKey.rowsBetween(-2, Window.currentRow))
+        .cast("double").as("moving_sum"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qWinSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+      |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS rnk,
+      |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q-TOPK
+  /** Top-10 customers by revenue, tie-broken by key (reference O9/O15
+    * limits generalized). Spark plans order+limit as TakeOrderedAndProject
+    * — per-partition top-k then a k-row merge, no global sort.
+    */
+  private val qTopK: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  private val qTopKSql =
+    s"""SELECT c_custkey, c_name,
+       |       ${DSUM.format("o_totalprice")} AS revenue, count(*) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------------- Q-SET
+  /** UNION / INTERSECT / EXCEPT (reference O12 union generalized). */
+  private val qSet: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey"))
+    val both = c.intersect(sup).select(lit("both").as("op"), col("nationkey"))
+    val custOnly = c.except(sup).select(lit("cust_only").as("op"), col("nationkey"))
+    val all = c.union(sup).distinct().select(lit("any").as("op"), col("nationkey"))
+    both.unionByName(custOnly).unionByName(all).orderBy("op", "nationkey")
+  }
+
+  private val qSetSql =
+    """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+      |     s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+      |SELECT 'both' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+      |UNION ALL
+      |SELECT 'cust_only' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+      |UNION ALL
+      |SELECT 'any' AS op, nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+      |ORDER BY op, nationkey""".stripMargin
+
+  // ----------------------------------------------------------------- Q-STR
+  /** Scalar string battery (reference O3/O17). */
+  private val qStr: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").contains("spark").as("has_spark"),
+      substring(regexp_replace(col("text"), "data", "DATA"), 1, 40).as("replaced"),
+      substring(lower(col("text")), 1, 40).as("lowered"),
+      size(toks).cast("long").as("n_tokens"),
+      element_at(toks, 1).as("first_tok"),
+      substring(col("text"), 5, 20).as("mid"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      concat_ws("|", col("source"), col("lang")).as("src_lang"))
+      .orderBy("doc_id")
+  }
+
+  private val qStrSql =
+    """SELECT doc_id,
+      |  contains(text, 'spark') AS has_spark,
+      |  substring(replace(text, 'data', 'DATA'), 1, 40) AS replaced,
+      |  substring(lower(text), 1, 40) AS lowered,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  string_split(text, ' ')[1] AS first_tok,
+      |  substring(text, 5, 20) AS mid,
+      |  CAST(length(text) AS BIGINT) AS n_chars_text,
+      |  concat_ws('|', source, lang) AS src_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q-DATE
+  /** Date battery + month grouping (engine-surface completion; the
+    * reference stores dates as strings, data_types.py:36).
+    */
+  private val qDate: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        dsum(col("o_totalprice")).as("month_total"),
+        max(datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+          .cast("long").as("max_days_since"))
+      .orderBy("yr", "mon")
+
+  private val qDateSql =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       |       count(*) AS n_orders,
+       |       min(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS month_start,
+       |       ${DSUM.format("o_totalprice")} AS month_total,
+       |       CAST(max(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS BIGINT) AS max_days_since
+       |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin
+
+  // ---------------------------------------------------------------- Q-JSON
+  /** Schema-on-read JSON extraction, null on corrupt input (the
+    * reference's Pydantic parse-or-empty, syllabus_ai_graph.py:78,88-90).
+    */
+  private val qJson: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k_val"),
+        col("event_type"))
+      .withColumn("k_bucket", expr("k_val div 10"))
+      .orderBy("event_id")
+
+  private val qJsonSql =
+    """SELECT event_id,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  event_type,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q-NEST
+  /** Nested/higher-order functions over the embedding array
+    * (reference O6/O7 nested-model analogue). Float math is forced
+    * through double-exact per-element casts; both engines fold the
+    * list sequentially.
+    */
+  private val qNest: Q = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label").cast("long").as("label"),
+      size(col("embedding")).cast("long").as("n_dims"),
+      size(filter(col("embedding"), x => x > lit(0f))).cast("long").as("n_pos"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("sum_sq"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double")) / size(col("embedding")), 6).as("mean_val"))
+      .orderBy("vec_id")
+
+  private val qNestSql =
+    """SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |  CAST(len(embedding) AS BIGINT) AS n_dims,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq,
+      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS mean_val
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------ maps
+  val defs: Map[String, Q] = Map(
+    "q_scan" -> qScan,
+    "q_seg" -> qSeg,
+    "q_clean" -> qClean,
+    "q_batch" -> qBatch,
+    "q_join_broadcast" -> qJoinB,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_agg" -> qAgg,
+    "q_rollup" -> qRollup,
+    "q_window" -> qWin,
+    "q_topk" -> qTopK,
+    "q_set" -> qSet,
+    "q_str" -> qStr,
+    "q_date" -> qDate,
+    "q_json" -> qJson,
+    "q_nest" -> qNest)
+
+  val oracles: Map[String, String] = Map(
+    "q_scan" -> qScanSql,
+    "q_seg" -> qSegSql,
+    "q_clean" -> qCleanSql,
+    "q_batch" -> qBatchSql,
+    "q_join_broadcast" -> qJoinBSql,
+    "q_join_semi" -> qJoinSemiSql,
+    "q_join_anti" -> qJoinAntiSql,
+    "q_agg" -> qAggSql,
+    "q_rollup" -> qRollupSql,
+    "q_window" -> qWinSql,
+    "q_topk" -> qTopKSql,
+    "q_set" -> qSetSql,
+    "q_str" -> qStrSql,
+    "q_date" -> qDateSql,
+    "q_json" -> qJsonSql,
+    "q_nest" -> qNestSql)
+}

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextOps
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.streaming.EventStream
+
+/** Training-data pipeline operators (dedup / similarity / text
+  * analysis / multimodal / streaming) exposed as driver-checkable
+  * queries. SQL-expressible ones carry a DuckDB oracle; the LSH/
+  * MinHash/SimHash family and the multimodal stub are rows-only
+  * checked (no portable SQL restatement) but covered by ScalaTest
+  * specs with planted duplicates.
+  */
+object TrainingData {
+  import Core.Q
+
+  // ------------------------------------------------------------ exact dedup
+  private val qDedupExact: Q = (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("content_hash")
+
+  private val qDedupExactSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  // ------------------------------------------------- near-dup candidates
+  /** Length-bucket + prefix candidate grouping (cheap near-dup
+    * blocking; SQL-expressible, oracle-checked).
+    */
+  private val qDedupNear: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(expr("n_chars div 100").as("len_bucket"),
+        substring(col("text"), 1, 12).as("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("len_bucket", "prefix")
+
+  private val qDedupNearSql =
+    """SELECT n_chars // 100 AS len_bucket, substring(text, 1, 12) AS prefix,
+      |       count(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM documents GROUP BY 1, 2 ORDER BY len_bucket, prefix""".stripMargin
+
+  // -------------------------------------------------------- LSH family
+  private val qMinhash: Q = (s, d) =>
+    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.0).orderBy("id_a", "id_b")
+
+  private val qSimhash: Q = (s, d) =>
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+
+  private val qSimhashNear: Q = (s, d) =>
+    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3).orderBy("id_a", "id_b")
+
+  private val qNgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardNearDups(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.2).orderBy("id_a", "id_b")
+
+  private val qEmbedNear: Q = (s, d) =>
+    Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.9).orderBy("id_a", "id_b")
+
+  // -------------------------------------------------------- similarity
+  private def queryVec(s: org.apache.spark.sql.SparkSession, d: String): Seq[Float] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>")).head()
+      .getSeq[Float](0)
+
+  private val qSimBrute: Q = (s, d) =>
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVec(s, d), k = 10)
+      .withColumn("cosine", round(col("cosine"), 6))
+
+  private val qSimBruteSql =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT vec_id,
+      |    list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM embeddings)
+      |SELECT vec_id, round(cos_raw, 6) AS cosine FROM sims
+      |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
+
+  private val qSimBucketed: Q = (s, d) =>
+    Similarity.bucketedTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVec(s, d), k = 10, signBits = 8, probeHamming = 1)
+      .withColumn("cosine", round(col("cosine"), 6))
+
+  // ------------------------------------------------------ text analysis
+  private val qTextTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokenize(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("source")
+
+  private val qTextTokensSql =
+    """SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+      |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  private val qTextTopTerms: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokenize(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  private val qTextTopTermsSql =
+    """SELECT term, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+
+  /** Quality scoring: length, token stats, punctuation + stopword
+    * ratios (the reference has no analogue; north-star mandate).
+    */
+  private val qTextQuality: Q = (s, d) => {
+    val toks = TextOps.tokenize(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len"),
+      size(toks).cast("long").as("n_tokens"),
+      round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextOps.stopwordRatio(toks), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val qTextQualitySql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS len,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  round(CASE WHEN length(text) > 0 THEN
+      |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+      |      / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+      |  round(CASE WHEN len(string_split(text, ' ')) > 0 THEN
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> list_contains(['the','and','of','to','in','is','a'], t))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) ELSE 0.0 END, 6) AS stopword_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val qLangId: Q = (s, d) => {
+    val toks = TextOps.tokenize(lower(col("text")))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      TextOps.langGuess(toks).as("guessed_lang"))
+      .orderBy("doc_id")
+  }
+
+  private val qFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val qFingerprintSql =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- multimodal
+  private val qMultimodal: Q = (s, d) =>
+    Multimodal.extractFeatures(s, Multimodal.asMedia(Tables.documents(s, d)))
+      .toDF().drop("feature")
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .withColumn("n_frames", col("n_frames").cast("long"))
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------- streaming
+  private val qStream: Q = (s, d) => EventStream.windowedCounts(s, d)
+
+  private val qStreamSql =
+    """WITH mx AS (SELECT max(ts) AS m FROM events)
+      |SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events, mx
+      |GROUP BY 1, 2, mx.m
+      |HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= m - INTERVAL '10 minutes'
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ------------------------------------------------------------------ maps
+  val defs: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_near" -> qDedupNear,
+    "q_dedup_minhash" -> qMinhash,
+    "q_simhash" -> qSimhash,
+    "q_simhash_near" -> qSimhashNear,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_embed_neardup" -> qEmbedNear,
+    "q_sim_brute" -> qSimBrute,
+    "q_sim_bucketed" -> qSimBucketed,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_topterms" -> qTextTopTerms,
+    "q_text_quality" -> qTextQuality,
+    "q_langid" -> qLangId,
+    "q_fingerprint" -> qFingerprint,
+    "q_multimodal" -> qMultimodal,
+    "q_stream_window" -> qStream)
+
+  /** Oracles only for the SQL-expressible subset; the rest get the
+    * driver's rows-only check.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_near" -> qDedupNearSql,
+    "q_sim_brute" -> qSimBruteSql,
+    "q_text_tokens" -> qTextTokensSql,
+    "q_text_topterms" -> qTextTopTermsSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_fingerprint" -> qFingerprintSql,
+    "q_stream_window" -> qStreamSql)
+}

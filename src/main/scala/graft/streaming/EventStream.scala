@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming over the `events` table (SURVEY.md §2.C
+  * Q-STREAM): tumbling event-time windows with a watermark, run here
+  * against the static parquet as a file-source stream so the result is
+  * checkable against a batch/DuckDB oracle.
+  *
+  * Append-mode semantics: a window is emitted only once the watermark
+  * (max event time − delay) passes its end, so the trailing windows of
+  * a bounded input are intentionally withheld — the oracle encodes the
+  * same cutoff. Spark's no-data microbatch (on by default) advances
+  * the watermark after the final data batch, flushing everything
+  * below max(ts) − delay.
+  */
+object EventStream {
+
+  /** Tumbling 1h window × event_type counts/sums with a 10m watermark,
+    * executed as a real streaming query into a memory sink and
+    * returned as a DataFrame. Deterministic: same input → same
+    * emitted windows.
+    */
+  def windowedCounts(spark: SparkSession, dir: String,
+      window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source only accepts a directory; stream the sf
+    // dir and select the single events file with pathGlobFilter
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  /** Batch twin of [[windowedCounts]] including the append-mode
+    * watermark cutoff — used by tests to prove stream/batch
+    * equivalence, and mirrored by the DuckDB oracle.
+    */
+  def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.events(spark, dir)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"),
+        col("window.end").as("window_end"))
+      .filter(col("window_end") <= lit(maxTs) - expr("INTERVAL 10 MINUTES"))
+      .drop("window_end")
+      .orderBy("window_start", "event_type")
+  }
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: read Verify's parquet
+dumps + oracle_sql.json, run each oracle in DuckDB over the same sf
+tables, and compare (columns sorted by name, rows sorted, values
+hashed). Dev tool only — not part of the Scala library.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v)
+            vals.append(str(v))
+        out.append("\x1f".join(vals))
+    return sorted(out)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
+            exp = con.sql(sql)
+            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as e:
+            print(f"FAIL {name}: error {type(e).__name__}: {e}")
+            fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            fail += 1
+            continue
+        g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            fail += 1
+        elif g != e:
+            diffs = [(a, b) for a, b in zip(g, e) if a != b]
+            print(f"FAIL {name}: {len(diffs)} differing rows; first: ")
+            print(f"   spark: {diffs[0][0][:200]}")
+            print(f"  duckdb: {diffs[0][1][:200]}")
+            fail += 1
+        else:
+            print(f"ok   {name} ({len(g)} rows)")
+            ok += 1
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
