@@ -35,16 +35,27 @@ object Dedup {
   }
 
   // -------------------------------------------------------------- MinHash
-  /** numHashes = bands * rowsPerBand MinHash signature over word
-    * k-shingles. Hash family: xxhash64 seeded by the hash index —
-    * deterministic across runs/partitions.
+  /** numHashes-wide MinHash signature over word k-shingles. Hash
+    * family: xxhash64 seeded by the hash index — deterministic across
+    * runs/partitions.
+    *
+    * Shape: explode shingles once, then numHashes `min` aggregates —
+    * partial aggregation combines map-side, so the shuffle carries one
+    * row of numHashes longs per document regardless of shingle count.
+    * (A nested transform-over-shingles formulation re-evaluates the
+    * shingle array per hash function — 16× the work and no codegen
+    * subexpression reuse.) Documents with < k tokens have no shingles
+    * and drop out — they can't be near-dup candidates.
     */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = TextOps.shingles(TextOps.tokenize(col(textCol)), shingleK)
-    val sig = array((0 until numHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
-    docs.select(col(idCol), sig.as("minhash"))
+    val exploded = docs.select(col(idCol),
+      explode(TextOps.shingles(TextOps.tokenize(col(textCol)), shingleK)).as("sh"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("minhash"))
   }
 
   /** LSH candidate pairs: split the signature into `bands` bands of

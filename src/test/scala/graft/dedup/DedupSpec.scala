@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Planted-duplicate tests: the synthetic corpus is all-unique, so
+  * every near-dup operator is exercised on rows we plant ourselves.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val nearDup = "the quick brown fox jumps over the lazy dog and runs far away fast"
+  private val distinct1 = "completely different text about spark query engines and shuffles everywhere"
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), // exact dup pair
+    (3L, nearDup), // near dup of 1/2
+    (4L, distinct1)).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(g.contains((1L, 2L)))
+    assert(g.size == 3)
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash LSH surfaces exact + near dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature of identical texts is identical") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text")
+      .select("doc_id", "minhash").as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("simhash: identical => distance 0; near-dup within 3+ chunks pigeonhole finds it") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("ngram jaccard: exact pair = 1.0, near pair high, unrelated absent") {
+    val j = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      threshold = 0.3, bucketWidth = 500)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = j.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m.get((1L, 3L)).exists(v => v > 0.3 && v < 1.0))
+    assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup finds planted identical vector via sign-bucket join") {
+    val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.clone(); v2(15) = v2(15) + 0.001f
+    val v3 = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.999, signBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("runs on the real corpus without error (all-unique => no exact dups)") {
+    val d = graft.Tables.documents(spark, sf)
+    assert(Dedup.exactGroups(d, "doc_id", "text")
+      .filter(col("n_copies") > 1).count() == 0)
+  }
+}

@@ -1,0 +1,32 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Every declared query runs at sf0.001 and returns rows (> 0 except
+  * the legitimately-empty ones); entry() satisfies the driver smoke.
+  * Value-level correctness is the DuckDB oracle's job (tools/check.py
+  * / the driver's CORRECTNESS gate).
+  */
+class QueriesSmokeSpec extends SparkTestBase {
+
+  private val mayBeEmpty = Set(
+    "q_join_anti", // every customer has orders in the synthetic data
+    "q_dedup_minhash", "q_simhash_near", "q_ngram_jaccard",
+    "q_embed_neardup") // all-unique corpus => no near-dups
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query key") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val n = fn(spark, sf).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

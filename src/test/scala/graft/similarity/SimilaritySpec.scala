@@ -1,0 +1,50 @@
+package graft.similarity
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("brute-force top-k matches a driver-side brute force on the real table") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val q = all.find(_._1 == 0L).get._2
+    val expected = all.map { case (id, v) => (id, cosine(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("bucketed top-k returns the query vector itself first (same bucket by construction)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val got = Similarity.bucketedTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(got.head._1 == 0L)
+    assert(math.abs(got.head._2 - 1.0) < 1e-9)
+    // approximate: results are a subset of the corpus, scored correctly
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+  }
+
+  test("batch top-k produces k rows per query with correct ranking") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id".isin(0L, 1L, 2L))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val got = Similarity.batchTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 3)
+    val counts = got.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 3L, 1L -> 3L, 2L -> 3L))
+    // self-similarity tops each group
+    val tops = got.filter("cosine > 0.999999").select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    assert(tops == Set((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
+}
