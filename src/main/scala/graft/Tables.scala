@@ -40,4 +40,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** documents, repartitioned to the session's full parallelism.
+    *
+    * The test corpus is one small parquet file → one input partition →
+    * CPU-heavy per-row work (shingling, hashing, decode) runs on a
+    * single core no matter how many the session has. A round-robin
+    * repartition before such work costs one narrow-ish shuffle of the
+    * raw text and buys full-core scaling. On a real multi-file corpus
+    * the scan is already parallel and this becomes a no-op choice —
+    * callers doing cheap columnar work should keep using documents().
+    */
+  def documentsParallel(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
 }

@@ -108,23 +108,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** n-gram Jaccard near-dups with length-bucket candidate generation
-    * (docs within the same (length div bucketWidth) bucket or adjacent
-    * buckets are candidates) — the LSH-free variant for corpora where
-    * near-dups have similar length.
+  /** n-gram Jaccard near-dups via an inverted-index join: explode
+    * distinct shingles, self-join on the shingle, count shared
+    * shingles per pair, and derive jaccard = shared/(|A|+|B|-shared).
+    * Only pairs that actually share a shingle are ever scored — unlike
+    * length-bucket blocking there is no quadratic bucket blow-up, and
+    * the shuffle key (the shingle) distributes evenly once
+    * ultra-frequent shingles are capped.
+    *
+    * `maxDocFreq` drops shingles appearing in more than that many
+    * documents (boilerplate n-grams): they generate enormous join
+    * groups while contributing almost nothing to a near-dup decision.
+    * Pairs sharing ONLY capped shingles are missed — the standard
+    * recall/scale trade; raise the cap for exactness on small data.
     */
   def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleK: Int = 3, bucketWidth: Int = 50): DataFrame = {
-    val withBucket = docs.select(col(idCol),
-      (length(col(textCol)) / bucketWidth).cast("long").as("len_bucket"))
-    // each doc probes its own and the next bucket => adjacent-bucket
-    // pairs meet exactly once
-    val a = withBucket.select(col(idCol).as("id_a"),
-      explode(array(col("len_bucket"), col("len_bucket") + 1)).as("bk"))
-    val b = withBucket.select(col(idCol).as("id_b"), col("len_bucket").as("bk"))
-    val cands = a.join(b, "bk").filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    withJaccard(cands, docs, idCol, textCol, shingleK)
+      threshold: Double, shingleK: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextOps.shingles(TextOps.tokenize(col(textCol)), shingleK)).as("sh"))
+    val nShingles = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2) // df=1 can't pair
+      .select("sh")
+    val indexed = sh.join(rare, "sh")
+    val shared = indexed.select(col("sh"), col(idCol).as("id_a"))
+      .join(indexed.select(col("sh"), col(idCol).as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(nShingles.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(nShingles.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -47,20 +47,25 @@ object TrainingData {
       |FROM documents GROUP BY 1, 2 ORDER BY len_bucket, prefix""".stripMargin
 
   // -------------------------------------------------------- LSH family
+  /** shingleK=5: the synthetic corpus draws from a ~30-word
+    * vocabulary, so 3-shingles collide across unrelated documents and
+    * flood the LSH buckets with false candidates; 5-shingles keep the
+    * shingle space sparse (what production dedup uses for web text).
+    */
   private val qMinhash: Q = (s, d) =>
-    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.0).orderBy("id_a", "id_b")
+    Dedup.minhashNearDups(Tables.documentsParallel(s, d), "doc_id", "text",
+      threshold = 0.5, shingleK = 5).orderBy("id_a", "id_b")
 
   private val qSimhash: Q = (s, d) =>
-    Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    Dedup.simhash(Tables.documentsParallel(s, d), "doc_id", "text").orderBy("doc_id")
 
   private val qSimhashNear: Q = (s, d) =>
-    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+    Dedup.simhashNearDups(Tables.documentsParallel(s, d), "doc_id", "text",
       maxHamming = 3).orderBy("id_a", "id_b")
 
   private val qNgramJaccard: Q = (s, d) =>
-    Dedup.ngramJaccardNearDups(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.2).orderBy("id_a", "id_b")
+    Dedup.ngramJaccardNearDups(Tables.documentsParallel(s, d), "doc_id", "text",
+      threshold = 0.5, shingleK = 5, maxDocFreq = 100).orderBy("id_a", "id_b")
 
   private val qEmbedNear: Q = (s, d) =>
     Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",

@@ -53,7 +53,7 @@ class DedupSpec extends SparkTestBase {
 
   test("ngram jaccard: exact pair = 1.0, near pair high, unrelated absent") {
     val j = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
-      threshold = 0.3, bucketWidth = 500)
+      threshold = 0.3)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
     val m = j.map(p => (p._1, p._2) -> p._3).toMap
     assert(m((1L, 2L)) == 1.0)
