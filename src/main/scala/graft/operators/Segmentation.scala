@@ -44,10 +44,14 @@ object Segmentation {
   }
 
   /** Marker-title cleanup (reference: syllabus_parser.py:85-93):
-    * remove the marker substring, then trim whitespace plus the
-    * ` -:` charset from both ends. Built-ins only — stays inside
-    * whole-stage codegen.
+    * remove the marker substring, then python-.strip() ALL whitespace
+    * (Spark's trim() strips spaces only — the fixture's titles carry
+    * tabs), then strip the ` -:` charset; the two strips stay
+    * sequential for exact reference parity. Built-ins only — stays
+    * inside whole-stage codegen.
     */
-  def cleanTitle(text: Column, marker: String): Column =
-    trim(trim(regexp_replace(text, java.util.regex.Pattern.quote(marker), "")), " -:")
+  def cleanTitle(text: Column, marker: String): Column = {
+    val noMarker = regexp_replace(text, java.util.regex.Pattern.quote(marker), "")
+    trim(regexp_replace(noMarker, "^\\s+|\\s+$", ""), " -:")
+  }
 }

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+/** The LLM seam (SURVEY.md §4.2): the reference's three model-backed
+  * nodes (O7 subtopic extraction, O8 planning, O11 generation —
+  * syllabus_ai_graph.py:45-271) sit behind this trait. The engine
+  * calls it from `mapPartitions`/`flatMapGroups` stages, so an
+  * implementation backed by a real model API inherits batching,
+  * partition-level rate limiting and retry placement for free; the
+  * in-repo default is the deterministic stub below (zero-egress
+  * build, and the reference's own `temperature=0` shows determinism
+  * was the intent, syllabus_ai_graph.py:29).
+  *
+  * Planning (O8) is NOT on the trait: its constraints are relational
+  * and the engine builds plans declaratively (see [[Planner]]).
+  */
+trait QuestionModel extends Serializable {
+
+  /** O7: one topic ⇒ 0..n subtopics (syllabus_ai_graph.py:45-90).
+    * A failure inside an implementation must degrade to Nil — the
+    * reference's parse-or-empty contract (:88-90).
+    */
+  def extractSubtopics(topic: SyllabusTopic, subject: String,
+      academicClass: String): Seq[Subtopic]
+
+  /** O11: one planned batch + its subtopic context ⇒ questions
+    * (syllabus_ai_graph.py:184-271). Must preserve `question_id` and
+    * `difficulty` of every planned question (prompt constraints
+    * :229-230); failure degrades to Nil (:269-271).
+    */
+  def generateQuestions(batch: Seq[PlannedQuestion],
+      context: Option[Subtopic]): Seq[Question]
+}
+
+/** Deterministic, pure-Scala QuestionModel: content is hash-seeded
+  * from the inputs, so the same document always yields the same
+  * questions (same spirit as the reference's temperature=0, but
+  * actually reproducible). Honors every plan/generation constraint
+  * the reference's prompts demand: ≥1 subtopic per non-empty topic,
+  * 4 choices with exactly 1 correct, explanation+steps, hint,
+  * id/difficulty preservation.
+  */
+final class StubQuestionModel extends QuestionModel {
+
+  private def h(s: String): Long = {
+    // FNV-1a 64-bit: stable across JVMs (String.hashCode is too, but
+    // FNV gives better spread for seeding)
+    var x = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { x ^= s.charAt(i).toLong; x *= 0x100000001b3L; i += 1 }
+    x
+  }
+
+  /** One subtopic per table element (the syllabus grids are where the
+    * reference's prompt mines objectives/criteria, FIXTURES.md), with
+    * a paragraph-derived fallback so text-only topics still yield one.
+    * Names embed `topic_seq` so duplicate topic titles (13 markers / 6
+    * titles in the fixture) keep per-occurrence subtopics — the
+    * reference processes each occurrence as a fresh State and only the
+    * sink merges by title (SURVEY.md §7.5).
+    */
+  override def extractSubtopics(topic: SyllabusTopic, subject: String,
+      academicClass: String): Seq[Subtopic] = {
+    val tables = topic.elements.filter(_.element_type == "table")
+    def cells(t: SyllabusElement): Seq[String] =
+      t.table_rows.getOrElse(Nil).flatten.map(_.trim).filter(_.nonEmpty)
+    val fromTables = tables.zipWithIndex.map { case (t, i) =>
+      val cs = cells(t)
+      Subtopic(
+        subtopic_name = s"${topic.title} [${topic.topic_seq}] — part ${i + 1}",
+        topic_title = topic.title,
+        academic_class = academicClass,
+        subject = subject,
+        learning_objectives = cs.take(3),
+        key_concepts = cs.slice(3, 7),
+        assessment_criteria = cs.slice(7, 9),
+        suggested_activities = cs.slice(9, 11))
+    }
+    if (fromTables.nonEmpty) fromTables
+    else {
+      val paras = topic.elements.flatMap(_.text).map(_.trim).filter(_.nonEmpty)
+      if (paras.isEmpty) Nil
+      else Seq(Subtopic(s"${topic.title} [${topic.topic_seq}] — overview", topic.title, academicClass,
+        subject, paras.take(3), paras.slice(3, 7), Nil, Nil))
+    }
+  }
+
+  override def generateQuestions(batch: Seq[PlannedQuestion],
+      context: Option[Subtopic]): Seq[Question] =
+    batch.map { pq =>
+      val seed = h(pq.question_id + "|" + pq.topic + "|" + pq.subtopic)
+      val correct = (math.floorMod(seed, 4)).toInt
+      val choices = (0 until 4).map(i =>
+        QuestionChoice(s"Option ${('A' + i).toChar}: ${pq.concept_area} case ${math.floorMod(seed >> (8 * i), 97)}",
+          is_correct = i == correct))
+      Question(
+        question_id = pq.question_id,
+        text = s"[${pq.difficulty}] Which statement about ${pq.concept_area} (${pq.subtopic}) is correct?",
+        topic = pq.topic,
+        sub_topic = pq.subtopic,
+        academic_class = context.map(_.academic_class).getOrElse(""),
+        examination_level = "MSCE",
+        difficulty = pq.difficulty,
+        tags = Seq(pq.topic, pq.concept_area).filter(_.nonEmpty),
+        choices = choices,
+        solution = QuestionSolution(
+          explanation = s"Option ${('A' + correct).toChar} follows from ${pq.concept_area}.",
+          steps = Seq(s"Recall ${pq.concept_area}.", "Eliminate inconsistent options.")),
+        hint = s"Consider ${pq.concept_area}.",
+        metadata = Some(QuestionMetadata(
+          created_by = "graft-stub",
+          created_at = "1970-01-01T00:00:00Z", // fixed: determinism over wall clock
+          updated_at = "1970-01-01T00:00:00Z",
+          time_estimate = Map("easy" -> "60s", "medium" -> "90s", "hard" -> "120s")
+            .filter(_._1 == pq.difficulty))))
+    }
+}

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline parity (reference E1–E3,
+  * _base_syllabus_ai_graph_template.py:76-159): docx → topics →
+  * subtopics → plan → batched generation → questions, as Spark
+  * stages instead of a per-topic LangGraph loop.
+  *
+  * Where the reference loops (O9 batch selection → O11 generation →
+  * O12 accumulate → O14 decision, one batch at a time), the engine
+  * precomputes every `batch_id` and generates ALL batches in one
+  * distributed pass — the loop's trip count is known once the plan
+  * exists (SURVEY.md §3), so the conditional topology degenerates to
+  * a groupBy. The per-topic accumulation (O12 union) is inherent: the
+  * output Dataset holds every batch's questions.
+  *
+  * Reference caveats preserved or deliberately fixed:
+  *  - `maxBatchesPerTopic` (default 12) mirrors the LangGraph
+  *    `recursion_limit: 50` ceiling ≈ 12 batch iterations
+  *    (_base_syllabus_ai_graph_template.py:144; SURVEY.md §7.5) —
+  *    batches beyond the cap are dropped exactly as the reference's
+  *    recursion error would truncate them. Raise it for real runs.
+  *  - Subtopic-context lookup misses yield NO questions for the batch
+  *    (syllabus_ai_graph.py:199-201).
+  *  - The reference joins the whole batch to the FIRST row's subtopic
+  *    (:190-191, a documented bug when a batch straddles subtopics);
+  *    the engine batches within (topic, subtopic), so every question
+  *    gets its own subtopic's context and batch sizes stay ≤
+  *    batchSize. Deviation documented in SURVEY.md §2 O10.
+  */
+final class SyllabusPipeline(
+    model: QuestionModel,
+    subject: String,
+    academicClass: String,
+    batchSize: Int = 5,
+    perSubtopic: Int = 9,
+    maxBatchesPerTopic: Long = 12,
+    marker: String = "Core element") extends Serializable {
+  require(batchSize >= 1 && perSubtopic >= 1 && maxBatchesPerTopic >= 1)
+
+  /** O7 as a distributed flatMap: partition-local model calls, 1 topic
+    * ⇒ 0..n subtopics.
+    */
+  def extractSubtopics(topics: Dataset[SyllabusTopic]): Dataset[Subtopic] = {
+    val spark = topics.sparkSession
+    import spark.implicits._
+    val (m, subj, cls) = (model, subject, academicClass)
+    topics.mapPartitions(_.flatMap(t => m.extractSubtopics(t, subj, cls)))
+  }
+
+  /** O9+O10+O11+O12 in one pass: batch ids per topic, broadcast
+    * subtopic-context join, grouped generation.
+    */
+  def generate(plan: Dataset[PlannedQuestion], subtopics: Dataset[Subtopic]): Dataset[Question] = {
+    val spark = plan.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("topic")).orderBy(col("question_id"))
+    val planB = plan.toDF()
+      .withColumn("batch_id", floor((row_number().over(w) - 1) / batchSize))
+      .filter(col("batch_id") < maxBatchesPerTopic)
+    val ctxDf = subtopics.toDF().select(struct(col("*")).as("ctx_struct"))
+      .select(col("ctx_struct"), col("ctx_struct.subtopic_name").as("ctx_name"),
+        col("ctx_struct.topic_title").as("ctx_topic"))
+    // lookup keyed by (topic, subtopic) — the reference resolves the
+    // name within one topic's own subtopics (syllabus_ai_graph.py:190-201)
+    val joined = planB
+      .join(broadcast(ctxDf),
+        planB("subtopic") === ctxDf("ctx_name") && planB("topic") === ctxDf("ctx_topic"),
+        "left")
+      .select(col("question_id"), col("topic"), col("subtopic"), col("difficulty"),
+        col("concept_area"), col("status"), col("batch_id"), col("ctx_struct").as("ctx"))
+      .as[PlannedWithCtx]
+    val m = model
+    joined
+      .groupByKey(r => (r.topic, r.batch_id, r.subtopic))
+      .flatMapGroups { (_: (String, Long, String), it: Iterator[PlannedWithCtx]) =>
+        val rows = it.toSeq.sortBy(_.question_id)
+        rows.head.ctx match {
+          case None => Iterator.empty // O10 miss ⇒ empty (:199-201)
+          case ctx @ Some(_) =>
+            val batch = rows.map(r => PlannedQuestion(r.question_id, r.topic,
+              r.subtopic, r.difficulty, r.concept_area, "generating"))
+            m.generateQuestions(batch, ctx).iterator
+        }
+      }
+  }
+
+  /** Full run: docx path(s) → questions, optionally saved through a
+    * sink (O13/O18).
+    */
+  def run(spark: SparkSession, docxPath: String,
+      sink: Option[OutputManager] = None): Dataset[Question] = {
+    val topics = Topics.fromDocx(spark, docxPath, marker)
+    val subs = extractSubtopics(topics)
+    val plan = Planner.plan(subs, perSubtopic, idsPerTopic = true)
+    val questions = generate(plan, subs)
+    sink.foreach(_.save(questions))
+    questions
+  }
+}
+
+/** Row shape of the generation stage (top-level so the product
+  * encoder derives without an outer-instance capture).
+  */
+private[pipeline] final case class PlannedWithCtx(
+    question_id: String, topic: String, subtopic: String,
+    difficulty: String, concept_area: String, status: String,
+    batch_id: Long, ctx: Option[Subtopic])

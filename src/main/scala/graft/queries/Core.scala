@@ -115,7 +115,8 @@ object Core {
       .orderBy("doc_id")
 
   private val qCleanSql =
-    """SELECT doc_id, trim(trim(replace(text, 'spark', '')), ' -:') AS cleaned
+    """SELECT doc_id,
+      |  trim(regexp_replace(replace(text, 'spark', ''), '^\s+|\s+$', '', 'g'), ' -:') AS cleaned
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- Q-BATCH

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** M3 pipeline parity: planner invariants (SURVEY.md §5.2(4)) and the
+  * golden end-to-end run on the reference fixture with the
+  * deterministic stub (§5.2(2)).
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val fixture = "/root/reference/chemistry_form_1_2.docx"
+  private def pipeline = new SyllabusPipeline(
+    new StubQuestionModel, subject = "chemistry", academicClass = "Form 1-2")
+
+  private lazy val topics = Topics.fromDocx(spark, fixture).cache()
+  private lazy val subtopics = pipeline.extractSubtopics(topics).cache()
+  private lazy val plan = Planner.plan(subtopics, perSubtopic = 9, idsPerTopic = true).cache()
+
+  test("subtopic extraction: every topic yields ≥1 subtopic; names unique per topic") {
+    val perTopic = subtopics.groupBy("topic_title").count().collect()
+    assert(perTopic.length == 6) // distinct titles (dup topics yield same subtopic names)
+    assert(subtopics.count() ==
+      subtopics.select("topic_title", "subtopic_name").distinct().count())
+  }
+
+  test("plan invariants: ≥9 per subtopic, unique ids, balanced difficulties, concept areas set") {
+    val n = plan.count()
+    assert(n == subtopics.select("topic_title", "subtopic_name").distinct().count() * 9)
+    assert(plan.select("question_id").distinct().count() == n)
+    assert(Planner.difficultyBalance(plan).filter(col("imbalance") > 1).count() == 0)
+    assert(plan.filter(col("concept_area").isNull || col("concept_area") === "").count() == 0)
+    assert(plan.filter(col("status") =!= "planned").count() == 0)
+  }
+
+  test("generation: id/difficulty preserved, 4 choices with exactly 1 correct, batch cap honored") {
+    val qs = pipeline.generate(plan, subtopics).cache()
+    // recursion_limit parity: ≤ 12 batches × 5 per topic
+    val cappedPlan = plan.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("topic").orderBy("question_id")))
+      .filter(col("rn") <= 12 * 5)
+    assert(qs.count() == cappedPlan.count())
+    // ids preserved 1:1 against the capped plan
+    assert(qs.select("question_id").except(cappedPlan.select("question_id")).count() == 0)
+    val byId = qs.select("question_id", "difficulty")
+      .join(cappedPlan.select(col("question_id"), col("difficulty").as("planned_diff")), "question_id")
+    assert(byId.filter(col("difficulty") =!= col("planned_diff")).count() == 0)
+    assert(qs.filter(size(col("choices")) =!= 4).count() == 0)
+    assert(qs.filter(size(filter(col("choices"), c => c.getField("is_correct"))) =!= 1).count() == 0)
+    assert(qs.filter(size(col("solution.steps")) === 0 || col("hint") === "").count() == 0)
+    qs.unpersist()
+  }
+
+  test("generation is deterministic: two runs produce identical rows") {
+    val a = pipeline.generate(plan, subtopics).collect().sortBy(_.question_id)
+    val b = pipeline.generate(plan, subtopics).collect().sortBy(_.question_id)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("context miss ⇒ empty batch (reference O10 miss semantics)") {
+    val orphanPlan = Seq(PlannedQuestion("q-x-1", "T", "no-such-subtopic",
+      "easy", "c", "planned")).toDS()
+    assert(pipeline.generate(orphanPlan, subtopics).count() == 0)
+  }
+
+  test("E2E run + JSON sink: per-topic dirs, append accumulates, golden schema") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline_out").toString
+    val qs = pipeline.run(spark, fixture, Some(new JsonOutputManager(out)))
+    val n = qs.count()
+    assert(n > 0)
+    // duplicate topic titles merge into one partition dir (O13 parity)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 6 && dirs.forall(_.startsWith("topic_dir=")))
+    val back = spark.read.json(out)
+    assert(back.count() == n)
+    for (f <- Seq("question_id", "text", "topic", "sub_topic", "academic_class",
+        "examination_level", "difficulty", "tags", "choices", "solution", "hint", "metadata"))
+      assert(back.columns.contains(f), s"missing golden field $f")
+    // second save appends (the reference's read-concat-rewrite semantics)
+    new JsonOutputManager(out).save(qs)
+    assert(spark.read.json(out).count() == 2 * n)
+  }
+
+  test("sink rejects a file path (O16)") {
+    val f = java.nio.file.Files.createTempFile("graft_not_a_dir", ".json")
+    intercept[IllegalArgumentException](new JsonOutputManager(f.toString))
+  }
+}
