@@ -422,6 +422,44 @@ object Core {
       |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS mean_val
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q-PLAN
+  /** Declarative question-plan construction (reference O8,
+    * syllabus_ai_graph.py:92-144) through the real Planner operator:
+    * subtopics derived deterministically from `documents` (one per
+    * doc, 4 key concepts from the leading tokens), exploded ×9 with
+    * cycled difficulties, globally numbered ids.
+    */
+  private val qPlan: Q = (s, d) => {
+    import s.implicits._
+    val subs = Tables.documents(s, d).select(
+      concat(lit("doc-"), col("doc_id").cast("string")).as("subtopic_name"),
+      col("source").as("topic_title"),
+      lit("").as("academic_class"), lit("").as("subject"),
+      array().cast("array<string>").as("learning_objectives"),
+      slice(split(col("text"), " "), 1, 4).as("key_concepts"),
+      array().cast("array<string>").as("assessment_criteria"),
+      array().cast("array<string>").as("suggested_activities"))
+      .as[graft.pipeline.Subtopic]
+    graft.pipeline.Planner.plan(subs, perSubtopic = 9).toDF()
+      .orderBy("topic", "subtopic", "question_id")
+  }
+
+  private val qPlanSql =
+    """WITH sub AS (
+      |  SELECT source AS topic_title,
+      |         'doc-' || CAST(doc_id AS VARCHAR) AS subtopic_name,
+      |         string_split(text, ' ')[1:4] AS key_concepts
+      |  FROM documents),
+      |ex AS (
+      |  SELECT topic_title, subtopic_name, key_concepts, pos
+      |  FROM sub CROSS JOIN (SELECT unnest(range(9)) AS pos) p)
+      |SELECT 'q-' || CAST(row_number() OVER (ORDER BY topic_title, subtopic_name, pos) AS VARCHAR) AS question_id,
+      |       topic_title AS topic, subtopic_name AS subtopic,
+      |       ['easy','medium','hard'][(pos % 3) + 1] AS difficulty,
+      |       key_concepts[(pos % greatest(len(key_concepts), 1)) + 1] AS concept_area,
+      |       'planned' AS status
+      |FROM ex ORDER BY topic, subtopic, question_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_scan" -> qScan,
@@ -439,7 +477,8 @@ object Core {
     "q_str" -> qStr,
     "q_date" -> qDate,
     "q_json" -> qJson,
-    "q_nest" -> qNest)
+    "q_nest" -> qNest,
+    "q_plan" -> qPlan)
 
   val oracles: Map[String, String] = Map(
     "q_scan" -> qScanSql,
@@ -457,5 +496,6 @@ object Core {
     "q_str" -> qStrSql,
     "q_date" -> qDateSql,
     "q_json" -> qJsonSql,
-    "q_nest" -> qNestSql)
+    "q_nest" -> qNestSql,
+    "q_plan" -> qPlanSql)
 }
