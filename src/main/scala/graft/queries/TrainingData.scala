@@ -193,6 +193,27 @@ object TrainingData {
       |HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= m - INTERVAL '10 minutes'
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Stateful streaming segmentation (flatMapGroupsWithState twin of
+    * O4) run as a real streaming query; the oracle applies the same
+    * watermark cutoff then segments in SQL.
+    */
+  private val qStreamSeg: Q = (s, d) =>
+    graft.streaming.StreamingSegmentation.segmentFile(s, d)
+
+  private val qStreamSegSql =
+    """WITH cut AS (
+      |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS c
+      |  FROM events),
+      |ripe AS (
+      |  SELECT * FROM events
+      |  WHERE ts < (SELECT c + INTERVAL '1 millisecond' FROM cut))
+      |SELECT user_id, ts, event_id, event_type, value,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment
+      |FROM ripe QUALIFY segment >= 1
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
@@ -210,7 +231,8 @@ object TrainingData {
     "q_langid" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_multimodal" -> qMultimodal,
-    "q_stream_window" -> qStream)
+    "q_stream_window" -> qStream,
+    "q_stream_seg" -> qStreamSeg)
 
   /** Oracles only for the SQL-expressible subset; the rest get the
     * driver's rows-only check.
@@ -223,5 +245,6 @@ object TrainingData {
     "q_text_topterms" -> qTextTopTermsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_fingerprint" -> qFingerprintSql,
-    "q_stream_window" -> qStreamSql)
+    "q_stream_window" -> qStreamSql,
+    "q_stream_seg" -> qStreamSegSql)
 }
