@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSigExpr, ShinglesExpr, SimHash64Expr}
+
+/** Session extensions registering graft's native Catalyst expressions
+  * (SURVEY.md §4.2 preference order: native Expression over UDF).
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`.
+  *
+  * SQL surface: `graft_simhash64(text)`,
+  * `graft_minhash_sig(text, k, numHashes)` — also reachable through
+  * the typed helpers in [[graft.functions.HashExprs]].
+  */
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash64(text)")
+        SimHash64Expr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_minhash_sig(text, k, numHashes)")
+        MinHashSigExpr(children.head,
+          intLit(children(1), "k"), intLit(children(2), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_shingles(text, k)")
+        ShinglesExpr(children.head, intLit(children(1), "k"))
+      }))
+  }
+}

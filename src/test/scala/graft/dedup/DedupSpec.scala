@@ -73,6 +73,26 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native kernels are bit-identical to the relational formulations") {
+    val d = graft.Tables.documents(spark, sf).limit(200)
+    val k = Dedup.simhash(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val r = Dedup.simhashRelational(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(k == r)
+    val km = Dedup.minhashSignature(d, "doc_id", "text", shingleK = 5)
+      .as[(Long, Seq[Long])].collect().toMap
+    val rm = Dedup.minhashSignatureRelational(d, "doc_id", "text", shingleK = 5)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(km == rm)
+    val ks = d.select($"doc_id", graft.functions.HashExprs.shingles($"text", 5))
+      .as[(Long, Seq[String])].collect().toMap
+    val rs = d.select($"doc_id",
+      graft.functions.TextOps.shingles(graft.functions.TextOps.tokenize($"text"), 5))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(ks == rs)
+  }
+
   test("runs on the real corpus without error (all-unique => no exact dups)") {
     val d = graft.Tables.documents(spark, sf)
     assert(Dedup.exactGroups(d, "doc_id", "text")
