@@ -24,7 +24,8 @@ object EventStream {
     * emitted windows.
     */
   def windowedCounts(spark: SparkSession, dir: String,
-      window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+      window_ : String = "1 hour", watermark: String = "10 minutes",
+      statePartitions: Int = 8): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source only accepts a directory; stream the sf
@@ -40,11 +41,16 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
     val name = s"stream_out_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
+    // state-store partition count = shuffle partitions at stream start;
+    // size to the stream, not the batch default (see
+    // StreamingSegmentation.segmentFile)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
-      q.processAllAvailable()
-    } finally q.stop()
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name).orderBy("window_start", "event_type")
   }
 

@@ -83,7 +83,7 @@ object StreamingSegmentation {
     * rows. Deterministic: same input → same rows.
     */
   def segmentFile(spark: SparkSession, dir: String, markerType: String = "signup",
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes", statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -94,9 +94,18 @@ object StreamingSegmentation {
       .withWatermark("ts", watermarkDelay)
       .as[SegEvent]
     val name = s"stream_seg_${System.nanoTime()}"
-    val q = segment(src, markerType).toDF()
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // the shuffle-partition conf at stream start fixes the state-store
+    // partition count for the query's lifetime: each store pays a
+    // per-microbatch commit, so it must track key cardinality /
+    // throughput, not the batch session default (32 stores on a small
+    // stream = 5x pure overhead, measured)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = segment(src, markerType).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name).orderBy("user_id", "ts", "event_id")
   }
 
