@@ -100,6 +100,11 @@ object TrainingData {
       queryVec(s, d), k = 10, signBits = 8, probeHamming = 1)
       .withColumn("cosine", round(col("cosine"), 6))
 
+  private val qSimIvf: Q = (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVec(s, d), k = 10, nCentroids = 16, nProbe = 4, iters = 2)
+      .withColumn("cosine", round(col("cosine"), 6))
+
   // ------------------------------------------------------ text analysis
   private val qTextTokens: Q = (s, d) =>
     Tables.documents(s, d)
@@ -225,6 +230,7 @@ object TrainingData {
     "q_embed_neardup" -> qEmbedNear,
     "q_sim_brute" -> qSimBrute,
     "q_sim_bucketed" -> qSimBucketed,
+    "q_sim_ivf" -> qSimIvf,
     "q_text_tokens" -> qTextTokens,
     "q_text_topterms" -> qTextTopTerms,
     "q_text_quality" -> qTextQuality,

@@ -55,6 +55,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale
+    * path: k-means-partition the corpus into `nCentroids` cells, then
+    * scan only the `nProbe` cells nearest the query.
+    *
+    * Fully deterministic: initial centroids are a hash-ordered sample
+    * (no rand()), Lloyd refinement is a fixed `iters` rounds, ties
+    * break by index. Only the tiny centroid table ever reaches the
+    * driver (nCentroids × dim); assignment is a broadcast argmin over
+    * the corpus and the per-cell mean is a posexplode + avg — both
+    * shuffle-light and size-independent of the corpus.
+    *
+    * At real scale the cell assignment would be computed once and the
+    * corpus written partitioned by cell (partition pruning turns
+    * nProbe into a scan-time cut, same trick as [[bucketedTopK]]'s
+    * bucket files).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    require(nCentroids >= 1 && nProbe >= 1 && iters >= 0)
+    val spark = emb.sparkSession
+
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def nearest(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      val arr = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+      var c = 0
+      while (c < cs.length) {
+        val d = l2sq(cs(c), arr)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // deterministic init: hash-ordered corpus sample
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    for (_ <- 0 until iters) {
+      val cs = centroids
+      val assignU = udf(nearest(cs) _)
+      val means = emb
+        .select(assignU(col(vecCol)).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dims"))
+        .select(col("cell"), col("dims.m").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray // empty cell keeps its centroid
+    }
+
+    val probes: Seq[Int] = {
+      val qa = query.map(_.toDouble).toArray
+      centroids.zipWithIndex
+        .sortBy { case (c, i) => (l2sq(c, qa), i) }
+        .take(nProbe).map(_._2).toSeq
+    }
+    val assignU = udf(nearest(centroids) _)
+    val q = typedlit(query)
+    emb.select(col(idCol), col(vecCol), assignU(col(vecCol)).as("cell"))
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), VectorOps.cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs exact cosine for a (small, broadcastable) query set
     * against the corpus: query rows are broadcast, corpus streams.
     */

@@ -35,6 +35,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
   }
 
+  test("ivf top-k: deterministic, finds the query itself, decent recall vs brute force") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nCentroids = 16, nProbe = 4, iters = 2)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(ivf.head._1 == 0L && math.abs(ivf.head._2 - 1.0) < 1e-9)
+    assert(ivf.map(_._2).toSeq == ivf.map(_._2).toSeq.sorted.reverse)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = ivf.map(_._1).count(brute.contains)
+    assert(recall >= 4, s"ivf recall@10 too low: $recall")
+    // determinism: a second run returns identical rows
+    val again = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nCentroids = 16, nProbe = 4, iters = 2)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(ivf.toSeq == again.toSeq)
+  }
+
   test("batch top-k produces k rows per query with correct ranking") {
     val emb = graft.Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id".isin(0L, 1L, 2L))
