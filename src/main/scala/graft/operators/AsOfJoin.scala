@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the time-series operator Spark has no native
+  * plan for (SURVEY.md §2 "custom operators" mandate): each left row
+  * picks the latest right row with `r.ts <= l.ts` within the same key.
+  *
+  * Implementation is the scalable union-window formulation, NOT a
+  * range join: tag right rows 0 and left rows 1, union, and run
+  * `last(payload) ignore nulls` over
+  * `(partition by key order by ts, tag rows unbounded preceding)` —
+  * at equal timestamps the right row sorts first, so `>=` matches.
+  * One hash shuffle + per-key sort total, the same cost as a window
+  * aggregate; never a per-row backward scan or an O(|L|·|R|)
+  * range-condition nested loop. Parallelism = number of keys.
+  *
+  * DuckDB's `ASOF LEFT JOIN` is the oracle twin (q_asof): identical
+  * semantics when right-side (key, ts) are unique — callers should
+  * dedup the right side first, since "latest among ties" is otherwise
+  * engine-defined.
+  */
+object AsOfJoin {
+
+  /** Left rows enriched with `asof_ts` (the matched right timestamp)
+    * and `asof_<p>` for each right payload column `p`; all null when
+    * no earlier right row exists (left-join semantics).
+    *
+    * @param left      probe side; all its columns survive unchanged
+    * @param right     build side; only key, ts, payload are read
+    * @param key       equi-join key column name (same name both sides)
+    * @param ts        event-time column name (same name both sides)
+    * @param payload   right columns to carry over
+    * @param tolerance optional max age `l.ts - r.ts` (e.g.
+    *                  `expr("INTERVAL 1 HOUR")`); older matches null out
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], tolerance: Option[Column] = None): DataFrame = {
+    val side = "_asof_side"
+    val outCols = "asof_ts" +: payload.map(p => s"asof_$p")
+    require(!left.columns.exists(outCols.contains),
+      s"left already has ${outCols.mkString("/")} columns")
+
+    val l = left.withColumn(side, lit(1))
+    val r = right.select(
+      col(key) +: col(ts).as("asof_ts") +:
+        payload.map(p => col(p).as(s"asof_$p")): _*)
+      .withColumn(ts, col("asof_ts"))
+      .withColumn(side, lit(0))
+    // unionByName fills the columns each side lacks with nulls
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = outCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val pruned = matched.filter(col(side) === 1)
+    val bounded = tolerance match {
+      case None => pruned
+      case Some(tol) =>
+        val ok = col("asof_ts").isNotNull && col("asof_ts") >= col(ts) - tol
+        outCols.foldLeft(pruned)((df, c) => df.withColumn(c, when(ok, col(c))))
+    }
+    bounded.select((left.columns.map(col) ++ outCols.map(col)): _*)
+  }
+}

@@ -460,6 +460,32 @@ object Core {
       |       'planned' AS status
       |FROM ex ORDER BY topic, subtopic, question_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q-ASOF
+  /** Backward as-of join (graft.operators.AsOfJoin): every non-signup
+    * event picks its user's latest signup at or before it. Oracle is
+    * DuckDB's native ASOF LEFT JOIN — right side deduped per (user,
+    * ts) so "latest among ties" is well-defined in both engines.
+    */
+  private val qAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val lft = ev.filter(col("event_type") =!= "signup")
+      .select("event_id", "user_id", "ts")
+    val rgt = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts").agg(max("event_id").as("signup_id"))
+    graft.operators.AsOfJoin.backward(lft, rgt, "user_id", "ts", Seq("signup_id"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofSql =
+    """WITH r AS (
+      |  SELECT user_id, ts, max(event_id) AS signup_id FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id, ts),
+      |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup')
+      |SELECT l.event_id, l.user_id, l.ts,
+      |       r.ts AS asof_ts, r.signup_id AS asof_signup_id
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_scan" -> qScan,
@@ -478,7 +504,8 @@ object Core {
     "q_date" -> qDate,
     "q_json" -> qJson,
     "q_nest" -> qNest,
-    "q_plan" -> qPlan)
+    "q_plan" -> qPlan,
+    "q_asof" -> qAsof)
 
   val oracles: Map[String, String] = Map(
     "q_scan" -> qScanSql,
@@ -497,5 +524,6 @@ object Core {
     "q_date" -> qDateSql,
     "q_json" -> qJsonSql,
     "q_nest" -> qNestSql,
-    "q_plan" -> qPlanSql)
+    "q_plan" -> qPlanSql,
+    "q_asof" -> qAsofSql)
 }
