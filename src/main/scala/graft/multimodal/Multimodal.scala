@@ -73,4 +73,45 @@ object Multimodal {
       }
     }
   }
+
+  case class ResizedMedia(doc_id: Long, kind: String, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Resize-to-fit stub: computes the real target geometry (aspect-
+    * preserving fit into maxSide) and re-encodes the payload with the
+    * fake codec (truncate-to-proportional-size stands in for actual
+    * pixel resampling). The Spark mechanics — binary in/binary out,
+    * partition-batched, narrow — are the production shape.
+    */
+  def resize(spark: SparkSession, media: DataFrame, maxSide: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val (w, h, _) = FakeCodec.decode(r.kind, r.payload)
+      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+      val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+      val nBytes = math.max(1, (r.payload.length * scale * scale).toInt)
+      ResizedMedia(r.doc_id, r.kind, nw, nh, r.payload.take(nBytes))
+    })
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Frame sampling for video rows: every `stride`-th frame index up
+    * to the decoded frame count, 1 output row per sampled frame
+    * (flatMap shape — the row explosion happens BEFORE any shuffle,
+    * so downstream per-frame ops parallelize by frame).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(stride >= 1)
+    media.as[MediaRow].filter((r: MediaRow) => r.kind == "video")
+      .mapPartitions(_.flatMap { r =>
+        val (_, _, frames) = FakeCodec.decode(r.kind, r.payload)
+        (0 until frames by stride).map { i =>
+          // stub frame payload: deterministic slice keyed by frame idx
+          val off = if (r.payload.isEmpty) 0 else math.floorMod(i * 31, r.payload.length)
+          Frame(r.doc_id, i, r.payload.drop(off).take(64))
+        }
+      })
+  }
 }

@@ -185,6 +185,24 @@ object TrainingData {
       .withColumn("n_frames", col("n_frames").cast("long"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------- approx aggregates
+  /** Sketch aggregates — the only sane cardinality/quantile path at
+    * 100 TB (exact distinct shuffles every key; HLL/KLL ship constant-
+    * size state through partial aggregation). Deterministic for fixed
+    * input; no portable SQL oracle (sketch internals differ per
+    * engine), so rows-only checked + bounds-tested in ApproxSpec.
+    */
+  private val qApprox: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // --------------------------------------------------------- streaming
   private val qStream: Q = (s, d) => EventStream.windowedCounts(s, d)
 
@@ -237,6 +255,7 @@ object TrainingData {
     "q_langid" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_multimodal" -> qMultimodal,
+    "q_approx" -> qApprox,
     "q_stream_window" -> qStream,
     "q_stream_seg" -> qStreamSeg)
 

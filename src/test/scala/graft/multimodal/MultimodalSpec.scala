@@ -22,6 +22,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(again == rows.map(r => (r.doc_id, r.width, r.height, r.n_frames)).toSet)
   }
 
+  test("resize fits within maxSide preserving aspect; never upscales") {
+    val media = Multimodal.asMedia(graft.Tables.documents(spark, sf))
+    val orig = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.doc_id -> (r.width, r.height)).toMap
+    val resized = Multimodal.resize(spark, media, maxSide = 128).collect()
+    resized.foreach { r =>
+      val (w0, h0) = orig(r.doc_id)
+      assert(r.width <= 128 && r.height <= 128 && r.width >= 1 && r.height >= 1)
+      assert(r.width <= w0 && r.height <= h0)
+      // aspect preserved within integer rounding
+      if (w0 >= h0) assert(r.width >= r.height - 1) else assert(r.height >= r.width - 1)
+      assert(r.payload.nonEmpty)
+    }
+  }
+
+  test("frame sampling emits every stride-th frame of video rows only") {
+    val media = Multimodal.asMedia(graft.Tables.documents(spark, sf))
+    val frames = Multimodal.sampleFrames(spark, media, stride = 10).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 10 == 0))
+    val videoIds = Multimodal.extractFeatures(spark, media).collect()
+      .filter(_.kind == "video").map(_.doc_id).toSet
+    assert(frames.map(_.doc_id).toSet == videoIds)
+    val expectedCounts = Multimodal.extractFeatures(spark, media).collect()
+      .filter(_.kind == "video")
+      .map(r => r.doc_id -> ((r.n_frames + 9) / 10).toLong).toMap
+    val gotCounts = frames.groupBy(_.doc_id).view.mapValues(_.length.toLong).toMap
+    assert(gotCounts == expectedCounts)
+  }
+
   test("fake codec varies frames by kind") {
     val payload = "hello world".getBytes("UTF-8")
     val (w1, h1, f1) = Multimodal.FakeCodec.decode("image", payload)

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Source/sink breadth: the engine round-trips its tables through
+  * every format a training-data pipeline meets (parquet is the
+  * default path everywhere else; CSV and JSON are the interchange
+  * formats). Schema fidelity + row equality asserted.
+  */
+class RoundTripSpec extends SparkTestBase {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("csv round-trip preserves rows (header + explicit schema read-back)") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars") // text has newlines; csv needs quoting
+    val dir = tmp("graft_csv")
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(docs.schema).csv(dir)
+    assert(back.count() == docs.count())
+    assert(back.except(docs).count() == 0 && docs.except(back).count() == 0)
+  }
+
+  test("json round-trip preserves rows incl. nested arrays") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>")) // json has no float32
+    val dir = tmp("graft_json")
+    emb.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(emb.schema).json(dir)
+    assert(back.count() == emb.count())
+    assert(back.except(emb).count() == 0 && emb.except(back).count() == 0)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val docs = graft.Tables.documents(spark, sf)
+    val dir = tmp("graft_part")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scanned = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter not pushed:\n$scanned")
+    assert(one.count() == docs.filter(col("lang") === "en").count())
+  }
+}
