@@ -251,6 +251,48 @@ object Core {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- Q-CUBE2
+  /** Full CUBE grouping sets (completes Q-CUBE's rollup). */
+  private val qCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val qCubeSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |       count(*) AS n_rows,
+       |       ${DSUM.format("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- Q-PIVOT
+  /** Pivot = conditional aggregation over a known key domain. The
+    * DataFrame API's pivot() with explicit values compiles to exactly
+    * the CASE-WHEN aggregate the oracle states — no extra pass to
+    * discover the domain (which at 100 TB would be a full scan).
+    */
+  private val qPivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .na.fill(0.0)
+      .orderBy("o_orderpriority")
+
+  private val qPivotSql =
+    s"""SELECT o_orderpriority,
+       |  coalesce(${DSUM.format("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}, 0.0) AS "F",
+       |  coalesce(${DSUM.format("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}, 0.0) AS "O",
+       |  coalesce(${DSUM.format("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}, 0.0) AS "P"
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------------- Q-WIN
   /** Ranking + analytic + sliding frame (reference O4/O9 window
     * foundations). Window orders by (o_orderdate, o_orderkey) — the
@@ -280,6 +322,47 @@ object Core {
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q-WIN2
+  /** Window battery #2: dense_rank, ntile, first/last_value with
+    * explicit frames, and a RANGE interval frame (30-day trailing sum)
+    * — the analytic surface beyond Q-WIN's basics.
+    */
+  private val qWin2: Q = (s, d) => {
+    val byDateKey = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val range30d = Window.partitionBy(col("o_custkey"))
+      // NTZ has no direct long cast; via TIMESTAMP = epoch seconds
+      // under the UTC session, matching DuckDB's epoch()
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      dense_rank().over(byDate).cast("long").as("drnk"),
+      ntile(4).over(byDateKey).cast("long").as("quartile"),
+      first(col("o_totalprice")).over(
+        byDateKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_price"),
+      last(col("o_totalprice")).over(
+        byDateKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("latest_price"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).over(range30d)
+        .cast("double").as("trailing_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qWin2Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(dense_rank() OVER w_date AS BIGINT) AS drnk,
+      |  CAST(ntile(4) OVER w_key AS BIGINT) AS quartile,
+      |  first_value(o_totalprice) OVER (w_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      |  last_value(o_totalprice) OVER (w_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+      |FROM orders
+      |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+      |       w_key AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- Q-TOPK
   /** Top-10 customers by revenue, tie-broken by key (reference O9/O15
@@ -351,6 +434,56 @@ object Core {
       |  CAST(length(text) AS BIGINT) AS n_chars_text,
       |  concat_ws('|', source, lang) AS src_lang
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q-STR2
+  /** Scalar string battery #2: edit distance (the classic fuzzy-match
+    * primitive), padding, char translation, reverse, repeat.
+    */
+  private val qStr2: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      levenshtein(substring(col("text"), 1, 12), lit("spark engine")).cast("long").as("edit_dist"),
+      lpad(col("lang"), 5, "_").as("lang_pad"),
+      rpad(col("source"), 10, ".").as("src_pad"),
+      translate(substring(col("text"), 1, 20), "aeiou", "AEIOU").as("translated"),
+      reverse(substring(col("text"), 1, 10)).as("rev"),
+      concat(lit(""), expr("repeat(lang, 2)")).as("lang2"))
+      .orderBy("doc_id")
+
+  private val qStr2Sql =
+    """SELECT doc_id,
+      |  CAST(levenshtein(substring(text, 1, 12), 'spark engine') AS BIGINT) AS edit_dist,
+      |  lpad(lang, 5, '_') AS lang_pad,
+      |  rpad(source, 10, '.') AS src_pad,
+      |  translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS translated,
+      |  reverse(substring(text, 1, 10)) AS rev,
+      |  repeat(lang, 2) AS lang2
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- Q-MAP
+  /** Map-type surface (the reference's one Dict field,
+    * data_types.py:38): construction, extraction, cardinality,
+    * key/value listing. Only scalar/array derivatives are emitted —
+    * raw MAP columns don't compare portably across engines.
+    */
+  private val qMap: Q = (s, d) => {
+    val m = map(lit("status"), col("o_orderstatus"), lit("priority"), col("o_orderpriority"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      element_at(m, "status").as("status_val"),
+      size(m).cast("long").as("n_entries"),
+      sort_array(map_keys(m)).as("keys_sorted"),
+      sort_array(map_values(m)).as("vals_sorted"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qMapSql =
+    """SELECT o_orderkey,
+      |  MAP(['status','priority'], [o_orderstatus, o_orderpriority])['status'][1] AS status_val,
+      |  CAST(cardinality(MAP(['status','priority'], [o_orderstatus, o_orderpriority])) AS BIGINT) AS n_entries,
+      |  list_sort(map_keys(MAP(['status','priority'], [o_orderstatus, o_orderpriority]))) AS keys_sorted,
+      |  list_sort(map_values(MAP(['status','priority'], [o_orderstatus, o_orderpriority]))) AS vals_sorted
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- Q-DATE
   /** Date battery + month grouping (engine-surface completion; the
@@ -505,7 +638,12 @@ object Core {
     "q_json" -> qJson,
     "q_nest" -> qNest,
     "q_plan" -> qPlan,
-    "q_asof" -> qAsof)
+    "q_asof" -> qAsof,
+    "q_cube" -> qCube,
+    "q_pivot" -> qPivot,
+    "q_window2" -> qWin2,
+    "q_str2" -> qStr2,
+    "q_map" -> qMap)
 
   val oracles: Map[String, String] = Map(
     "q_scan" -> qScanSql,
@@ -525,5 +663,10 @@ object Core {
     "q_json" -> qJsonSql,
     "q_nest" -> qNestSql,
     "q_plan" -> qPlanSql,
-    "q_asof" -> qAsofSql)
+    "q_asof" -> qAsofSql,
+    "q_cube" -> qCubeSql,
+    "q_pivot" -> qPivotSql,
+    "q_window2" -> qWin2Sql,
+    "q_str2" -> qStr2Sql,
+    "q_map" -> qMapSql)
 }
