@@ -75,7 +75,9 @@ object Similarity {
       query: Seq[Float], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       iters: Int = 2): DataFrame = {
     require(nCentroids >= 1 && nProbe >= 1 && iters >= 0)
-    val spark = emb.sparkSession
+    // the refinement loop + final scan make iters+2 passes over the
+    // corpus — cache the two columns we touch for the duration
+    val work = emb.select(col(idCol), col(vecCol)).cache()
 
     def l2sq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -97,23 +99,24 @@ object Similarity {
     }
 
     // deterministic init: hash-ordered corpus sample
-    var centroids: Array[Array[Double]] = emb
+    var centroids: Array[Array[Double]] = work
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    for (_ <- 0 until iters) {
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until iters if dim > 0) {
       val cs = centroids
       val assignU = udf(nearest(cs) _)
-      val means = emb
-        .select(assignU(col(vecCol)).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dims"))
-        .select(col("cell"), col("dims.m").as("centroid"))
+      // per-cell mean as `dim` avg aggregates over element_at — no
+      // row explosion (a posexplode here is corpus×dim rows through a
+      // shuffle; this is one partial-agg row of dim doubles per cell)
+      val means = work
+        .groupBy(assignU(col(vecCol)).as("cell"))
+        .agg(avg(element_at(col(vecCol), 1)).as("m0"),
+          (1 until dim).map(i => avg(element_at(col(vecCol), i + 1)).as(s"m$i")): _*)
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)).toArray).toMap
       centroids = centroids.indices
         .map(i => means.getOrElse(i, centroids(i))).toArray // empty cell keeps its centroid
     }
@@ -126,11 +129,14 @@ object Similarity {
     }
     val assignU = udf(nearest(centroids) _)
     val q = typedlit(query)
-    emb.select(col(idCol), col(vecCol), assignU(col(vecCol)).as("cell"))
+    val result = work.select(col(idCol), col(vecCol), assignU(col(vecCol)).as("cell"))
       .filter(col("cell").isin(probes: _*))
       .select(col(idCol), VectorOps.cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+      .localCheckpoint() // materialize before dropping the cache
+    work.unpersist()
+    result
   }
 
   /** All-pairs exact cosine for a (small, broadcastable) query set
