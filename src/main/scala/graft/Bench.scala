@@ -21,10 +21,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: one tiny end-to-end query (scan+filter+agg) untimed
-    try SparkEntry.queries("q_scan")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // warmup: run EVERY query once untimed at the SMALLEST sf (codegen
+    // compilation + JIT + parquet footer caches are per-plan costs,
+    // not per-row), then time the real pass at the target sf — the
+    // reported numbers are steady-state query execution
+    val warmDir = "/root/testdata/sf0.001"
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir).count()
+      catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

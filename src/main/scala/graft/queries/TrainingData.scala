@@ -237,6 +237,12 @@ object TrainingData {
       |FROM ripe QUALIFY segment >= 1
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  private val qStreamDedup: Q = (s, d) => EventStream.dedupStream(s, d)
+
+  private val qStreamDedupSql =
+    """SELECT DISTINCT event_id, ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
@@ -257,7 +263,8 @@ object TrainingData {
     "q_multimodal" -> qMultimodal,
     "q_approx" -> qApprox,
     "q_stream_window" -> qStream,
-    "q_stream_seg" -> qStreamSeg)
+    "q_stream_seg" -> qStreamSeg,
+    "q_stream_dedup" -> qStreamDedup)
 
   /** Oracles only for the SQL-expressible subset; the rest get the
     * driver's rows-only check.
@@ -271,5 +278,6 @@ object TrainingData {
     "q_text_quality" -> qTextQualitySql,
     "q_fingerprint" -> qFingerprintSql,
     "q_stream_window" -> qStreamSql,
-    "q_stream_seg" -> qStreamSegSql)
+    "q_stream_seg" -> qStreamSegSql,
+    "q_stream_dedup" -> qStreamDedupSql)
 }

@@ -54,6 +54,37 @@ object EventStream {
     spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** Streaming exact dedup: each event duplicated in-stream (explode
+    * ×2 — planted duplicates, the corpus itself is unique), then
+    * `dropDuplicates(event_id)` with the watermark bounding state:
+    * key state for ids older than the watermark is evicted, which is
+    * what makes streaming dedup viable on an unbounded stream. Append
+    * mode emits the first sighting immediately, so the result is
+    * exactly the distinct input (q_stream_dedup's oracle is a plain
+    * batch DISTINCT).
+    */
+  def dedupStream(spark: SparkSession, dir: String,
+      watermark: String = "10 minutes", statePartitions: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("_dup", explode(array(lit(1), lit(2)))).drop("_dup")
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = src.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy("event_id")
+  }
+
   /** Batch twin of [[windowedCounts]] including the append-mode
     * watermark cutoff — used by tests to prove stream/batch
     * equivalence, and mirrored by the DuckDB oracle.

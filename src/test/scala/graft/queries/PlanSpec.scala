@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+
+/** Physical-plan regression guards: the scale properties each query
+  * depends on must survive refactors — a silently regressed plan
+  * (lost pushdown, a dropped broadcast, a global sort where a top-k
+  * heap should be) is a 100TB incident that a row-equality test will
+  * never catch.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  private def leafScans(q: String): Seq[String] =
+    graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      .collectLeaves().map(_.toString)
+
+  test("q_scan pushes the sargable filter into the parquet scan") {
+    val scan = leafScans("q_scan").head
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), IsNotNull(text), EqualTo(lang,en)]"),
+      scan.take(500))
+  }
+
+  test("q_join_broadcast broadcasts every dimension") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_topk plans as a top-k heap, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q_agg aggregates partially before the shuffle") {
+    val p = plan("q_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(800))
+  }
+
+  test("dedup signatures stay in whole-stage codegen with no shuffle before the signature") {
+    val df: DataFrame = graft.dedup.Dedup.simhash(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(500)) // pure row pipeline
+    assert(p.contains("*(1)"), p.take(500)) // the whole-stage-codegen marker
+  }
+
+  test("q_join_semi/anti plan as semi/anti hash joins") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+}
