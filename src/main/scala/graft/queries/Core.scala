@@ -509,6 +509,77 @@ object Core {
        |       CAST(max(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS BIGINT) AS max_days_since
        |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin
 
+  // --------------------------------------------------------------- Q-DATE2
+  /** Date battery #2: month arithmetic (end-of-month clamping),
+    * last_day, day-of-week (normalized to DuckDB's Sunday=0),
+    * quarter, formatting, date construction.
+    */
+  private val qDate2: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      add_months(col("o_orderdate"), 1).cast("timestamp").as("next_month"),
+      last_day(col("o_orderdate")).cast("timestamp").as("eom"),
+      (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+        .cast("timestamp").as("month_floor"))
+      .orderBy("o_orderkey")
+
+  private val qDate2Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_add(o_orderdate, INTERVAL 1 MONTH) AS TIMESTAMP) AS next_month,
+      |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom,
+      |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  CAST(make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS TIMESTAMP) AS month_floor
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q-NULL
+  /** Null-handling battery: nullif / coalesce / null-safe equality /
+    * greatest-least null skipping.
+    */
+  private val qNull: Q = (s, d) => {
+    val seg = nullif(col("c_mktsegment"), lit("BUILDING"))
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      seg.as("seg_or_null"),
+      coalesce(seg, lit("suppressed")).as("seg_filled"),
+      (seg <=> lit(null)).as("is_suppressed"),
+      greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+      least(nullif(col("c_acctbal"), col("c_acctbal")), col("c_acctbal")).as("least_skips_null"))
+      .orderBy("c_custkey")
+  }
+
+  private val qNullSql =
+    """SELECT c_custkey,
+      |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_filled,
+      |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS is_suppressed,
+      |  greatest(c_acctbal, 0.0) AS bal_floor,
+      |  least(nullif(c_acctbal, c_acctbal), c_acctbal) AS least_skips_null
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- Q-REGEX
+  /** Regex battery: extraction (empty string on no match in both
+    * engines), boolean match, occurrence count.
+    */
+  private val qRegex: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_extract(col("text"), "([a-z]{7,})", 1).as("long_word"),
+      col("text").rlike("data|spark").as("mentions_tech"),
+      regexp_count(col("text"), lit("[aeiou]{2}")).cast("long").as("n_vowel_pairs"))
+      .orderBy("doc_id")
+
+  private val qRegexSql =
+    """SELECT doc_id,
+      |  regexp_extract(text, '([a-z]{7,})', 1) AS long_word,
+      |  regexp_matches(text, 'data|spark') AS mentions_tech,
+      |  CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_vowel_pairs
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- Q-JSON
   /** Schema-on-read JSON extraction, null on corrupt input (the
     * reference's Pydantic parse-or-empty, syllabus_ai_graph.py:78,88-90).
@@ -619,6 +690,35 @@ object Core {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ----------------------------------------------------------- Q-DOCX/PIPE
+  /** docx source census over the reference fixture (rows-only check —
+    * DuckDB cannot read docx; golden-tested in DocxSourceSpec).
+    */
+  private val fixtureDocx = "/root/reference/chemistry_form_1_2.docx"
+
+  private val qDocx: Q = (s, _) =>
+    s.read.format("docx").load(fixtureDocx)
+      .groupBy(col("doc_id"), col("element_type"))
+      .agg(count(lit(1)).as("n_elements"),
+        sum(when(col("text").contains("Core element"), 1).otherwise(0)).as("n_markers"))
+      .orderBy("doc_id", "element_type")
+
+  /** Full reference-pipeline E2E with the deterministic stub:
+    * per-topic question/subtopic counts (rows-only; content invariants
+    * in PipelineSpec).
+    */
+  private val qPipeline: Q = (s, _) => {
+    val p = new graft.pipeline.SyllabusPipeline(
+      new graft.pipeline.StubQuestionModel, subject = "chemistry",
+      academicClass = "Form 1-2")
+    p.run(s, fixtureDocx).toDF()
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_questions"),
+        countDistinct(col("sub_topic")).as("n_subtopics"),
+        countDistinct(col("difficulty")).as("n_difficulties"))
+      .orderBy("topic")
+  }
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_scan" -> qScan,
@@ -643,7 +743,12 @@ object Core {
     "q_pivot" -> qPivot,
     "q_window2" -> qWin2,
     "q_str2" -> qStr2,
-    "q_map" -> qMap)
+    "q_map" -> qMap,
+    "q_date2" -> qDate2,
+    "q_null" -> qNull,
+    "q_regex" -> qRegex,
+    "q_docx" -> qDocx,
+    "q_pipeline" -> qPipeline)
 
   val oracles: Map[String, String] = Map(
     "q_scan" -> qScanSql,
@@ -668,5 +773,8 @@ object Core {
     "q_pivot" -> qPivotSql,
     "q_window2" -> qWin2Sql,
     "q_str2" -> qStr2Sql,
-    "q_map" -> qMapSql)
+    "q_map" -> qMapSql,
+    "q_date2" -> qDate2Sql,
+    "q_null" -> qNullSql,
+    "q_regex" -> qRegexSql)
 }
