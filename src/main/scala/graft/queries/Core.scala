@@ -690,6 +690,32 @@ object Core {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ----------------------------------------------------------------- Q-SQL
+  /** The SQL entry point: one TPC-H-Q3-shaped query written ONCE in a
+    * dialect both engines parse, run through spark.sql over temp
+    * views — the oracle is the very same string. Exercises the parser/
+    * analyzer path the DataFrame queries bypass.
+    */
+  private val qSqlText =
+    s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+       |       ${REVSUM.format("l_extendedprice", "l_discount")} AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  private val qSql: Q = (s, d) => {
+    Seq("lineitem", "orders", "customer").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    s.sql(qSqlText)
+  }
+
   // ----------------------------------------------------------- Q-DOCX/PIPE
   /** docx source census over the reference fixture (rows-only check —
     * DuckDB cannot read docx; golden-tested in DocxSourceSpec).
@@ -748,7 +774,8 @@ object Core {
     "q_null" -> qNull,
     "q_regex" -> qRegex,
     "q_docx" -> qDocx,
-    "q_pipeline" -> qPipeline)
+    "q_pipeline" -> qPipeline,
+    "q_sql" -> qSql)
 
   val oracles: Map[String, String] = Map(
     "q_scan" -> qScanSql,
@@ -776,5 +803,6 @@ object Core {
     "q_map" -> qMapSql,
     "q_date2" -> qDate2Sql,
     "q_null" -> qNullSql,
-    "q_regex" -> qRegexSql)
+    "q_regex" -> qRegexSql,
+    "q_sql" -> qSqlText)
 }

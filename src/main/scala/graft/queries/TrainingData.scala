@@ -239,6 +239,17 @@ object TrainingData {
 
   private val qStreamDedup: Q = (s, d) => EventStream.dedupStream(s, d)
 
+  private val qStreamJoin: Q = (s, d) => EventStream.enrichedStream(s, d)
+
+  private val qStreamJoinSql =
+    """SELECT c_mktsegment, event_type, count(*) AS n_events
+      |FROM (SELECT event_type,
+      |        (user_id % (SELECT count(*) FROM customer)) + 1 AS c_custkey
+      |      FROM events) e
+      |JOIN customer USING (c_custkey)
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   private val qStreamDedupSql =
     """SELECT DISTINCT event_id, ts, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
@@ -264,7 +275,8 @@ object TrainingData {
     "q_approx" -> qApprox,
     "q_stream_window" -> qStream,
     "q_stream_seg" -> qStreamSeg,
-    "q_stream_dedup" -> qStreamDedup)
+    "q_stream_dedup" -> qStreamDedup,
+    "q_stream_join" -> qStreamJoin)
 
   /** Oracles only for the SQL-expressible subset; the rest get the
     * driver's rows-only check.
@@ -279,5 +291,6 @@ object TrainingData {
     "q_fingerprint" -> qFingerprintSql,
     "q_stream_window" -> qStreamSql,
     "q_stream_seg" -> qStreamSegSql,
-    "q_stream_dedup" -> qStreamDedupSql)
+    "q_stream_dedup" -> qStreamDedupSql,
+    "q_stream_join" -> qStreamJoinSql)
 }

@@ -85,6 +85,41 @@ object EventStream {
     spark.table(name).orderBy("event_id")
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customer) — the stateless streaming join Spark plans
+    * as a per-microbatch broadcast, no state store at all. Key is a
+    * modulo mapping of user_id into the customer key domain (the
+    * synthetic tables share no natural key); the oracle states the
+    * same join in SQL.
+    */
+  def enrichedStream(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val nCust = customers.count()
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("c_custkey", pmod(col("user_id"), lit(nCust)) + 1)
+      .join(broadcast(customers), "c_custkey")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"stream_join_${System.nanoTime()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      // complete mode: the stream-static join itself is stateless; the
+      // grouped count is the only stateful op and the domain is tiny
+      val q = src.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy("c_mktsegment", "event_type")
+  }
+
   /** Batch twin of [[windowedCounts]] including the append-mode
     * watermark cutoff — used by tests to prove stream/batch
     * equivalence, and mirrored by the DuckDB oracle.
