@@ -690,6 +690,80 @@ object Core {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // --------------------------------------------------------------- Q-RANGE
+  /** Time-range join via the binned equi-join
+    * (graft.operators.RangeJoin — hash join on bucket keys, never a
+    * nested loop): orders within ±12h of each event, aggregated to a
+    * bounded per-event-type summary. The oracle states the raw
+    * inequality join (fine at oracle scale).
+    */
+  private val qRange: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts"))
+    val others = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("event_id").as("other_id"),
+        col("ts").as("other_ts"), col("event_type"))
+    graft.operators.RangeJoin.bucketedRangeJoin(signups, others, "ts", "other_ts",
+      beforeSec = 3600, afterSec = 3600, keyCols = Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("signup_id")).as("n_signups_matched"),
+        countDistinct(col("other_id")).as("n_others_matched"))
+      .orderBy("event_type")
+  }
+
+  private val qRangeSql =
+    """WITH s AS (SELECT user_id, event_id AS signup_id, ts FROM events
+      |           WHERE event_type = 'signup'),
+      |     o AS (SELECT user_id, event_id AS other_id, ts AS other_ts, event_type
+      |           FROM events WHERE event_type <> 'signup')
+      |SELECT event_type, count(*) AS n_pairs,
+      |       count(DISTINCT signup_id) AS n_signups_matched,
+      |       count(DISTINCT other_id) AS n_others_matched
+      |FROM s JOIN o ON s.user_id = o.user_id
+      |  AND other_ts BETWEEN s.ts - INTERVAL '1 hour' AND s.ts + INTERVAL '1 hour'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- Q-SESSION
+  /** Gap-based session windows (session_window, the dynamic-width
+    * sibling of Q-SEG's marker segmentation): events within 30 min of
+    * the previous event share a session; window end = last ts + gap.
+    * The oracle restates the merge rule relationally: a new session
+    * starts when the gap to the previous event is >= the duration
+    * (Spark merges only when the next start is strictly inside the
+    * extended window).
+    */
+  private val qSession: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sess_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("sess_value"))
+      .orderBy("user_id", "sess_start")
+
+  private val qSessionSql =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, new_sess DESC
+       |                        ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM o)
+       |-- new_sess DESC keeps the session opener first among equal ts
+       |SELECT user_id, min(ts) AS sess_start,
+       |       max(ts) + INTERVAL '30 minutes' AS sess_end,
+       |       count(*) AS n_events,
+       |       ${DSUM.format("value")} AS sess_value
+       |FROM s GROUP BY user_id, sess
+       |ORDER BY user_id, sess_start""".stripMargin
+
   // ----------------------------------------------------------------- Q-SQL
   /** The SQL entry point: one TPC-H-Q3-shaped query written ONCE in a
     * dialect both engines parse, run through spark.sql over temp
@@ -775,7 +849,9 @@ object Core {
     "q_regex" -> qRegex,
     "q_docx" -> qDocx,
     "q_pipeline" -> qPipeline,
-    "q_sql" -> qSql)
+    "q_sql" -> qSql,
+    "q_session" -> qSession,
+    "q_range" -> qRange)
 
   val oracles: Map[String, String] = Map(
     "q_scan" -> qScanSql,
@@ -804,5 +880,7 @@ object Core {
     "q_date2" -> qDate2Sql,
     "q_null" -> qNullSql,
     "q_regex" -> qRegexSql,
-    "q_sql" -> qSqlText)
+    "q_sql" -> qSqlText,
+    "q_session" -> qSessionSql,
+    "q_range" -> qRangeSql)
 }
