@@ -385,6 +385,33 @@ object Core {
        |GROUP BY c_custkey, c_name
        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin
 
+  // -------------------------------------------------------- Q-TOPK-GROUPED
+  /** Per-group top-k via the typed TopKAgg UDAF: partial aggregation
+    * ships ≤ k rows per group per partition — the grouped sibling of
+    * TakeOrderedAndProject, vs a window row_number that sorts whole
+    * groups. Oracle states the window formulation.
+    */
+  private val qTopKGrouped: Q = (s, d) => {
+    val agg = graft.functions.TopKAgg.topK(3)
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(agg(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("c_mktsegment"), (col("rk") + 1).cast("long").as("rk"),
+        col("t._1").as("o_totalprice"), col("t._2").as("o_orderkey"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  private val qTopKGroupedSql =
+    """SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_totalprice, o_orderkey
+      |FROM (
+      |  SELECT c_mktsegment, o_totalprice, o_orderkey,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin
+
   // ----------------------------------------------------------------- Q-SET
   /** UNION / INTERSECT / EXCEPT (reference O12 union generalized). */
   private val qSet: Q = (s, d) => {
@@ -851,7 +878,8 @@ object Core {
     "q_pipeline" -> qPipeline,
     "q_sql" -> qSql,
     "q_session" -> qSession,
-    "q_range" -> qRange)
+    "q_range" -> qRange,
+    "q_topk_grouped" -> qTopKGrouped)
 
   val oracles: Map[String, String] = Map(
     "q_scan" -> qScanSql,
@@ -882,5 +910,6 @@ object Core {
     "q_regex" -> qRegexSql,
     "q_sql" -> qSqlText,
     "q_session" -> qSessionSql,
-    "q_range" -> qRangeSql)
+    "q_range" -> qRangeSql,
+    "q_topk_grouped" -> qTopKGroupedSql)
 }
