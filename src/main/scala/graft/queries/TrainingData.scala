@@ -119,6 +119,30 @@ object TrainingData {
       |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** BPE-ish regex tokenization (words | numbers | single punctuation)
+    * — written with regexp_extract_all so the same RE2-safe pattern
+    * (no lookarounds) runs in both engines.
+    */
+  private val qTextBpe: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"),
+          lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bpe_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        max(length(col("tok"))).cast("long").as("max_tok_len"))
+      .orderBy("doc_id")
+
+  private val qTextBpeSql =
+    """SELECT doc_id, count(*) AS n_bpe_tokens,
+      |       count(DISTINCT tok) AS n_distinct,
+      |       CAST(max(length(tok)) AS BIGINT) AS max_tok_len
+      |FROM (SELECT doc_id,
+      |        unnest(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS tok
+      |      FROM documents)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val qTextTopTerms: Q = (s, d) =>
     Tables.documents(s, d)
       .select(explode(TextOps.tokenize(col("text"))).as("term"))
@@ -267,6 +291,7 @@ object TrainingData {
     "q_sim_bucketed" -> qSimBucketed,
     "q_sim_ivf" -> qSimIvf,
     "q_text_tokens" -> qTextTokens,
+    "q_text_bpe" -> qTextBpe,
     "q_text_topterms" -> qTextTopTerms,
     "q_text_quality" -> qTextQuality,
     "q_langid" -> qLangId,
@@ -286,6 +311,7 @@ object TrainingData {
     "q_dedup_near" -> qDedupNearSql,
     "q_sim_brute" -> qSimBruteSql,
     "q_text_tokens" -> qTextTokensSql,
+    "q_text_bpe" -> qTextBpeSql,
     "q_text_topterms" -> qTextTopTermsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_fingerprint" -> qFingerprintSql,
