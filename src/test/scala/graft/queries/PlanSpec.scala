@@ -50,6 +50,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("*(1)"), p.take(500)) // the whole-stage-codegen marker
   }
 
+  test("q_asof is a union+window plan — no join operator, bounded shuffles") {
+    val p = plan("q_asof")
+    assert(!p.contains("Join"), p.take(600)) // union+window formulation
+    // one hash exchange for the window, one for the right-side
+    // (user, ts) dedup — never a per-row range probe
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(800))
+  }
+
   test("q_join_semi/anti plan as semi/anti hash joins") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
