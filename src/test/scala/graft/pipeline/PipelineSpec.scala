@@ -84,6 +84,26 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.json(out).count() == 2 * n)
   }
 
+  test("golden: committed sample + schema DDL match exactly (SURVEY §5.2(2))") {
+    val qs = pipeline.run(spark, fixture).toDF()
+    assert(qs.schema.toDDL ==
+      "question_id STRING,text STRING,topic STRING,sub_topic STRING," +
+      "academic_class STRING,examination_level STRING,difficulty STRING," +
+      "tags ARRAY<STRING>,choices ARRAY<STRUCT<text: STRING, is_correct: BOOLEAN NOT NULL>>," +
+      "solution STRUCT<explanation: STRING, steps: ARRAY<STRING>>,hint STRING," +
+      "metadata STRUCT<created_by: STRING, created_at: STRING, updated_at: STRING, " +
+      "time_estimate: MAP<STRING, STRING>>")
+    // MAP columns are not set-operation-comparable: compare canonical
+    // JSON projections row-by-row instead
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("question_id")
+        .select(to_json(struct(df.columns.map(col): _*)))
+        .as[String].collect().toSeq
+    val golden = spark.read.schema(qs.schema)
+      .json(getClass.getResource("/golden_questions_sample.jsonl").getPath)
+    assert(canon(qs.orderBy("question_id").limit(3)) == canon(golden))
+  }
+
   test("sink rejects a file path (O16)") {
     val f = java.nio.file.Files.createTempFile("graft_not_a_dir", ".json")
     intercept[IllegalArgumentException](new JsonOutputManager(f.toString))
