@@ -94,7 +94,11 @@ final class SyllabusPipeline(
   def run(spark: SparkSession, docxPath: String,
       sink: Option[OutputManager] = None): Dataset[Question] = {
     val topics = Topics.fromDocx(spark, docxPath, marker)
-    val subs = extractSubtopics(topics)
+    // subtopics feed BOTH the planner and the generation context join;
+    // left lazy, each downstream action re-parses the docx corpus.
+    // They are small (per-topic metadata, not documents) — materialize
+    // once and cut the lineage
+    val subs = extractSubtopics(topics).localCheckpoint()
     val plan = Planner.plan(subs, perSubtopic, idsPerTopic = true)
     val questions = generate(plan, subs)
     sink.foreach(_.save(questions))
