@@ -91,9 +91,23 @@ final class SyllabusPipeline(
   /** Full run: docx path(s) → questions, optionally saved through a
     * sink (O13/O18).
     */
+  /** @param topicsNum reference `process(topics_num)` parity
+    *   (_base_syllabus_ai_graph_template.py:114: default 1 topic per
+    *   run): caps processing to the FIRST n topics of each document in
+    *   document order. None (the engine default) processes everything
+    *   — the whole-corpus pass is the point of the distributed
+    *   rewrite.
+    */
   def run(spark: SparkSession, docxPath: String,
-      sink: Option[OutputManager] = None): Dataset[Question] = {
-    val topics = Topics.fromDocx(spark, docxPath, marker)
+      sink: Option[OutputManager] = None,
+      topicsNum: Option[Int] = None): Dataset[Question] = {
+    val allTopics = Topics.fromDocx(spark, docxPath, marker)
+    val topics = topicsNum match {
+      case None => allTopics
+      case Some(n) =>
+        // topic_seq is the 1-based running marker count per document
+        allTopics.filter(org.apache.spark.sql.functions.col("topic_seq") <= n)
+    }
     // subtopics feed BOTH the planner and the generation context join;
     // left lazy, each downstream action re-parses the docx corpus.
     // They are small (per-topic metadata, not documents) — materialize

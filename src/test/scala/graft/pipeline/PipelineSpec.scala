@@ -104,6 +104,15 @@ class PipelineSpec extends SparkTestBase {
     assert(canon(qs.orderBy("question_id").limit(3)) == canon(golden))
   }
 
+  test("topicsNum caps to the first n topics per document (reference default parity)") {
+    val one = pipeline.run(spark, fixture, topicsNum = Some(1))
+    val topics = one.select("topic").distinct().as[String].collect()
+    // first marker in the fixture is an "Analytical skills" occurrence
+    assert(topics.toSeq == Seq("Analytical skills in chemistry"))
+    val all = pipeline.run(spark, fixture)
+    assert(one.count() < all.count())
+  }
+
   test("sink rejects a file path (O16)") {
     val f = java.nio.file.Files.createTempFile("graft_not_a_dir", ".json")
     intercept[IllegalArgumentException](new JsonOutputManager(f.toString))
