@@ -251,6 +251,28 @@ object Core {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- Q-AGG2
+  /** Aggregate surface #2: collection aggregates (sorted for
+    * determinism) and boolean aggregates.
+    */
+  private val qAgg2: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        bool_and(col("l_discount") <= 0.1).as("all_low_discount"),
+        bool_or(col("l_quantity") > 45).as("any_bulk"),
+        count_if(col("l_tax") > 0.05).as("n_taxed"))
+      .orderBy("l_returnflag")
+
+  private val qAgg2Sql =
+    """SELECT l_returnflag,
+      |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      |  bool_and(l_discount <= 0.1) AS all_low_discount,
+      |  bool_or(l_quantity > 45) AS any_bulk,
+      |  count_if(l_tax > 0.05) AS n_taxed
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- Q-CUBE2
   /** Full CUBE grouping sets (completes Q-CUBE's rollup). */
   private val qCube: Q = (s, d) =>
@@ -879,7 +901,8 @@ object Core {
     "q_sql" -> qSql,
     "q_session" -> qSession,
     "q_range" -> qRange,
-    "q_topk_grouped" -> qTopKGrouped)
+    "q_topk_grouped" -> qTopKGrouped,
+    "q_agg2" -> qAgg2)
 
   val oracles: Map[String, String] = Map(
     "q_scan" -> qScanSql,
@@ -911,5 +934,6 @@ object Core {
     "q_sql" -> qSqlText,
     "q_session" -> qSessionSql,
     "q_range" -> qRangeSql,
-    "q_topk_grouped" -> qTopKGroupedSql)
+    "q_topk_grouped" -> qTopKGroupedSql,
+    "q_agg2" -> qAgg2Sql)
 }
