@@ -34,6 +34,33 @@ class RoundTripSpec extends SparkTestBase {
     assert(back.except(emb).count() == 0 && emb.except(back).count() == 0)
   }
 
+  test("orc round-trip preserves rows incl. nested arrays") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = tmp("graft_orc")
+    emb.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == emb.count())
+    assert(back.select("vec_id", "label").except(emb.select("vec_id", "label")).count() == 0)
+  }
+
+  test("streaming file sink writes exactly-once parquet with a checkpoint") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val out = tmp("graft_stream_sink")
+    val ckpt = tmp("graft_stream_ckpt")
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "event_type", "value")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() == graft.Tables.events(spark, sf).count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val docs = graft.Tables.documents(spark, sf)
     val dir = tmp("graft_part")
