@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,35 +93,66 @@ private[docx] final class DocxTable(paths: Seq[String]) extends Table with Suppo
 }
 
 private[docx] final class DocxScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = DocxDataSource.schema
+  private var pushed: Array[sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new DocxScan(paths, required)
+
+  /** Accept `element_type = '…'` / IN filters (SURVEY.md §4.2's
+    * candidate pushdown): a paragraph-only scan then never builds
+    * table-cell arrays. Everything else stays post-scan.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (accepted, rest) = filters.partition {
+      case sources.EqualTo("element_type", _: String) => true
+      case sources.In("element_type", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    pushed = accepted
+    rest // Spark still re-applies accepted filters; returning rest is the contract minimum
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = {
+    val types: Option[Set[String]] = {
+      val sets = pushed.collect {
+        case sources.EqualTo("element_type", v: String) => Set(v)
+        case sources.In("element_type", vs) => vs.collect { case s: String => s }.toSet
+      }
+      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
+    new DocxScan(paths, required, types)
+  }
 }
 
-private[docx] final class DocxScan(paths: Seq[String], required: StructType)
-    extends Scan with Batch {
+private[docx] final class DocxScan(paths: Seq[String], required: StructType,
+    elementTypes: Option[Set[String]]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => DocxInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocxReaderFactory(required)
+    new DocxReaderFactory(required, elementTypes)
+  override def description(): String =
+    s"DocxScan(types=${elementTypes.map(_.mkString("|")).getOrElse("*")})"
 }
 
 private[docx] final case class DocxInputPartition(path: String) extends InputPartition
 
-private[docx] final class DocxReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+private[docx] final class DocxReaderFactory(required: StructType,
+    elementTypes: Option[Set[String]]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new DocxPartitionReader(partition.asInstanceOf[DocxInputPartition].path, required)
+    new DocxPartitionReader(partition.asInstanceOf[DocxInputPartition].path,
+      required, elementTypes)
 }
 
 /** Executor-side reader: opens the file through the Hadoop FS API (so
   * file:// and hdfs:// etc. all work), streams it through DocxParser,
   * and projects to the pruned schema.
   */
-private[docx] final class DocxPartitionReader(pathStr: String, required: StructType)
+private[docx] final class DocxPartitionReader(pathStr: String, required: StructType,
+    elementTypes: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
   private val path = new Path(pathStr)
   private val docId = UTF8String.fromString(path.getName)
@@ -128,7 +160,11 @@ private[docx] final class DocxPartitionReader(pathStr: String, required: StructT
   private val elements: Iterator[DocxElement] = {
     val fs = path.getFileSystem(new Configuration())
     val in = fs.open(path)
-    try DocxParser.parse(in).iterator finally in.close()
+    val all = try DocxParser.parse(in).iterator finally in.close()
+    elementTypes match {
+      case None => all
+      case Some(ts) => all.filter(e => ts.contains(e.elementType))
+    }
   }
   private var current: DocxElement = _
 

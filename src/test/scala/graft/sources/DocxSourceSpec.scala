@@ -52,6 +52,17 @@ class DocxSourceSpec extends SparkTestBase {
     assert(df.agg(countDistinct("doc_id")).head().getLong(0) == 1)
   }
 
+  test("element_type filter pushes into the scan (tables never built)") {
+    val df = spark.read.format("docx").load(fixture)
+      .filter(col("element_type") === "paragraph")
+      .select("doc_id", "text")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("types=paragraph"), scan.take(400))
+    assert(df.count() == 49)
+    // the filter composes with markers downstream
+    assert(df.filter(col("text").contains("Core element")).count() == 13)
+  }
+
   test("column pruning pushes into the scan") {
     val df = spark.read.format("docx").load(fixture).select("doc_id", "text")
     val scanSchema = df.queryExecution.executedPlan.collectLeaves()
