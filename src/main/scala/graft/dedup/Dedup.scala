@@ -179,13 +179,10 @@ object Dedup {
     val toks = docs.select(col(idCol),
       explode(TextOps.tokenize(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val votes = toks.groupBy(col(idCol)).agg(
-      (0 until 64).map(i =>
-        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"b$i")).head,
-      (0 until 64).map(i =>
-        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"b$i")).tail: _*)
+    val aggs = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val votes = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     votes.select(col(idCol),
       (0 until 64).map(i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))

@@ -59,7 +59,8 @@ object Multimodal {
     docs.select(col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"))
+      // null text ⇒ empty payload, not a null that NPEs the codec
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
 
   /** Per-partition batched decode + feature extraction. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
@@ -67,9 +68,10 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-task codec init would go here (native contexts, models…)
       rows.map { r =>
-        val (w, h, f) = FakeCodec.decode(r.kind, r.payload)
-        MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, w, h, f,
-          FakeCodec.features(r.payload))
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        val (w, h, f) = FakeCodec.decode(r.kind, payload)
+        MediaFeatures(r.doc_id, r.kind, payload.length.toLong, w, h, f,
+          FakeCodec.features(payload))
       }
     }
   }

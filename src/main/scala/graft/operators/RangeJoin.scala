@@ -40,9 +40,15 @@ object RangeJoin {
       floor(col(rTsName).cast("timestamp").cast("long") / width))
 
     val joined = l.join(r, Seq("_bin") ++ keyCols)
+    // bins are computed on floor-to-second epochs (exact coverage:
+    // before/after are whole seconds, so floor(l±x) = floor(l)±x), but
+    // the final predicate must compare FULL-precision timestamps — a
+    // truncated compare would admit pairs up to 1s outside the bound
     joined
-      .filter(col(rTsName).cast("timestamp").cast("long")
-        .between(lEpoch - beforeSec, lEpoch + afterSec))
+      .filter(col(rTsName).cast("timestamp")
+        .between(
+          col(leftTs).cast("timestamp") - expr(s"INTERVAL $beforeSec SECOND"),
+          col(leftTs).cast("timestamp") + expr(s"INTERVAL $afterSec SECOND")))
       .drop("_bin")
   }
 }

@@ -32,7 +32,9 @@ final class JsonOutputManager(dir: String) extends OutputManager {
     */
   private def ensureValidDirectory(): Unit = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (fs.exists(p) && fs.getFileStatus(p).isFile)
       throw new IllegalArgumentException(s"output path is a file, not a directory: $dir")
   }

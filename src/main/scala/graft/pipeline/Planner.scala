@@ -45,8 +45,13 @@ object Planner {
       if (idsPerTopic) Window.partitionBy(col("topic_title"))
         .orderBy(col("subtopic_name"), col("pos"))
       else Window.orderBy(col("topic_title"), col("subtopic_name"), col("pos"))
+    // the per-topic prefix is the TITLE itself, not a hash of it: a
+    // 32-bit hash collides across topics at corpus scale (~50% by 77k
+    // topics) and would break the documented id-uniqueness invariant;
+    // the title is already the window partition key, so title+number
+    // is unique by construction
     val idPrefix =
-      if (idsPerTopic) concat(lit("q-"), abs(hash(col("topic_title"))).cast("string"), lit("-"))
+      if (idsPerTopic) concat(lit("q-"), col("topic_title"), lit("-"))
       else lit("q-")
     exploded
       .withColumn("question_id", concat(idPrefix, row_number().over(w).cast("string")))

@@ -57,7 +57,13 @@ final class SyllabusPipeline(
   def generate(plan: Dataset[PlannedQuestion], subtopics: Dataset[Subtopic]): Dataset[Question] = {
     val spark = plan.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy(col("topic")).orderBy(col("question_id"))
+    // order by (length, id), not the raw string: ids end in a decimal
+    // counter, and lexicographic order would put "…-10" before "…-2",
+    // truncating an arbitrary subset at the batch cap instead of the
+    // plan tail. Within a topic partition the prefix is constant, so
+    // length-then-string IS numeric order.
+    val w = Window.partitionBy(col("topic"))
+      .orderBy(length(col("question_id")), col("question_id"))
     val planB = plan.toDF()
       .withColumn("batch_id", floor((row_number().over(w) - 1) / batchSize))
       .filter(col("batch_id") < maxBatchesPerTopic)
@@ -77,7 +83,7 @@ final class SyllabusPipeline(
     joined
       .groupByKey(r => (r.topic, r.batch_id, r.subtopic))
       .flatMapGroups { (_: (String, Long, String), it: Iterator[PlannedWithCtx]) =>
-        val rows = it.toSeq.sortBy(_.question_id)
+        val rows = it.toSeq.sortBy(r => (r.question_id.length, r.question_id))
         rows.head.ctx match {
           case None => Iterator.empty // O10 miss ⇒ empty (:199-201)
           case ctx @ Some(_) =>

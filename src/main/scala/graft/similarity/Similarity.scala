@@ -43,9 +43,16 @@ object Similarity {
       probeHamming: Int = 1): DataFrame = {
     val qBucket: Long = query.take(signBits)
       .foldLeft(0L)((acc, x) => acc * 2 + (if (x >= 0f) 1L else 0L))
-    val probes: Seq[Long] =
-      if (probeHamming <= 0) Seq(qBucket)
-      else qBucket +: (0 until signBits).map(i => qBucket ^ (1L << i))
+    // every bucket within Hamming distance probeHamming — full
+    // combination enumeration, not just single-bit flips (C(b,h)
+    // buckets; b and h are small by construction)
+    val probes: Seq[Long] = {
+      def flips(h: Int): Iterator[Long] =
+        (0 until signBits).combinations(h)
+          .map(_.foldLeft(qBucket)((b, i) => b ^ (1L << i)))
+      (0 to math.min(probeHamming, signBits)).iterator
+        .flatMap(flips).toSeq.distinct
+    }
     val q = typedlit(query)
     emb.select(col(idCol), col(vecCol),
       VectorOps.signBucket(col(vecCol), signBits).as("bucket"))

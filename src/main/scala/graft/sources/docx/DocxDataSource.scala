@@ -58,15 +58,30 @@ object DocxDataSource {
     StructField("text", StringType),
     StructField("table_rows", ArrayType(ArrayType(StringType)))))
 
+  /** The session's Hadoop configuration (carries spark.hadoop.* —
+    * s3a credentials, kerberos, etc.); plain `new Configuration()`
+    * would silently drop them.
+    */
+  private[docx] def sessionHadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private val quotedElement = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
   /** Expand the `path`/`paths` option: a directory means every *.docx
-    * inside it (non-recursive, like the built-in file sources' default).
+    * inside it (non-recursive, like the built-in file sources'
+    * default). The `paths` option is the JSON array DataFrameReader
+    * serializes — parsed by quoted element (a naive comma split
+    * corrupts paths containing commas).
     */
   private[docx] def resolvePaths(props: Map[String, String]): Seq[String] = {
     val raw = props.get("paths")
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .map(p => quotedElement.findAllMatchIn(p)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
       .orElse(props.get("path").map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("docx source requires a path"))
-    val conf = new Configuration()
+    val conf = sessionHadoopConf()
     raw.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -132,8 +147,13 @@ private[docx] final class DocxScan(paths: Seq[String], required: StructType,
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => DocxInputPartition(p): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
-    new DocxReaderFactory(required, elementTypes)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // capture the session conf on the DRIVER and ship it serialized —
+    // executors have no active session to rebuild it from
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      DocxDataSource.sessionHadoopConf())
+    new DocxReaderFactory(required, elementTypes, conf)
+  }
   override def description(): String =
     s"DocxScan(types=${elementTypes.map(_.mkString("|")).getOrElse("*")})"
 }
@@ -141,10 +161,11 @@ private[docx] final class DocxScan(paths: Seq[String], required: StructType,
 private[docx] final case class DocxInputPartition(path: String) extends InputPartition
 
 private[docx] final class DocxReaderFactory(required: StructType,
-    elementTypes: Option[Set[String]]) extends PartitionReaderFactory {
+    elementTypes: Option[Set[String]],
+    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DocxPartitionReader(partition.asInstanceOf[DocxInputPartition].path,
-      required, elementTypes)
+      required, elementTypes, conf.value)
 }
 
 /** Executor-side reader: opens the file through the Hadoop FS API (so
@@ -152,13 +173,14 @@ private[docx] final class DocxReaderFactory(required: StructType,
   * and projects to the pruned schema.
   */
 private[docx] final class DocxPartitionReader(pathStr: String, required: StructType,
-    elementTypes: Option[Set[String]] = None)
+    elementTypes: Option[Set[String]] = None,
+    hadoopConf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
   private val path = new Path(pathStr)
   private val docId = UTF8String.fromString(path.getName)
   private val needTables = required.fieldNames.contains("table_rows")
   private val elements: Iterator[DocxElement] = {
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(hadoopConf)
     val in = fs.open(path)
     val all = try DocxParser.parse(in).iterator finally in.close()
     elementTypes match {

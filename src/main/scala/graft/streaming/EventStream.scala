@@ -73,7 +73,12 @@ object EventStream {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .withColumn("_dup", explode(array(lit(1), lit(2)))).drop("_dup")
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      // the event-time column MUST be part of the dedup key: Spark
+      // builds the state-eviction predicate only from event-time key
+      // columns — dropDuplicates("event_id") alone would retain every
+      // id forever (unbounded state). Duplicates share their ts, so
+      // the semantics are unchanged.
+      .dropDuplicates("event_id", "ts")
     val name = s"stream_dedup_${System.nanoTime()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)

@@ -40,7 +40,8 @@ class PipelineSpec extends SparkTestBase {
     // recursion_limit parity: ≤ 12 batches × 5 per topic
     val cappedPlan = plan.withColumn("rn",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("topic").orderBy("question_id")))
+          .partitionBy("topic")
+          .orderBy(length(col("question_id")), col("question_id")))) // numeric id order
       .filter(col("rn") <= 12 * 5)
     assert(qs.count() == cappedPlan.count())
     // ids preserved 1:1 against the capped plan
