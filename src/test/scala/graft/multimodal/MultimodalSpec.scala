@@ -52,6 +52,13 @@ class MultimodalSpec extends SparkTestBase {
     assert(gotCounts == expectedCounts)
   }
 
+  test("null text rows survive the media path (regression: codec NPE)") {
+    val docs = Seq((1L, null: String), (2L, "real text")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs)).collect()
+    assert(feats.length == 2)
+    assert(feats.find(_.doc_id == 1L).get.n_bytes == 0)
+  }
+
   test("fake codec varies frames by kind") {
     val payload = "hello world".getBytes("UTF-8")
     val (w1, h1, f1) = Multimodal.FakeCodec.decode("image", payload)

@@ -40,6 +40,18 @@ class RangeJoinSpec extends SparkTestBase {
     assert(joined.length.toLong == brute)
   }
 
+  test("sub-second precision: pairs just outside the bound are excluded") {
+    // l = 100.100s, r = 160.900s: floor diff = 60 but true offset
+    // 60.8s > 60 — must NOT match (regression for the truncated-epoch
+    // predicate)
+    val left = Seq((1L, new Timestamp(100100))).toDF("l_id", "lts")
+    val right = Seq((10L, new Timestamp(160900)), (11L, new Timestamp(160050)))
+      .toDF("r_id", "rts")
+    val got = RangeJoin.bucketedRangeJoin(left, right, "lts", "rts", 60, 60)
+      .select("r_id").as[Long].collect().toSet
+    assert(got == Set(11L)) // 160.050 - 100.100 = 59.95s <= 60 matches
+  }
+
   test("plans as a hash join on the bin key, not a nested loop") {
     val ev = graft.Tables.events(spark, sf).select("event_id", "ts", "user_id")
     val ord = graft.Tables.orders(spark, sf).select("o_orderkey", "o_orderdate")

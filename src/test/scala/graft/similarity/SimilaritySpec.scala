@@ -54,6 +54,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.toSeq == again.toSeq)
   }
 
+  test("probeHamming=2 probes two-bit-flip buckets (regression: was capped at 1)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+    // flip the query's first two sign components => a vector in a
+    // Hamming-2 bucket with high cosine to the rest of the dims
+    val flipped = q.zipWithIndex.map { case (x, i) => if (i < 2) -x else x }
+    val planted = Seq((9999L, flipped)).toDF("vec_id", "embedding")
+    val corpus = emb.select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .unionByName(planted)
+    val h1 = Similarity.bucketedTopK(corpus, "vec_id", "embedding", q, 500,
+      signBits = 8, probeHamming = 1).select("vec_id").as[Long].collect().toSet
+    val h2 = Similarity.bucketedTopK(corpus, "vec_id", "embedding", q, 500,
+      signBits = 8, probeHamming = 2).select("vec_id").as[Long].collect().toSet
+    assert(!h1.contains(9999L) && h2.contains(9999L))
+  }
+
   test("batch top-k produces k rows per query with correct ranking") {
     val emb = graft.Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id".isin(0L, 1L, 2L))
