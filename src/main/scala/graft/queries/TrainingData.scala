@@ -56,15 +56,19 @@ object TrainingData {
     Dedup.minhashNearDups(Tables.documentsParallel(s, d), "doc_id", "text",
       threshold = 0.5, shingleK = 5).orderBy("id_a", "id_b")
 
+  // simhash/ngram read the PLAIN scan: their first wide op (chunk join
+  // / df window) redistributes anyway, so an upfront repartition just
+  // shuffles the raw text twice (measured slower). minhash keeps the
+  // parallel scan — its LSH banding explode runs pre-shuffle.
   private val qSimhash: Q = (s, d) =>
-    Dedup.simhash(Tables.documentsParallel(s, d), "doc_id", "text").orderBy("doc_id")
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
 
   private val qSimhashNear: Q = (s, d) =>
-    Dedup.simhashNearDups(Tables.documentsParallel(s, d), "doc_id", "text",
+    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 3).orderBy("id_a", "id_b")
 
   private val qNgramJaccard: Q = (s, d) =>
-    Dedup.ngramJaccardNearDups(Tables.documentsParallel(s, d), "doc_id", "text",
+    Dedup.ngramJaccardNearDups(Tables.documents(s, d), "doc_id", "text",
       threshold = 0.5, shingleK = 5, maxDocFreq = 100).orderBy("id_a", "id_b")
 
   private val qEmbedNear: Q = (s, d) =>
