@@ -35,10 +35,10 @@ final class SyllabusPipeline(
     model: QuestionModel,
     subject: String,
     academicClass: String,
-    batchSize: Int = 5,
-    perSubtopic: Int = 9,
-    maxBatchesPerTopic: Long = 12,
-    marker: String = "Core element") extends Serializable {
+    val batchSize: Int = 5,
+    val perSubtopic: Int = 9,
+    val maxBatchesPerTopic: Long = 12,
+    val marker: String = "Core element") extends Serializable {
   require(batchSize >= 1 && perSubtopic >= 1 && maxBatchesPerTopic >= 1)
 
   /** O7 as a distributed flatMap: partition-local model calls, 1 topic
