@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the missing last step of every
+  * near-dup pipeline: pair lists (from MinHash/SimHash/Jaccard) are
+  * EDGES, and "keep one copy per duplicate cluster" means resolving
+  * their transitive closure, not deduping pairs.
+  *
+  * Algorithm: HashMin label propagation. Every node starts labeled
+  * with itself; each round a node takes the min of its own and its
+  * neighbors' labels; fixpoint = per-component min node id. Rounds
+  * needed = graph diameter — near-dup graphs are star-ish (clusters
+  * around a representative), so convergence is fast; for
+  * billion-edge graphs with long chains, the large-star/small-star
+  * variant (halves diameter per round) is the upgrade path. Each
+  * round is one join + one partial-aggregated groupBy; lineage is cut
+  * per round with localCheckpoint so plans don't nest.
+  */
+object ConnectedComponents {
+
+  /** (id, component) for every node appearing in `edges` (cols
+    * `a`, `b`, undirected — symmetrized internally). `component` is
+    * the minimum node id of the component.
+    */
+  def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "b_node"), col("b") === col("b_node"))
+        .groupBy(col("a").as("node2")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, col("node") === col("node2"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("next_label") < col("label")).count()
+      labels = updated.select(col("node"), col("next_label").as("label"))
+      i += 1
+    }
+    labels.select(col("node").as("id"), col("label").as("component"))
+  }
+
+  /** Deduplicated corpus: one representative (min id) per component;
+    * nodes without edges keep themselves.
+    */
+  def representatives(docs: DataFrame, idCol: String, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val comp = components(edges, maxIter)
+    docs.join(comp, docs(idCol) === comp("id"), "left")
+      .withColumn("component", coalesce(col("component"), docs(idCol)))
+      .drop("id")
+      .filter(docs(idCol) === col("component"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.FloatType
 
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{ConnectedComponents, Dedup}
 import graft.functions.TextOps
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -74,6 +74,48 @@ object TrainingData {
   private val qEmbedNear: Q = (s, d) =>
     Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.9).orderBy("id_a", "id_b")
+
+  // ------------------------------------------------ dedup clustering
+  /** Connected components over deterministic blocking edges (star
+    * edges to the min doc of each (source, len-bucket) and (lang,
+    * len-bucket) block): every doc labeled with its duplicate-cluster
+    * representative. Oracle: DuckDB recursive-CTE reachability with
+    * min-label components — exact hash match.
+    */
+  private val qDedupGroups: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), expr("n_chars div 100"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), expr("n_chars div 100"))
+    val stars = docs.select(col("doc_id").as("a"), min(col("doc_id")).over(w1).as("b"))
+      .union(docs.select(col("doc_id").as("a"), min(col("doc_id")).over(w2).as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val comp = ConnectedComponents.components(stars)
+    docs.join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
+  private val qDedupGroupsSql =
+    """WITH RECURSIVE stars AS (
+      |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY source, n_chars // 100) AS b
+      |  FROM documents
+      |  UNION
+      |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY lang, n_chars // 100) AS b
+      |  FROM documents),
+      |edges AS (
+      |  SELECT a, b FROM stars WHERE a <> b
+      |  UNION SELECT b, a FROM stars WHERE a <> b),
+      |walk(node, lbl) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.node = e.a),
+      |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+      |SELECT doc_id, coalesce(component, doc_id) AS component
+      |FROM documents LEFT JOIN comp ON doc_id = node
+      |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------- similarity
   private def queryVec(s: org.apache.spark.sql.SparkSession, d: String): Seq[Float] =
@@ -291,6 +333,7 @@ object TrainingData {
     "q_simhash_near" -> qSimhashNear,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_embed_neardup" -> qEmbedNear,
+    "q_dedup_groups" -> qDedupGroups,
     "q_sim_brute" -> qSimBrute,
     "q_sim_bucketed" -> qSimBucketed,
     "q_sim_ivf" -> qSimIvf,
@@ -313,6 +356,7 @@ object TrainingData {
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
+    "q_dedup_groups" -> qDedupGroupsSql,
     "q_sim_brute" -> qSimBruteSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,

@@ -1,0 +1,34 @@
+package graft.dedup
+
+import graft.SparkTestBase
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chains, triangles and isolated pairs resolve to min-id components") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (21L, 20L)).toDF("a", "b")
+    val comp = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("representatives keeps one doc per cluster plus isolated docs") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "b"), (9L, "solo")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val kept = ConnectedComponents.representatives(docs, "doc_id", edges)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 9L))
+  }
+
+  test("long chain converges within the iteration cap") {
+    val n = 30L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = ConnectedComponents.components(edges, maxIter = 40)
+      .as[(Long, Long)].collect()
+    assert(comp.forall(_._2 == 1L))
+  }
+}
