@@ -34,6 +34,20 @@ object Dedup {
     docs.join(keep, idCol)
   }
 
+  /** End-to-end near-dedup: MinHash+LSH candidate pairs verified by
+    * exact Jaccard become edges; connected components resolve their
+    * transitive closure; one representative (min id) per cluster
+    * survives. THE production shape — deduping pairs alone leaves
+    * A~B, B~C triples half-deduped.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold, shingleK)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    ConnectedComponents.representatives(docs, idCol, pairs)
+      .drop("component")
+  }
+
   // -------------------------------------------------------------- MinHash
   /** numHashes-wide MinHash signature over distinct word k-shingles,
     * computed by the native [[graft.functions.MinHashSigExpr]] kernel:

@@ -73,6 +73,17 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dropNearDuplicates resolves transitive clusters to one representative") {
+    val chain = Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, nearDup), // near 1/2 => same cluster transitively
+      (4L, distinct1)).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(chain, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("native kernels are bit-identical to the relational formulations") {
     val d = graft.Tables.documents(spark, sf).limit(200)
     val k = Dedup.simhash(d, "doc_id", "text")
