@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   * billion-edge graphs with long chains, the large-star/small-star
   * variant (halves diameter per round) is the upgrade path. Each
   * round is one join + one partial-aggregated groupBy; lineage is cut
-  * per round with localCheckpoint so plans don't nest.
+  * per round with an eager localCheckpoint and the previous round's
+  * cache is unpersisted, so at most two label generations are ever
+  * held.
   */
 object ConnectedComponents {
 
   /** (id, component) for every node appearing in `edges` (cols
     * `a`, `b`, undirected — symmetrized internally). `component` is
     * the minimum node id of the component.
+    *
+    * Throws IllegalStateException if the label propagation has not
+    * reached its fixpoint within `maxIter` rounds — returning
+    * unconverged labels would silently split clusters (under-dedup).
+    * Size maxIter to the worst-case graph diameter.
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
@@ -33,6 +40,7 @@ object ConnectedComponents {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    var previous: DataFrame = labels
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -43,23 +51,32 @@ object ConnectedComponents {
         .join(nbrMin, col("node") === col("node2"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: safe to release the previous round now
+      if (previous ne updated) previous.unpersist()
+      previous = updated
       changed = updated.filter(col("next_label") < col("label")).count()
       labels = updated.select(col("node"), col("next_label").as("label"))
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter")
     labels.select(col("node").as("id"), col("label").as("component"))
   }
 
   /** Deduplicated corpus: one representative (min id) per component;
-    * nodes without edges keep themselves.
+    * nodes without edges keep themselves. Output schema = `docs`
+    * schema, whatever the caller's column names (internal columns are
+    * uniquely prefixed — an `idCol` named "id" or a pre-existing
+    * "component" column is safe).
     */
   def representatives(docs: DataFrame, idCol: String, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val comp = components(edges, maxIter)
-    docs.join(comp, docs(idCol) === comp("id"), "left")
-      .withColumn("component", coalesce(col("component"), docs(idCol)))
-      .drop("id")
-      .filter(docs(idCol) === col("component"))
+      .select(col("id").as("_cc_id"), col("component").as("_cc_comp"))
+    docs.join(comp, docs(idCol) === col("_cc_id"), "left")
+      .filter(docs(idCol) === coalesce(col("_cc_comp"), docs(idCol)))
+      .drop("_cc_id", "_cc_comp")
   }
 }

@@ -41,11 +41,10 @@ object Dedup {
     * A~B, B~C triples half-deduped.
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleK: Int = 3): DataFrame = {
+      threshold: Double, shingleK: Int = 3, maxIter: Int = 20): DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, threshold, shingleK)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    ConnectedComponents.representatives(docs, idCol, pairs)
-      .drop("component")
+    ConnectedComponents.representatives(docs, idCol, pairs, maxIter)
   }
 
   // -------------------------------------------------------------- MinHash

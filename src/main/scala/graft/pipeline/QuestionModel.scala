@@ -53,10 +53,12 @@ final class StubQuestionModel extends QuestionModel {
   /** One subtopic per table element (the syllabus grids are where the
     * reference's prompt mines objectives/criteria, FIXTURES.md), with
     * a paragraph-derived fallback so text-only topics still yield one.
-    * Names embed `topic_seq` so duplicate topic titles (13 markers / 6
-    * titles in the fixture) keep per-occurrence subtopics — the
-    * reference processes each occurrence as a fresh State and only the
-    * sink merges by title (SURVEY.md §7.5).
+    * Names embed `doc_id` AND `topic_seq` so duplicate topic titles
+    * (13 markers / 6 titles in the fixture) keep per-occurrence
+    * subtopics — including occurrences in DIFFERENT documents of a
+    * corpus, which would otherwise collide in the (topic, subtopic)
+    * context join. The reference processes each occurrence as a fresh
+    * State and only the sink merges by title (SURVEY.md §7.5).
     */
   override def extractSubtopics(topic: SyllabusTopic, subject: String,
       academicClass: String): Seq[Subtopic] = {
@@ -66,7 +68,7 @@ final class StubQuestionModel extends QuestionModel {
     val fromTables = tables.zipWithIndex.map { case (t, i) =>
       val cs = cells(t)
       Subtopic(
-        subtopic_name = s"${topic.title} [${topic.topic_seq}] — part ${i + 1}",
+        subtopic_name = s"${topic.title} [${topic.doc_id}#${topic.topic_seq}] — part ${i + 1}",
         topic_title = topic.title,
         academic_class = academicClass,
         subject = subject,
@@ -79,7 +81,7 @@ final class StubQuestionModel extends QuestionModel {
     else {
       val paras = topic.elements.flatMap(_.text).map(_.trim).filter(_.nonEmpty)
       if (paras.isEmpty) Nil
-      else Seq(Subtopic(s"${topic.title} [${topic.topic_seq}] — overview", topic.title, academicClass,
+      else Seq(Subtopic(s"${topic.title} [${topic.doc_id}#${topic.topic_seq}] — overview", topic.title, academicClass,
         subject, paras.take(3), paras.slice(3, 7), Nil, Nil))
     }
   }

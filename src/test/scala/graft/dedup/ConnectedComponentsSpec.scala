@@ -24,6 +24,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L, 9L))
   }
 
+  test("idCol named 'id' and pre-existing 'component' column survive representatives") {
+    val docs = Seq((1L, "a", 7L), (2L, "a'", 8L), (5L, "c", 9L))
+      .toDF("id", "text", "component")
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val kept = ConnectedComponents.representatives(docs, "id", edges)
+    assert(kept.columns.toSeq == Seq("id", "text", "component")) // schema preserved
+    assert(kept.select("id").as[Long].collect().toSet == Set(1L, 5L))
+  }
+
+  test("throws instead of returning unconverged labels") {
+    val n = 30L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(edges, maxIter = 5).collect()
+    }
+  }
+
   test("long chain converges within the iteration cap") {
     val n = 30L
     val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
