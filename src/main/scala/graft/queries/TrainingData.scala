@@ -75,6 +75,34 @@ object TrainingData {
     Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.9).orderBy("id_a", "id_b")
 
+  // ------------------------------------------------------- sampling
+  /** Deterministic stratified sampling — the corpus-curation primitive
+    * (N docs per source, reproducible across runs/engines): rank by
+    * md5 of the key within each stratum and keep the first n. No
+    * rand() anywhere, so the sample is stable under re-runs, retries
+    * and engine changes; md5 order is uniform, so it IS a uniform
+    * sample per stratum.
+    */
+  private val qSampleStratified: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy("source", "rk")
+  }
+
+  private val qSampleStratifiedSql =
+    """SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   // ------------------------------------------------ dedup clustering
   /** Connected components over deterministic blocking edges (star
     * edges to the min doc of each (source, len-bucket) and (lang,
@@ -334,6 +362,7 @@ object TrainingData {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_embed_neardup" -> qEmbedNear,
     "q_dedup_groups" -> qDedupGroups,
+    "q_sample_stratified" -> qSampleStratified,
     "q_sim_brute" -> qSimBrute,
     "q_sim_bucketed" -> qSimBucketed,
     "q_sim_ivf" -> qSimIvf,
@@ -357,6 +386,7 @@ object TrainingData {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_groups" -> qDedupGroupsSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sim_brute" -> qSimBruteSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,
