@@ -368,7 +368,9 @@ object Core {
       last(col("o_totalprice")).over(
         byDateKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("latest_price"),
       sum(col("o_totalprice").cast(DecimalType(18, 2))).over(range30d)
-        .cast("double").as("trailing_30d"))
+        .cast("double").as("trailing_30d"),
+      percent_rank().over(byDate).as("pct_rank"),
+      cume_dist().over(byDate).as("cume"))
       .orderBy("o_orderkey")
   }
 
@@ -380,7 +382,9 @@ object Core {
       |  last_value(o_totalprice) OVER (w_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_price,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d,
+      |  percent_rank() OVER w_date AS pct_rank,
+      |  cume_dist() OVER w_date AS cume
       |FROM orders
       |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate),
       |       w_key AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -628,6 +632,30 @@ object Core {
       |  regexp_matches(text, 'data|spark') AS mentions_tech,
       |  CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_vowel_pairs
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- Q-TRY
+  /** Error-safe function battery (the engine-wide PERMISSIVE stance,
+    * reference parse-or-empty analogue): failed casts / divisions /
+    * out-of-bounds access yield NULL, never an exception.
+    */
+  private val qTry: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      try_divide(col("value"), col("value") - col("value")).as("div0"),
+      expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
+      expr("try_cast(CAST(event_id AS STRING) AS BIGINT)").as("good_cast"),
+      try_element_at(split(col("event_type"), "_"), lit(99)).as("oob"),
+      try_add(col("event_id"), lit(1)).cast("long").as("next_id"))
+      .orderBy("event_id")
+
+  private val qTrySql =
+    """SELECT event_id,
+      |  value / nullif(value - value, 0.0) AS div0,
+      |  TRY_CAST(event_type AS BIGINT) AS bad_cast,
+      |  TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS good_cast,
+      |  string_split(event_type, '_')[99] AS oob,
+      |  CAST(event_id + 1 AS BIGINT) AS next_id
+      |FROM events ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- Q-JSON
   /** Schema-on-read JSON extraction, null on corrupt input (the
@@ -902,7 +930,8 @@ object Core {
     "q_session" -> qSession,
     "q_range" -> qRange,
     "q_topk_grouped" -> qTopKGrouped,
-    "q_agg2" -> qAgg2)
+    "q_agg2" -> qAgg2,
+    "q_try" -> qTry)
 
   val oracles: Map[String, String] = Map(
     "q_scan" -> qScanSql,
@@ -935,5 +964,6 @@ object Core {
     "q_session" -> qSessionSql,
     "q_range" -> qRangeSql,
     "q_topk_grouped" -> qTopKGroupedSql,
-    "q_agg2" -> qAgg2Sql)
+    "q_agg2" -> qAgg2Sql,
+    "q_try" -> qTrySql)
 }
