@@ -26,7 +26,11 @@ object Bench {
     // not per-row), then time the real pass at the target sf — the
     // reported numbers are steady-state query execution
     val warmDir = "/root/testdata/sf0.001"
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local profiling aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir).count()
       catch { case _: Throwable => () }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSigExpr, ShinglesExpr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, DotProductExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §4.2 preference order: native Expression over UDF).
@@ -38,6 +38,20 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 3, "graft_minhash_sig(text, k, numHashes)")
         MinHashSigExpr(children.head,
           intLit(children(1), "k"), intLit(children(2), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(a, b)")
+        DotProductExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine(a, b)")
+        CosineSimExpr(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

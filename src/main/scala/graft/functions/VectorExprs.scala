@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst kernels for embedding math (SURVEY.md similarity
+  * mandate). The relational formulations (VectorOps.dotRelational:
+  * zip_with + aggregate) are correct and codegen'd, but each call
+  * materializes an intermediate ArrayData of products and walks the
+  * lambda interpreter scaffolding per element — ~10µs per 64-dim pair,
+  * which dominates any O(n²)-shaped verify step (measured 140s for a
+  * 12.5M-pair exact join at sf0.1). These kernels are a single fused
+  * while-loop over the raw ArrayData — same sequential fold order, so
+  * results are BIT-IDENTICAL to the relational form and to the DuckDB
+  * oracle (asserted in VectorOpsSpec) — and they stay inside
+  * whole-stage codegen via doGenCode.
+  *
+  * Null semantics mirror the relational form: null array → null; any
+  * null element → null; length mismatch → null (zip_with pads with
+  * null); zero-norm cosine → null.
+  */
+object VectorKernels {
+
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Fused cosine: dot and both norms in one pass. Fold order per
+    * accumulator matches `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))`.
+    */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var d = 0.0; var sa = 0.0; var sb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      d += x * y; sa += x * x; sb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(sa) * math.sqrt(sb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(d / denom)
+  }
+}
+
+sealed abstract class FloatVecBinaryExpr extends BinaryExpression {
+  protected def fnName: String
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$fnName expects (ARRAY<FLOAT>, ARRAY<FLOAT>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def kernel: String // fully-qualified static method
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("vecres")
+      s"""
+        java.lang.Double $tmp = $kernel($l, $r);
+        ${ev.isNull} = $tmp == null;
+        ${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();
+      """
+    })
+}
+
+/** array<float> × array<float> → double sequential-fold dot product. */
+final case class DotProductExpr(left: Expression, right: Expression)
+    extends FloatVecBinaryExpr {
+  override protected def fnName: String = "graft_dot"
+  override protected def kernel: String = "graft.functions.VectorKernels.dot"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** array<float> × array<float> → double cosine; null on zero norm. */
+final case class CosineSimExpr(left: Expression, right: Expression)
+    extends FloatVecBinaryExpr {
+  override protected def fnName: String = "graft_cosine"
+  override protected def kernel: String = "graft.functions.VectorKernels.cosine"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}

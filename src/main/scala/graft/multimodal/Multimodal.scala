@@ -62,13 +62,20 @@ object Multimodal {
       // null text ⇒ empty payload, not a null that NPEs the codec
       encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
 
+  /** A null binary payload (nullable source column) is an empty media
+    * blob, never an NPE inside a task — every operator below
+    * normalizes through this before touching codec/payload methods.
+    */
+  private def safePayload(p: Array[Byte]): Array[Byte] =
+    if (p == null) Array.emptyByteArray else p
+
   /** Per-partition batched decode + feature extraction. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // per-task codec init would go here (native contexts, models…)
       rows.map { r =>
-        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        val payload = safePayload(r.payload)
         val (w, h, f) = FakeCodec.decode(r.kind, payload)
         MediaFeatures(r.doc_id, r.kind, payload.length.toLong, w, h, f,
           FakeCodec.features(payload))
@@ -88,11 +95,12 @@ object Multimodal {
   def resize(spark: SparkSession, media: DataFrame, maxSide: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { r =>
-      val (w, h, _) = FakeCodec.decode(r.kind, r.payload)
+      val payload = safePayload(r.payload)
+      val (w, h, _) = FakeCodec.decode(r.kind, payload)
       val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
       val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-      val nBytes = math.max(1, (r.payload.length * scale * scale).toInt)
-      ResizedMedia(r.doc_id, r.kind, nw, nh, r.payload.take(nBytes))
+      val nBytes = math.max(1, (payload.length * scale * scale).toInt)
+      ResizedMedia(r.doc_id, r.kind, nw, nh, payload.take(nBytes))
     })
   }
 
@@ -108,11 +116,12 @@ object Multimodal {
     require(stride >= 1)
     media.as[MediaRow].filter((r: MediaRow) => r.kind == "video")
       .mapPartitions(_.flatMap { r =>
-        val (_, _, frames) = FakeCodec.decode(r.kind, r.payload)
+        val payload = safePayload(r.payload)
+        val (_, _, frames) = FakeCodec.decode(r.kind, payload)
         (0 until frames by stride).map { i =>
           // stub frame payload: deterministic slice keyed by frame idx
-          val off = if (r.payload.isEmpty) 0 else math.floorMod(i * 31, r.payload.length)
-          Frame(r.doc_id, i, r.payload.drop(off).take(64))
+          val off = if (payload.isEmpty) 0 else math.floorMod(i * 31, payload.length)
+          Frame(r.doc_id, i, payload.drop(off).take(64))
         }
       })
   }

@@ -40,7 +40,11 @@ object Batching {
     */
   def withBatchIdScalable(df: DataFrame, size: Int, ord: Column*): DataFrame = {
     val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
-    val rdd = sorted.rdd
+    // The counts pass and the id-assignment pass must see the SAME
+    // partition contents; persist so a nondeterministic upstream
+    // (sample, rand-derived, unstable source order) is computed once,
+    // not re-derived differently on the second pass.
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
@@ -50,7 +54,12 @@ object Batching {
       var n = offsets(i)
       it.map { row => val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (n / size)); n += 1; r }
     }
-    spark.createDataFrame(withId,
+    // eager localCheckpoint materializes the result from the cached
+    // partitions so the input cache can be dropped before returning
+    val out = spark.createDataFrame(withId,
       sorted.schema.add("batch_id", org.apache.spark.sql.types.LongType))
+      .localCheckpoint()
+    rdd.unpersist(blocking = false)
+    out
   }
 }

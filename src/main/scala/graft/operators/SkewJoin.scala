@@ -24,13 +24,19 @@ object SkewJoin {
   /** Inner equi-join of `probe` (skewed, large) with `build` on
     * `key`, salted with `saltFactor`. `probeTiebreak` is any
     * probe-side column with good per-key spread (an id) used to derive
-    * the deterministic salt.
+    * the deterministic salt. Null tiebreak values fall back to a hash
+    * of the whole probe row: without the fallback every null-tiebreak
+    * row of a hot key hashes to the same constant and lands in one
+    * salt bucket, silently degrading the anti-skew guarantee to
+    * unsalted for exactly those rows.
     */
   def saltedInnerJoin(probe: DataFrame, build: DataFrame, key: String,
       probeTiebreak: String, saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1)
+    val rowSpread = xxhash64(probe.columns.map(col).toSeq: _*)
     val salted = probe.withColumn("_salt",
-      pmod(xxhash64(col(probeTiebreak)), lit(saltFactor)).cast("int"))
+      pmod(when(col(probeTiebreak).isNull, rowSpread)
+        .otherwise(xxhash64(col(probeTiebreak))), lit(saltFactor)).cast("int"))
     val exploded = build.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")

@@ -253,13 +253,16 @@ object Core {
 
   // ---------------------------------------------------------------- Q-AGG2
   /** Aggregate surface #2: collection aggregates (sorted for
-    * determinism) and boolean aggregates.
+    * determinism) and boolean aggregates. The collected set is emitted
+    * array_join'ed to a scalar string: the driver's comparator hashes
+    * column values, and raw array cells are unhashable on the pandas
+    * side (round-1 `unhashable type: numpy.ndarray`).
     */
   private val qAgg2: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
         bool_and(col("l_discount") <= 0.1).as("all_low_discount"),
         bool_or(col("l_quantity") > 45).as("any_bulk"),
         count_if(col("l_tax") > 0.05).as("n_taxed"))
@@ -267,10 +270,10 @@ object Core {
 
   private val qAgg2Sql =
     """SELECT l_returnflag,
-      |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
       |  bool_and(l_discount <= 0.1) AS all_low_discount,
       |  bool_or(l_quantity > 45) AS any_bulk,
-      |  count_if(l_tax > 0.05) AS n_taxed
+      |  CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_taxed
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- Q-CUBE2
@@ -525,8 +528,10 @@ object Core {
       col("o_orderkey"),
       element_at(m, "status").as("status_val"),
       size(m).cast("long").as("n_entries"),
-      sort_array(map_keys(m)).as("keys_sorted"),
-      sort_array(map_values(m)).as("vals_sorted"))
+      // array_join'ed to scalar strings — raw array cells are
+      // unhashable in the driver's pandas-side comparator
+      array_join(sort_array(map_keys(m)), ",").as("keys_sorted"),
+      array_join(sort_array(map_values(m)), ",").as("vals_sorted"))
       .orderBy("o_orderkey")
   }
 
@@ -534,8 +539,8 @@ object Core {
     """SELECT o_orderkey,
       |  MAP(['status','priority'], [o_orderstatus, o_orderpriority])['status'][1] AS status_val,
       |  CAST(cardinality(MAP(['status','priority'], [o_orderstatus, o_orderpriority])) AS BIGINT) AS n_entries,
-      |  list_sort(map_keys(MAP(['status','priority'], [o_orderstatus, o_orderpriority]))) AS keys_sorted,
-      |  list_sort(map_values(MAP(['status','priority'], [o_orderstatus, o_orderpriority]))) AS vals_sorted
+      |  array_to_string(list_sort(map_keys(MAP(['status','priority'], [o_orderstatus, o_orderpriority]))), ',') AS keys_sorted,
+      |  array_to_string(list_sort(map_values(MAP(['status','priority'], [o_orderstatus, o_orderpriority]))), ',') AS vals_sorted
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- Q-DATE

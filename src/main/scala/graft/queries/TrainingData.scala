@@ -71,9 +71,45 @@ object TrainingData {
     Dedup.ngramJaccardNearDups(Tables.documents(s, d), "doc_id", "text",
       threshold = 0.5, shingleK = 5, maxDocFreq = 100).orderBy("id_a", "id_b")
 
+  /** threshold/signBits tuned to the synthetic corpus: its max
+    * pairwise cosine is ~0.51 (no true near-dups exist), so the
+    * round-1 0.9 threshold provably returned 0 rows — no evidence the
+    * operator works. 0.35 @ 6 sign bits yields a nonzero, stable
+    * candidate set at every SF (14 rows at sf0.001, 18 at sf0.01).
+    */
   private val qEmbedNear: Q = (s, d) =>
     Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.9).orderBy("id_a", "id_b")
+      threshold = 0.35, signBits = 6)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+
+  /** Exact all-pairs twin of q_embed_neardup — SQL-expressible, so it
+    * carries a full DuckDB oracle (the LSH variant is approximate and
+    * stays rows-only + spec recall check). The probe set is bounded to
+    * vec_id < 1000: all-pairs is O(n²) BY DESIGN (it is the small-set
+    * verifier, not the scale path), so the declared query fixes n
+    * instead of growing quadratically with SF — at sf0.1 the unbounded
+    * form is 12.5M pairs / 140 s, the bounded one 0.5M / ~1 s.
+    */
+  private val qEmbedPairs: Q = (s, d) =>
+    Dedup.embeddingNearDupsExact(
+      Tables.embeddings(s, d).filter(col("vec_id") < 1000),
+      "vec_id", "embedding", threshold = 0.35)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+
+  private val qEmbedPairsSql =
+    """WITH e AS (SELECT * FROM embeddings WHERE vec_id < 1000),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM pairs
+      |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------- sampling
   /** Deterministic stratified sampling — the corpus-curation primitive
@@ -361,6 +397,7 @@ object TrainingData {
     "q_simhash_near" -> qSimhashNear,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_embed_neardup" -> qEmbedNear,
+    "q_embed_pairs" -> qEmbedPairs,
     "q_dedup_groups" -> qDedupGroups,
     "q_sample_stratified" -> qSampleStratified,
     "q_sim_brute" -> qSimBrute,
@@ -387,6 +424,7 @@ object TrainingData {
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_groups" -> qDedupGroupsSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_embed_pairs" -> qEmbedPairsSql,
     "q_sim_brute" -> qSimBruteSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,

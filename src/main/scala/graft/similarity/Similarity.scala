@@ -117,13 +117,19 @@ object Similarity {
       val assignU = udf(nearest(cs) _)
       // per-cell mean as `dim` avg aggregates over element_at — no
       // row explosion (a posexplode here is corpus×dim rows through a
-      // shuffle; this is one partial-agg row of dim doubles per cell)
+      // shuffle; this is one partial-agg row per cell). Elements go
+      // through DecimalType so the sum is exact and the mean is
+      // identical under any partition layout / AQE re-plan — double
+      // avg is IEEE754 order-dependent, and drifting centroids would
+      // silently change the probed cells and the returned top-k.
+      def dmean(i: Int) = avg(element_at(col(vecCol), i + 1)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 20))).as(s"m$i")
       val means = work
         .groupBy(assignU(col(vecCol)).as("cell"))
-        .agg(avg(element_at(col(vecCol), 1)).as("m0"),
-          (1 until dim).map(i => avg(element_at(col(vecCol), i + 1)).as(s"m$i")): _*)
+        .agg(dmean(0), (1 until dim).map(dmean): _*)
         .collect()
-        .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)).toArray).toMap
+        .map(r => r.getInt(0) ->
+          (0 until dim).map(i => r.getDecimal(i + 1).doubleValue()).toArray).toMap
       centroids = centroids.indices
         .map(i => means.getOrElse(i, centroids(i))).toArray // empty cell keeps its centroid
     }

@@ -59,6 +59,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.find(_.doc_id == 1L).get.n_bytes == 0)
   }
 
+  test("null payload rows survive resize and frame sampling too") {
+    // bypass asMedia (which coalesces text) — feed genuinely-null
+    // binary payloads straight to each operator, covering all three
+    // codec-touching paths, not just extractFeatures
+    val media = Seq[(Long, String, Array[Byte])](
+      (1L, "image", null), (2L, "video", null),
+      (3L, "video", "clip bytes".getBytes("UTF-8")))
+      .toDF("doc_id", "kind", "payload")
+    val resized = Multimodal.resize(spark, media, maxSide = 128).collect()
+    assert(resized.length == 3)
+    assert(resized.forall(r => r.width >= 1 && r.height >= 1))
+    val frames = Multimodal.sampleFrames(spark, media, stride = 10).collect()
+    assert(frames.map(_.doc_id).toSet.subsetOf(Set(2L, 3L)))
+    assert(frames.filter(_.doc_id == 2L).forall(_.payload.isEmpty))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.count(_.n_bytes == 0) == 2)
+  }
+
   test("fake codec varies frames by kind") {
     val payload = "hello world".getBytes("UTF-8")
     val (w1, h1, f1) = Multimodal.FakeCodec.decode("image", payload)
