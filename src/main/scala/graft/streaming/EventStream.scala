@@ -125,6 +125,49 @@ object EventStream {
     spark.table(name).orderBy("c_mktsegment", "event_type")
   }
 
+  /** Stream-stream inner join with an event-time interval condition:
+    * signups joined to the purchases that follow within `window_`.
+    * Both sides carry watermarks and the join condition bounds the
+    * time range, so Spark derives state-eviction predicates for BOTH
+    * state stores — the state held is O(events inside the watermark
+    * horizon), not O(stream) — this is the canonical scalable
+    * stream-stream join shape. Inner-join matches emit as soon as both
+    * rows arrive (append mode), so on a bounded input the sink equals
+    * the batch join — the DuckDB oracle states exactly that join.
+    */
+  def intervalJoinStream(spark: SparkSession, dir: String,
+      window_ : String = "2 hours", watermark: String = "1 hour",
+      statePartitions: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"),
+        col("event_id").as("signup_event"))
+      .withWatermark("signup_ts", watermark)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    val joined = signups.join(purchases, expr(
+      s"s_user = p_user AND purchase_ts >= signup_ts AND " +
+        s"purchase_ts <= signup_ts + interval ${window_}"))
+      .select(col("s_user").as("user_id"), col("signup_event"),
+        col("purchase_event"), col("signup_ts"), col("purchase_ts"),
+        col("purchase_value"))
+    val name = s"stream_ssjoin_${System.nanoTime()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy("user_id", "signup_event", "purchase_event")
+  }
+
   /** Batch twin of [[windowedCounts]] including the append-mode
     * watermark cutoff — used by tests to prove stream/batch
     * equivalence, and mirrored by the DuckDB oracle.

@@ -11,8 +11,9 @@ class QueriesSmokeSpec extends SparkTestBase {
 
   private val mayBeEmpty = Set(
     "q_join_anti", // every customer has orders in the synthetic data
-    "q_dedup_minhash", "q_simhash_near", "q_ngram_jaccard",
-    "q_embed_neardup") // all-unique corpus => no near-dups
+    "q_dedup_minhash", "q_simhash_near", "q_ngram_jaccard")
+  // q_embed_neardup deliberately NOT here: its threshold is tuned to
+  // return rows at every SF (round-1 regression: 0.9 => always empty)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
