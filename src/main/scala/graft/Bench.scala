@@ -35,14 +35,22 @@ object Bench {
       try fn(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir).count()
       catch { case _: Throwable => () }
     }
+    // timing = min over SPARK_GRAFT_RUNS (default 2) measured passes:
+    // local[n] timings at this scale are GC/scheduler-noise bound, and
+    // the min is the standard steady-state estimator (the work done is
+    // identical each pass; only interference varies)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        // a failed query must be visible in the JSON, not a fast timing
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // a failed query must be visible in the JSON, not a fast timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -131,11 +131,18 @@ object Extended {
     * tiebreak so the boundary is engine-independent.
     */
   private val qTfidf: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
+    // tf and df both consume the exploded token stream — aggregate tf
+    // FIRST, then derive df from the (doc, tok, tf) relation: one pass
+    // over the big explode instead of two, and df's distinct collapses
+    // to a plain count (tf already groups by (doc_id, tok)). n = corpus
+    // size is a metadata-cheap count off documents (doc_id is unique;
+    // split() yields >= 1 token for every row, even empty text, so
+    // every doc_id survives into toks — same N the oracle computes).
+    val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-    val n = toks.select(countDistinct(col("doc_id"))).head.getLong(0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).count()
     tf.join(dfreq, "tok")
       .withColumn("tfidf", round(
         col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
