@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, Extended, TrainingData}
+import graft.queries.{Analytics, Core, Extended, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +23,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.defs ++ TrainingData.defs ++ Extended.defs
+    Core.defs ++ TrainingData.defs ++ Extended.defs ++ Analytics.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (MinHash/SimHash/LSH family, multimodal stub) → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Core.oracles ++ TrainingData.oracles ++ Extended.oracles
+    Core.oracles ++ TrainingData.oracles ++ Extended.oracles ++ Analytics.oracles
 }

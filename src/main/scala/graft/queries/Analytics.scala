@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TopKAgg, VectorOps}
+
+/** Round-2 analytics surface: event-sequence analytics (funnel,
+  * cohort retention), PII redaction, a k-nearest-neighbour join, and
+  * UNPIVOT. Same parity rules as Core (explicit aliases, BIGINT
+  * normalization, deterministic total ORDER BY).
+  */
+object Analytics {
+  import Core.Q
+
+  // -------------------------------------------------------------- Q-FUNNEL
+  /** Ordered 3-stage funnel over `events`: first signup → first view
+    * strictly after it → first purchase strictly after that, per user.
+    *
+    * Shape at scale: each stage is one hash aggregation keyed on
+    * user_id; stages 2/3 join the (small, one-row-per-user) previous
+    * stage back to the filtered event stream ON THE SAME KEY, so the
+    * exchange introduced by stage-1's groupBy is reused — no extra
+    * shuffle of the big side beyond its own aggregation. Final counts
+    * are metadata-sized.
+    */
+  private val qFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts1"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, "user_id").filter(col("ts") > col("ts1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("ts2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(s1, "1_signup").unionByName(stage(s2, "2_view"))
+      .unionByName(stage(s3, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  private val qFunnelSql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'view' AND e.ts > s1.ts1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.ts2 GROUP BY e.user_id)
+      |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+      |UNION ALL SELECT '2_view', count(*) FROM s2
+      |UNION ALL SELECT '3_purchase', count(*) FROM s3
+      |ORDER BY stage""".stripMargin
+
+  // ----------------------------------------------------------- Q-RETENTION
+  /** Cohort retention: cohort = calendar day of first signup; a user
+    * counts as retained at offset k if they emitted ANY event k days
+    * after their cohort day (0 ≤ k ≤ 7).
+    *
+    * activity is pre-deduplicated to (user_id, day) before the cohort
+    * join — the join input is bounded by users × days, not by raw
+    * event volume, and both the distinct and the join key off user_id.
+    */
+  private val qRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activity = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    activity.join(cohort, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("offset").between(0, 7))
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  private val qRetentionSql =
+    """WITH cohort AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT cohort_day,
+      |       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS "offset",
+      |       count(*) AS n_users
+      |FROM activity JOIN cohort USING (user_id)
+      |WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7
+      |GROUP BY cohort_day, 2 ORDER BY cohort_day, 2""".stripMargin
+
+  // ------------------------------------------------------------------ Q-PII
+  /** PII detection + redaction — the privacy pass of a training-data
+    * pipeline. The corpus text is synthetic word-salad with no PII, so
+    * the PII-bearing text is synthesized deterministically from
+    * customer columns IDENTICALLY in both engines, then redacted with
+    * shared-syntax regexes (character classes + bounded quantifiers —
+    * valid and identical under Java regex and RE2). Counting uses
+    * regexp_extract_all length so the match semantics and the
+    * redaction semantics are the same code path.
+    */
+  private val qPii: Q = (s, d) => {
+    val emailPat = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+    val phonePat = "555-[0-9]{4}"
+    val namePat = "Customer#[0-9]+"
+    val raw = Tables.customer(s, d).select(
+      col("c_custkey"),
+      concat(
+        lit("Contact "), col("c_name"), lit(" at user"),
+        col("c_custkey").cast("string"), lit("@mail.example.com or call 555-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+        lit(" about the order.")).as("raw"))
+    raw.select(
+      col("c_custkey"),
+      size(regexp_extract_all(col("raw"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("raw"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"),
+        namePat, "<NAME>").as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  private val qPiiSql =
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |    'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+      |      || '@mail.example.com or call 555-'
+      |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+      |      || ' about the order.' AS raw
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+      |    '555-[0-9]{4}', '<PHONE>', 'g'),
+      |    'Customer#[0-9]+', '<NAME>', 'g') AS redacted
+      |FROM raw ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------ Q-KNN-JOIN
+  /** k-nearest-neighbour JOIN: for every probe vector (vec_id < 20)
+    * the top-5 corpus neighbours (vec_id ≥ 20) by exact cosine.
+    *
+    * Shape at scale: the probe side is broadcast (bounded query set);
+    * the corpus is scanned once, scored by the fused native cosine
+    * kernel (whole-stage codegen), and reduced through TopKAgg — the
+    * bounded-buffer aggregator ships at most k rows per probe per
+    * partition through the shuffle (map-side combine), i.e. the
+    * per-group TakeOrderedAndProject. A row_number window here would
+    * instead shuffle and sort ALL corpus × probe scores.
+    * Kernel fold order matches the oracle's list_sum exactly
+    * (VectorOpsSpec), so raw-double ranking is engine-stable; ties
+    * break by cid.
+    */
+  private val qKnnJoin: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val scored = corpus.join(broadcast(probes))
+      .withColumn("cos", VectorOps.cosine(col("qvec"), col("cvec")))
+      .filter(col("cos").isNotNull)
+    scored.groupBy(col("qid"))
+      .agg(TopKAgg.topK(5)(col("cos"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(
+        col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("hit._2").as("cid"), round(col("hit._1"), 6).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  private val qKnnJoinSql =
+    """WITH p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 20),
+      |scored AS (
+      |  SELECT qid, cid,
+      |    list_sum(list_transform(list_zip(qv, cv),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos
+      |  FROM p CROSS JOIN c),
+      |ranked AS (
+      |  SELECT qid, cid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM scored WHERE cos IS NOT NULL)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, cid, round(cos, 6) AS cosine
+      |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  // ------------------------------------------------------------- Q-UNPIVOT
+  /** SQL-standard UNPIVOT (wide → long), shared dialect — the same
+    * string parses in Spark and DuckDB. Value columns are pre-cast to
+    * one type (UNPIVOT requires a common value type in both engines).
+    */
+  private val qUnpivotText =
+    """SELECT l_returnflag, metric, val FROM (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    CAST(count(*) AS DOUBLE) AS n_rows
+      |  FROM lineitem GROUP BY l_returnflag) w
+      |UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_rows))
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  private val qUnpivot: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(qUnpivotText)
+  }
+
+  // ------------------------------------------------------------------ maps
+  val defs: Map[String, Q] = Map(
+    "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
+    "q_pii" -> qPii,
+    "q_knn_join" -> qKnnJoin,
+    "q_unpivot" -> qUnpivot)
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_retention" -> qRetentionSql,
+    "q_pii" -> qPiiSql,
+    "q_knn_join" -> qKnnJoinSql,
+    "q_unpivot" -> qUnpivotText)
+}

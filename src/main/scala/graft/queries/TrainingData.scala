@@ -83,6 +83,30 @@ object TrainingData {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id_a", "id_b")
 
+  /** Round-2: the sign-bucket blocking is pure list arithmetic
+    * (indexed lambda: bit i weighs 2^(k-i), the fold order of
+    * VectorOps.signBucket), so the former rows-only check upgrades to
+    * a full oracle — bucket equality join + exact cosine, same
+    * threshold.
+    */
+  private val qEmbedNearSql =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(embedding[1:6],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
+      |      AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+      |    list_sum(list_transform(list_zip(a.embedding, c.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM pairs
+      |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
   /** Exact all-pairs twin of q_embed_neardup — SQL-expressible, so it
     * carries a full DuckDB oracle (the LSH variant is approximate and
     * stays rows-only + spec recall check). The probe set is bounded to
@@ -300,6 +324,30 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Round-2: the stopword heuristic is pure list arithmetic, so the
+    * former rows-only check upgrades to a full oracle (same priority
+    * CASE order as TextOps.langGuess).
+    */
+  private val qLangIdSql =
+    """WITH h AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |      t -> list_contains(['the','and','of','to','in','is','a'], t))) AS en,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |      t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |      t -> list_contains(['le','les','et','est','pas','une','dans'], t))) AS fr,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |      t -> list_contains(['el','los','y','es','no','una','por'], t))) AS es
+      |  FROM documents)
+      |SELECT doc_id, labeled_lang,
+      |  CASE WHEN en + de + fr + es = 0 THEN 'unknown'
+      |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+      |       WHEN de >= fr AND de >= es THEN 'de'
+      |       WHEN fr >= es THEN 'fr'
+      |       ELSE 'es' END AS guessed_lang
+      |FROM h ORDER BY doc_id""".stripMargin
+
   private val qFingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -425,6 +473,8 @@ object TrainingData {
     "q_dedup_groups" -> qDedupGroupsSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_embed_pairs" -> qEmbedPairsSql,
+    "q_embed_neardup" -> qEmbedNearSql,
+    "q_langid" -> qLangIdSql,
     "q_sim_brute" -> qSimBruteSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.functions.VectorOps
+
+/** Semantic invariants for the analytics surface (value-level parity
+  * is the DuckDB oracle's job).
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  test("funnel stage counts are monotonically non-increasing") {
+    val rows = Analytics.defs("q_funnel")(spark, sf)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(rows.length == 3)
+    assert(rows.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("retention: offset 0 exists for every cohort day and bounds hold") {
+    val df = Analytics.defs("q_retention")(spark, sf).cache()
+    try {
+      val offsets = df.select("offset").distinct().collect().map(_.getLong(0))
+      assert(offsets.forall(o => o >= 0 && o <= 7))
+      // every cohort day has day-0 activity (the signup event itself)
+      val cohorts = df.select("cohort_day").distinct().count()
+      val atZero = df.filter(col("offset") === 0).count()
+      assert(atZero == cohorts)
+    } finally df.unpersist()
+  }
+
+  test("pii: redacted text contains no email/phone/name patterns") {
+    val df = Analytics.defs("q_pii")(spark, sf)
+    val leaked = df.filter(
+      col("redacted").rlike("[A-Za-z0-9.]+@[A-Za-z0-9.]+") ||
+      col("redacted").rlike("555-[0-9]{4}") ||
+      col("redacted").rlike("Customer#[0-9]+")).count()
+    assert(leaked == 0)
+    // and every row had at least one of each synthesized PII kind
+    assert(df.filter(col("n_emails") < 1 || col("n_phones") < 1).count() == 0)
+    assert(df.filter(!col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<PHONE>") ||
+      !col("redacted").contains("<NAME>")).count() == 0)
+  }
+
+  test("knn join: TopKAgg result equals the row_number-window brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val scored = corpus.join(broadcast(probes))
+      .withColumn("cos", VectorOps.cosine(col("qvec"), col("cvec")))
+      .filter(col("cos").isNotNull)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    val brute = scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), round(col("cos"), 6).as("cosine"))
+    val agg = Analytics.defs("q_knn_join")(spark, sf)
+    assert(agg.exceptAll(brute).isEmpty && brute.exceptAll(agg).isEmpty)
+  }
+
+  test("knn join: exactly 5 hits per probe, cosine non-increasing in rank") {
+    val df = Analytics.defs("q_knn_join")(spark, sf).cache()
+    try {
+      val perProbe = df.groupBy("qid").count().select("count")
+        .distinct().collect().map(_.getLong(0))
+      assert(perProbe.sameElements(Array(5L)))
+      val bad = df.withColumn("prev",
+          lag(col("cosine"), 1).over(
+            Window.partitionBy("qid").orderBy("rk")))
+        .filter(col("prev").isNotNull && col("cosine") > col("prev"))
+      assert(bad.count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("unpivot emits one row per (group, metric)") {
+    val df = Analytics.defs("q_unpivot")(spark, sf)
+    val flags = Tables.lineitem(spark, sf)
+      .select("l_returnflag").distinct().count()
+    assert(df.count() == flags * 3)
+    assert(df.select("metric").distinct().count() == 3)
+  }
+}
