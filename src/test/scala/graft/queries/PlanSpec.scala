@@ -62,4 +62,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
+
+  test("q_knn_join broadcasts the probe side and aggregates top-k partially") {
+    val p = plan("q_knn_join")
+    // bounded probe set rides a broadcast; the corpus is never shuffled
+    // pre-score, and TopKAgg combines map-side (≤k rows/probe/partition
+    // through the one exchange)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("partial_topkagg"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("q_unpivot is one scan + partial agg + Expand (no re-scan per metric)") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), p.take(800))
+    assert(p.contains("partial_sum"), p.take(800))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("q_funnel pushes stage filters into the event scans") {
+    val p = plan("q_funnel")
+    assert(p.contains("EqualTo(event_type,signup)"), p.take(1200))
+    assert(p.contains("EqualTo(event_type,view)"), p.take(1200))
+    assert(p.contains("EqualTo(event_type,purchase)"))
+  }
 }
