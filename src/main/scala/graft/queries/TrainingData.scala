@@ -71,6 +71,36 @@ object TrainingData {
     Dedup.ngramJaccardNearDups(Tables.documents(s, d), "doc_id", "text",
       threshold = 0.5, shingleK = 5, maxDocFreq = 100).orderBy("id_a", "id_b")
 
+  /** Round-2: word-5-shingle Jaccard is pure list arithmetic, so the
+    * former rows-only check upgrades to a full oracle replicating the
+    * operator exactly: distinct shingles, doc-frequency cap (2 ≤ df ≤
+    * 100), shared-count self-join, jaccard = |∩| / (|A|+|B|-|∩|).
+    * The division is integer-over-integer in doubles — bit-identical
+    * across engines, no rounding needed.
+    */
+  private val qNgramJaccardSql =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 3, 1)),
+      |    i -> array_to_string(t[i:i+4], ' ')))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |n_sh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+      |  WHERE df BETWEEN 2 AND 100),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+      |FROM shared
+      |JOIN n_sh na ON na.doc_id = id_a
+      |JOIN n_sh nb ON nb.doc_id = id_b
+      |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** threshold/signBits tuned to the synthetic corpus: its max
     * pairwise cosine is ~0.51 (no true near-dups exist), so the
     * round-1 0.9 threshold provably returned 0 rows — no evidence the
@@ -475,6 +505,7 @@ object TrainingData {
     "q_embed_pairs" -> qEmbedPairsSql,
     "q_embed_neardup" -> qEmbedNearSql,
     "q_langid" -> qLangIdSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_sim_brute" -> qSimBruteSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,
