@@ -255,6 +255,119 @@ object Extended {
       | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
       |ORDER BY l.user_id, signup_event, purchase_event""".stripMargin
 
+  // ------------------------------------------------------------- Q-WINDOW3
+  /** Window battery #3: ntile / first_value / last_value / nth_value.
+    * Partition order carries an o_orderkey tiebreak — o_orderdate
+    * alone ties, and first/last/nth are order-sensitive. last/nth use
+    * the explicit full-frame (the default frame stops at CURRENT ROW
+    * in both engines, which is almost never what last_value means).
+    */
+  private val qWindow3: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      first_value(col("o_totalprice")).over(w).as("first_price"),
+      last_value(col("o_totalprice")).over(wFull).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qWindow3Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER wf AS last_price,
+      |  nth_value(o_totalprice, 2) OVER wf AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- Q-HISTOGRAM
+  /** Equi-width histogram, the two-pass global-binning shape: pass 1
+    * computes global min/max (metadata-sized), pass 2 broadcasts them
+    * and bins the scan — no shuffle of the fact table beyond the final
+    * per-bin count. Bin arithmetic is identical double math in both
+    * engines; x = max clamps into the last bin.
+    */
+  private val qHistogram: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val stats = o.agg(
+      min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    o.join(broadcast(stats))
+      .withColumn("bin", least(
+        floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 10.0)),
+        lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("mn")) + col("bin") * (min(col("mx")) - min(col("mn"))) / 10.0, 4)
+          .as("bin_lo"))
+      .select(col("bin"), col("bin_lo"), col("n"))
+      .orderBy("bin")
+  }
+
+  private val qHistogramSql =
+    """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+      |SELECT bin, round(min(mn) + bin * (min(mx) - min(mn)) / 10.0, 4) AS bin_lo,
+      |       count(*) AS n
+      |FROM (
+      |  SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT),
+      |               9) AS bin, mn, mx
+      |  FROM orders CROSS JOIN s)
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------- Q-STRING-SIM
+  /** Fuzzy string matching: for each probe part name, the single best
+    * corpus match by Levenshtein distance (same edit-distance
+    * definition in both engines), normalized similarity = 1 − d/max
+    * |s|. Probe side is broadcast; ranking ties break on distance,
+    * then corpus id. The per-probe argmin is a window here (bounded
+    * probe set); the shuffle-bounded path for huge probe sets is
+    * TopKAgg as in q_knn_join.
+    */
+  private val qStringSim: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, d)
+    val probes = p.filter(col("p_partkey") < 30)
+      .select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val corpus = p.filter(col("p_partkey") >= 30 && col("p_partkey") < 130)
+      .select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("lev"), col("id_b"))
+    corpus.join(broadcast(probes))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id_a"), col("id_b"), col("lev"),
+        round(lit(1.0) - col("lev") /
+          greatest(length(col("name_a")), length(col("name_b"))).cast("double"), 6)
+          .as("sim"))
+      .orderBy("id_a")
+  }
+
+  private val qStringSimSql =
+    """WITH probes AS (
+      |  SELECT p_partkey AS id_a, p_name AS name_a FROM part WHERE p_partkey < 30),
+      |corpus AS (
+      |  SELECT p_partkey AS id_b, p_name AS name_b FROM part
+      |  WHERE p_partkey >= 30 AND p_partkey < 130),
+      |scored AS (
+      |  SELECT id_a, id_b, name_a, name_b,
+      |    CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+      |  FROM probes CROSS JOIN corpus),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY lev, id_b) AS rk
+      |  FROM scored)
+      |SELECT id_a, id_b, lev,
+      |  round(1.0 - CAST(lev AS DOUBLE) / greatest(length(name_a), length(name_b)), 6) AS sim
+      |FROM ranked WHERE rk = 1 ORDER BY id_a""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_stats" -> qStats,
@@ -265,7 +378,10 @@ object Extended {
     "q_tfidf" -> qTfidf,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_curate" -> qCurate,
-    "q_stream_ss_join" -> qStreamSsJoin)
+    "q_stream_ss_join" -> qStreamSsJoin,
+    "q_window3" -> qWindow3,
+    "q_histogram" -> qHistogram,
+    "q_string_sim" -> qStringSim)
 
   val oracles: Map[String, String] = Map(
     "q_stats" -> qStatsSql,
@@ -276,5 +392,8 @@ object Extended {
     "q_tfidf" -> qTfidfSql,
     "q_sink_roundtrip" -> qSinkRoundtripSql,
     "q_curate" -> qCurateSql,
-    "q_stream_ss_join" -> qStreamSsJoinSql)
+    "q_stream_ss_join" -> qStreamSsJoinSql,
+    "q_window3" -> qWindow3Sql,
+    "q_histogram" -> qHistogramSql,
+    "q_string_sim" -> qStringSimSql)
 }
