@@ -368,6 +368,62 @@ object Extended {
       |  round(1.0 - CAST(lev AS DOUBLE) / greatest(length(name_a), length(name_b)), 6) AS sim
       |FROM ranked WHERE rk = 1 ORDER BY id_a""".stripMargin
 
+  // --------------------------------------------------------- Q-JOIN-SALTED
+  /** The skew-salted join surfaced as a driver-checkable query: salted
+    * inner join lineitem ⋈ orders (salt = deterministic hash of
+    * l_linenumber, build side replicated ×salt), then aggregate. The
+    * salt is an implementation detail — results are identical to the
+    * plain join, which is exactly what the oracle asserts.
+    */
+  private val qJoinSalted: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedInnerJoin(li, ord, "l_orderkey",
+        probeTiebreak = "l_linenumber", saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        cast_sum_qty(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def cast_sum_qty(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private val qJoinSaltedSql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------- Q-JOIN-BUCKETED
+  /** The bucketed co-located join surfaced as a driver-checkable
+    * query: write orders and customer bucketed by the join key (the
+    * one-time layout shuffle), then join the bucketed tables — the
+    * join itself plans with NO exchange (BucketingSpec asserts the
+    * plan) — and aggregate. Results are identical to the plain join,
+    * which is what the oracle asserts.
+    */
+  private val qJoinBucketed: Q = (s, d) => {
+    graft.sources.Bucketing.replaceBucketed(s,
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "graft_b_orders", "o_custkey", buckets = 8)
+    graft.sources.Bucketing.replaceBucketed(s,
+      Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "graft_b_customer", "o_custkey", buckets = 8)
+    graft.sources.Bucketing.bucketedJoin(s, "graft_b_orders", "graft_b_customer", "o_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qJoinBucketedSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_stats" -> qStats,
@@ -381,7 +437,9 @@ object Extended {
     "q_stream_ss_join" -> qStreamSsJoin,
     "q_window3" -> qWindow3,
     "q_histogram" -> qHistogram,
-    "q_string_sim" -> qStringSim)
+    "q_string_sim" -> qStringSim,
+    "q_join_salted" -> qJoinSalted,
+    "q_join_bucketed" -> qJoinBucketed)
 
   val oracles: Map[String, String] = Map(
     "q_stats" -> qStatsSql,
@@ -395,5 +453,7 @@ object Extended {
     "q_stream_ss_join" -> qStreamSsJoinSql,
     "q_window3" -> qWindow3Sql,
     "q_histogram" -> qHistogramSql,
-    "q_string_sim" -> qStringSimSql)
+    "q_string_sim" -> qStringSimSql,
+    "q_join_salted" -> qJoinSaltedSql,
+    "q_join_bucketed" -> qJoinBucketedSql)
 }

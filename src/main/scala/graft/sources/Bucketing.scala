@@ -20,6 +20,23 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed: spark.sql.warehouse.dir
 
+  /** [[writeBucketed]], replacing any previous incarnation: drops the
+    * catalog entry AND clears a leftover managed location. A managed
+    * table written by an earlier session leaves its warehouse
+    * directory behind after the in-memory catalog is gone, and
+    * saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
+    * overwrite mode.
+    */
+  def replaceBucketed(spark: SparkSession, df: DataFrame, table: String,
+      key: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    writeBucketed(df, table, key, buckets)
+  }
+
   /** Join two bucketed tables on their bucket key. When both are
     * bucketed by `key` with equal bucket counts, the plan contains no
     * shuffle Exchange.
