@@ -210,18 +210,57 @@ object Analytics {
     s.sql(qUnpivotText)
   }
 
+  // -------------------------------------------------------------- Q-ARRAY
+  /** Array set-operation battery: union / intersect / except /
+    * overlap / position over two overlapping token slices of each
+    * document. Set results are emitted SORTED and array_join'ed —
+    * DuckDB's list_intersect dedups in arbitrary order (and the
+    * driver comparator can't hash array cells), so the portable form
+    * is the sorted scalar string; the set CONTENT is what's checked.
+    */
+  private val qArray: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        slice(toks, 1, 6).as("a"), slice(toks, 4, 6).as("b"))
+      .select(
+        col("doc_id"),
+        array_join(array_sort(array_union(col("a"), col("b"))), ",").as("union_s"),
+        array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("inter_s"),
+        array_join(array_sort(array_except(col("a"), col("b"))), ",").as("except_s"),
+        arrays_overlap(col("a"), col("b")).as("overlap"),
+        array_position(col("a"), "the").cast("long").as("pos_the"))
+      .orderBy("doc_id")
+  }
+
+  private val qArraySql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE doc_id < 100),
+      |ab AS (SELECT doc_id, toks[1:6] AS a, toks[4:9] AS b FROM t)
+      |SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_s,
+      |  array_to_string(list_sort(list_intersect(a, b)), ',') AS inter_s,
+      |  array_to_string(list_sort(list_filter(list_distinct(a),
+      |    x -> NOT list_contains(b, x))), ',') AS except_s,
+      |  len(list_intersect(a, b)) > 0 AS overlap,
+      |  CAST(list_position(a, 'the') AS BIGINT) AS pos_the
+      |FROM ab ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_pii" -> qPii,
     "q_knn_join" -> qKnnJoin,
-    "q_unpivot" -> qUnpivot)
+    "q_unpivot" -> qUnpivot,
+    "q_array" -> qArray)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_pii" -> qPiiSql,
     "q_knn_join" -> qKnnJoinSql,
-    "q_unpivot" -> qUnpivotText)
+    "q_unpivot" -> qUnpivotText,
+    "q_array" -> qArraySql)
 }

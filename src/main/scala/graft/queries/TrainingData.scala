@@ -449,6 +449,35 @@ object TrainingData {
       |FROM ripe QUALIFY segment >= 1
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Streaming session_window (gap merge) — append-mode cutoff ⇒ only
+    * sessions whose end (last ts + 30 min gap) is at or below the
+    * final watermark (max ts − 10 min) are emitted; the oracle states
+    * the same relational merge as q_session plus that cutoff.
+    */
+  private val qStreamSession: Q = (s, d) => EventStream.sessionStream(s, d)
+
+  private val qStreamSessionSql =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, new_sess DESC
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM o),
+      |agg AS (
+      |  SELECT user_id, min(ts) AS sess_start,
+      |         max(ts) + INTERVAL '30 minutes' AS sess_end,
+      |         count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sess_value
+      |  FROM s GROUP BY user_id, sess)
+      |SELECT user_id, sess_start, sess_end, n_events, sess_value FROM agg
+      |WHERE sess_end <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+      |ORDER BY user_id, sess_start""".stripMargin
+
   private val qStreamDedup: Q = (s, d) => EventStream.dedupStream(s, d)
 
   private val qStreamJoin: Q = (s, d) => EventStream.enrichedStream(s, d)
@@ -492,7 +521,8 @@ object TrainingData {
     "q_stream_window" -> qStream,
     "q_stream_seg" -> qStreamSeg,
     "q_stream_dedup" -> qStreamDedup,
-    "q_stream_join" -> qStreamJoin)
+    "q_stream_join" -> qStreamJoin,
+    "q_stream_session" -> qStreamSession)
 
   /** Oracles only for the SQL-expressible subset; the rest get the
     * driver's rows-only check.
@@ -515,5 +545,6 @@ object TrainingData {
     "q_stream_window" -> qStreamSql,
     "q_stream_seg" -> qStreamSegSql,
     "q_stream_dedup" -> qStreamDedupSql,
+    "q_stream_session" -> qStreamSessionSql,
     "q_stream_join" -> qStreamJoinSql)
 }

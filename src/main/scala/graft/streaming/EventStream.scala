@@ -168,6 +168,43 @@ object EventStream {
     spark.table(name).orderBy("user_id", "signup_event", "purchase_event")
   }
 
+  /** Streaming gap-sessionization: session_window per user (the
+    * streaming twin of Q-SESSION's 30-minute-gap merge). Append mode
+    * emits a session only once the watermark passes its end (last
+    * event + gap), so the bounded input yields exactly the sessions
+    * whose end ≤ max(ts) − watermark delay — the oracle applies the
+    * same cutoff to the relational session merge. Session state is
+    * bounded by the watermark horizon, which is what makes
+    * gap-sessions viable on an unbounded stream.
+    */
+  def sessionStream(spark: SparkSession, dir: String,
+      gap: String = "30 minutes", watermark: String = "10 minutes",
+      statePartitions: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sess = src
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sess_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("sess_value"))
+    val name = s"stream_sess_${System.nanoTime()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = sess.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy("user_id", "sess_start")
+  }
+
   /** Batch twin of [[windowedCounts]] including the append-mode
     * watermark cutoff — used by tests to prove stream/batch
     * equivalence, and mirrored by the DuckDB oracle.
