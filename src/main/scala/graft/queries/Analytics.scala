@@ -247,6 +247,78 @@ object Analytics {
       |  CAST(list_position(a, 'the') AS BIGINT) AS pos_the
       |FROM ab ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q-AGG3
+  /** Misc aggregate battery: count_if / bool_and / bool_or / max_by /
+    * min_by. The *_by calls key on o_orderkey (unique), so the argmin/
+    * argmax is deterministic — ties in the by-value are the classic
+    * cross-engine divergence.
+    */
+  private val qAgg3: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("price_of_last"),
+        min_by(col("o_totalprice"), col("o_orderkey")).as("price_of_first"))
+      .orderBy("o_orderpriority")
+
+  private val qAgg3Sql =
+    """SELECT o_orderpriority,
+      |  count_if(o_totalprice > 200000) AS n_big,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  bool_or(o_orderstatus = 'F') AS any_f,
+      |  max_by(o_totalprice, o_orderkey) AS price_of_last,
+      |  min_by(o_totalprice, o_orderkey) AS price_of_first
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------- Q-PARTITION-PRUNE
+  /** Hive-style partition pruning end-to-end: write the corpus
+    * partitioned by lang (the one-time layout cost), read it back with
+    * a partition predicate — the scan lists ONLY the lang=en
+    * directory (PartitionFilters, asserted in PlanSpec); the data of
+    * the other partitions is never opened. The oracle computes the
+    * same aggregate off the unpartitioned table — proving the
+    * partitioned round-trip is lossless and the pruned scan complete.
+    */
+  private val qPartitionPrune: Q = (s, d) => {
+    val base = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.documents(s, d).write.mode("overwrite")
+      .partitionBy("lang").parquet(base)
+    s.read.parquet(base)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  private val qPartitionPruneSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------- Q-MULTIMODAL2
+  /** The remaining multimodal plumbing ops (resize + frame sampling
+    * over the stub codec) surfaced as one driver-checkable query:
+    * per-document resized dims joined to the sampled frame count.
+    * Deterministic (stub codec is a pure function of the payload) but
+    * not SQL-expressible → rows-only check + MultimodalSpec.
+    */
+  private val qMultimodal2: Q = (s, d) => {
+    val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, d))
+    val resized = graft.multimodal.Multimodal.resize(s, media, maxSide = 64)
+      .toDF().select(col("doc_id"), col("width"), col("height"))
+    val frames = graft.multimodal.Multimodal.sampleFrames(s, media, stride = 4)
+      .toDF().groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    resized.join(frames, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -254,7 +326,10 @@ object Analytics {
     "q_pii" -> qPii,
     "q_knn_join" -> qKnnJoin,
     "q_unpivot" -> qUnpivot,
-    "q_array" -> qArray)
+    "q_array" -> qArray,
+    "q_agg3" -> qAgg3,
+    "q_partition_prune" -> qPartitionPrune,
+    "q_multimodal2" -> qMultimodal2)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -262,5 +337,7 @@ object Analytics {
     "q_pii" -> qPiiSql,
     "q_knn_join" -> qKnnJoinSql,
     "q_unpivot" -> qUnpivotText,
-    "q_array" -> qArraySql)
+    "q_array" -> qArraySql,
+    "q_agg3" -> qAgg3Sql,
+    "q_partition_prune" -> qPartitionPruneSql)
 }

@@ -81,6 +81,13 @@ class PlanSpec extends SparkTestBase {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(800))
   }
 
+  test("q_partition_prune lists only the lang=en partition") {
+    val p = plan("q_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p.take(1200))
+    // the predicate must NOT survive as a post-scan data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p.take(1200))
+  }
+
   test("q_funnel pushes stage filters into the event scans") {
     val p = plan("q_funnel")
     assert(p.contains("EqualTo(event_type,signup)"), p.take(1200))
