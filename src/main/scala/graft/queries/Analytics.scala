@@ -319,6 +319,73 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------- Q-WINDOW-RANGE
+  /** RANGE-frame window with a calendar interval: per-customer
+    * trailing-30-day order count and spend at each order. RANGE
+    * includes ALL peers at equal timestamps (unlike ROWS), so ties in
+    * o_orderdate are handled identically in both engines — no
+    * tiebreak needed, which is exactly the point of the range frame.
+    * Shared-dialect SQL (the same string parses in Spark and DuckDB).
+    */
+  private val qWindowRangeText =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_30d,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val qWindowRange: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(qWindowRangeText)
+  }
+
+  // -------------------------------------------------------------- Q-UPSERT
+  /** MERGE/upsert: apply a deterministic change-set to orders —
+    * matched keys take the update's price and flip status to 'U',
+    * unmatched updates insert. Stated declaratively as a full-outer
+    * join + coalesce (the portable MERGE shape; no transactional table
+    * format in scope). One shuffle on the join key; at scale the
+    * change-set side is typically small → broadcast.
+    */
+  private val qUpsert: Q = (s, d) => {
+    val target = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    // change-set: every 100th key updated at +10%, plus brand-new keys
+    // above the domain (deterministic, derived from the table itself)
+    val updates = target.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 1.1, 2).as("u_price"))
+      .unionByName(
+        target.agg(max(col("o_orderkey")).as("mx")).select(
+          (col("mx") + 1).as("o_orderkey"), lit(999.99).as("u_price")))
+    target.join(updates, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("u_price"), col("o_totalprice")).as("price"),
+        when(col("u_price").isNotNull && col("o_totalprice").isNotNull, "U")
+          .when(col("o_totalprice").isNull, "I")
+          .otherwise(col("o_orderstatus")).as("status"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qUpsertSql =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+      |updates AS (
+      |  SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS u_price
+      |  FROM target WHERE o_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT max(o_orderkey) + 1, 999.99 FROM target)
+      |SELECT o_orderkey,
+      |  COALESCE(u.u_price, t.o_totalprice) AS price,
+      |  CASE WHEN u.u_price IS NOT NULL AND t.o_totalprice IS NOT NULL THEN 'U'
+      |       WHEN t.o_totalprice IS NULL THEN 'I'
+      |       ELSE t.o_orderstatus END AS status
+      |FROM target t FULL OUTER JOIN updates u USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -329,7 +396,9 @@ object Analytics {
     "q_array" -> qArray,
     "q_agg3" -> qAgg3,
     "q_partition_prune" -> qPartitionPrune,
-    "q_multimodal2" -> qMultimodal2)
+    "q_multimodal2" -> qMultimodal2,
+    "q_window_range" -> qWindowRange,
+    "q_upsert" -> qUpsert)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -339,5 +408,7 @@ object Analytics {
     "q_unpivot" -> qUnpivotText,
     "q_array" -> qArraySql,
     "q_agg3" -> qAgg3Sql,
-    "q_partition_prune" -> qPartitionPruneSql)
+    "q_partition_prune" -> qPartitionPruneSql,
+    "q_window_range" -> qWindowRangeText,
+    "q_upsert" -> qUpsertSql)
 }
