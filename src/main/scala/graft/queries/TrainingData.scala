@@ -264,6 +264,34 @@ object TrainingData {
       queryVec(s, d), k = 10, signBits = 8, probeHamming = 1)
       .withColumn("cosine", round(col("cosine"), 6))
 
+  /** Round-2: the sign-LSH probe is deterministic list arithmetic —
+    * "bucket within probeHamming bit flips" restates as
+    * bit_count(xor(bucket, query_bucket)) ≤ 1 — so the former
+    * rows-only check upgrades to a full oracle. Ranking is on the RAW
+    * cosine (rounding happens after the top-k cut, as in the query).
+    */
+  private val qSimBucketedSql =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |qb AS (SELECT CAST(list_sum(list_transform((SELECT qv FROM q)[1:8],
+      |    (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 8 - i) AS BIGINT) ELSE 0 END))
+      |    AS BIGINT) AS b),
+      |cand AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(embedding[1:8],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 8 - i) AS BIGINT) ELSE 0 END))
+      |      AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |sims AS (
+      |  SELECT vec_id,
+      |    list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM cand, qb WHERE bit_count(xor(bucket, qb.b)) <= 1)
+      |SELECT vec_id, round(cos_raw, 6) AS cosine FROM sims
+      |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
+
   private val qSimIvf: Q = (s, d) =>
     Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryVec(s, d), k = 10, nCentroids = 16, nProbe = 4, iters = 2)
@@ -536,6 +564,7 @@ object TrainingData {
     "q_embed_neardup" -> qEmbedNearSql,
     "q_langid" -> qLangIdSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_sim_bucketed" -> qSimBucketedSql,
     "q_sim_brute" -> qSimBruteSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,
