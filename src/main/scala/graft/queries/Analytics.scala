@@ -386,6 +386,50 @@ object Analytics {
       |FROM target t FULL OUTER JOIN updates u USING (o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------- Q-GAPFILL
+  /** Time-series gap-fill + forward-fill: densify each user's daily
+    * activity to a full calendar (sequence/explode between their first
+    * and last active day) and carry the last observed value across the
+    * generated gaps (last IGNORE NULLS over an ordered frame). The
+    * first day of every span is observed by construction, so the fill
+    * is total. Daily sums ride the decimal path (float-sum parity,
+    * Core.scala header).
+    */
+  private val qGapfill: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("day_value"))
+    val span = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val allDays = span.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allDays.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        col("day_value").isNull.as("is_gap"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy("user_id", "day")
+  }
+
+  private val qGapfillSql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |alldays AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |j AS (SELECT a.user_id, a.day, d.day_value
+      |      FROM alldays a LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, day, day_value IS NULL AS is_gap,
+      |  last_value(day_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM j ORDER BY user_id, day""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -398,7 +442,8 @@ object Analytics {
     "q_partition_prune" -> qPartitionPrune,
     "q_multimodal2" -> qMultimodal2,
     "q_window_range" -> qWindowRange,
-    "q_upsert" -> qUpsert)
+    "q_upsert" -> qUpsert,
+    "q_gapfill" -> qGapfill)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -410,5 +455,6 @@ object Analytics {
     "q_agg3" -> qAgg3Sql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_window_range" -> qWindowRangeText,
-    "q_upsert" -> qUpsertSql)
+    "q_upsert" -> qUpsertSql,
+    "q_gapfill" -> qGapfillSql)
 }

@@ -176,8 +176,10 @@ object Extended {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     docs.write.mode("overwrite").json(s"$base/json")
+    docs.write.mode("overwrite").orc(s"$base/orc")
     val csvBack = s.read.option("header", "true").schema(docs.schema).csv(s"$base/csv")
     val jsonBack = s.read.schema(docs.schema).json(s"$base/json")
+    val orcBack = s.read.orc(s"$base/orc")
     def agg(df: DataFrame, fmt: String): DataFrame = df
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"),
@@ -186,6 +188,7 @@ object Extended {
       .select(lit(fmt).as("fmt"), col("source"), col("n_rows"),
         col("sum_chars"), col("n_langs"))
     agg(csvBack, "csv").unionByName(agg(jsonBack, "json"))
+      .unionByName(agg(orcBack, "orc"))
       .orderBy("fmt", "source")
   }
 
@@ -193,7 +196,7 @@ object Extended {
     """SELECT fmt, source, count(*) AS n_rows,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-      |FROM documents CROSS JOIN (VALUES ('csv'), ('json')) t(fmt)
+      |FROM documents CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) t(fmt)
       |GROUP BY fmt, source ORDER BY fmt, source""".stripMargin
 
   // ------------------------------------------------------------- Q-CURATE

@@ -25,6 +25,28 @@ class TopKAggSpec extends SparkTestBase {
     assert(viaAgg == viaWindow)
   }
 
+  test("property: reduce/merge equal sort-take on random data, any k") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      scores <- Gen.listOfN(n, Gen.choose(-5, 5).map(_.toDouble))
+    } yield scores.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+    (0 until 40).foreach { trial =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(7L + trial))
+      val k = 1 + trial % 7
+      val a = new TopKAgg(k)
+      // reduce path
+      val viaReduce = rows.foldLeft(a.zero)(a.reduce)
+      // merge path: fold in two halves, merge (the shuffle combine)
+      val (l, r) = rows.splitAt(rows.size / 2)
+      val viaMerge = a.merge(l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce))
+      val expect = rows.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(viaReduce == expect, s"reduce trial=$trial k=$k")
+      assert(viaMerge == expect, s"merge trial=$trial k=$k")
+    }
+  }
+
   test("output is sorted best-first with ties by id, capped at k") {
     val df = Seq((1L, 5.0, 10L), (1L, 5.0, 9L), (1L, 7.0, 11L),
       (1L, 1.0, 12L), (1L, 6.0, 13L)).toDF("g", "score", "id")
