@@ -430,6 +430,47 @@ object Analytics {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM j ORDER BY user_id, day""".stripMargin
 
+  // ------------------------------------------------------------ Q-PAGERANK
+  /** Fixed-iteration PageRank (operators/PageRank) over a derived
+    * edge set: supplier → part-bucket from lineitem. 3 rounds,
+    * d=0.85. The oracle unrolls the 3 rounds as a CTE chain built by
+    * the same loop. Float parity: every constant is forced to DOUBLE
+    * in the SQL — DuckDB parses `1.0`/`0.85` as DECIMAL, and
+    * decimal arithmetic there would diverge from Spark's
+    * double-everywhere path (e.g. (1−0.85) in IEEE754 is
+    * 0.15000000000000002, not decimal 0.15).
+    */
+  private val qPageRank: Q = (s, d) => {
+    val edges = Tables.lineitem(s, d).select(
+      col("l_suppkey").as("src"), pmod(col("l_partkey"), lit(100)).as("dst"))
+    graft.operators.PageRank.run(edges, "src", "dst", iters = 3)
+      .select(col("node"), round(col("rank"), 8).as("rank"))
+      .orderBy("node")
+  }
+
+  private val qPageRankSql: String = {
+    val base =
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |         CAST(l_partkey % 100 AS BIGINT) AS dst FROM lineitem),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(m.mass, CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / deg.deg) AS mass
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN deg ON e.src = deg.src GROUP BY e.dst) m USING (node))""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      "\nSELECT node, round(rank, 8) AS rank FROM r3 ORDER BY node"
+  }
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -443,7 +484,8 @@ object Analytics {
     "q_multimodal2" -> qMultimodal2,
     "q_window_range" -> qWindowRange,
     "q_upsert" -> qUpsert,
-    "q_gapfill" -> qGapfill)
+    "q_gapfill" -> qGapfill,
+    "q_pagerank" -> qPageRank)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -456,5 +498,6 @@ object Analytics {
     "q_partition_prune" -> qPartitionPruneSql,
     "q_window_range" -> qWindowRangeText,
     "q_upsert" -> qUpsertSql,
-    "q_gapfill" -> qGapfillSql)
+    "q_gapfill" -> qGapfillSql,
+    "q_pagerank" -> qPageRankSql)
 }
