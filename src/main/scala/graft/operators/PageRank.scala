@@ -27,6 +27,7 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count()
+    require(n > 0, "PageRank needs a non-empty edge set (1/n seed rank)")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var prev: DataFrame = null

@@ -471,6 +471,58 @@ object Analytics {
       "\nSELECT node, round(rank, 8) AS rank FROM r3 ORDER BY node"
   }
 
+  // ------------------------------------------------------------- Q-BITWISE
+  /** Bitwise aggregate battery: bit_and / bit_or / bit_xor — identical
+    * two's-complement semantics in both engines (probed).
+    */
+  private val qBitwise: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_and(col("l_linenumber")).cast("long").as("band"),
+        bit_or(col("l_linenumber")).cast("long").as("bor"),
+        bit_xor(col("l_linenumber")).cast("long").as("bxor"),
+        bit_and(col("l_orderkey")).as("band_key"),
+        bit_xor(col("l_orderkey")).as("bxor_key"))
+      .orderBy("l_returnflag")
+
+  private val qBitwiseSql =
+    """SELECT l_returnflag,
+      |  CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+      |  CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+      |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor,
+      |  bit_and(l_orderkey) AS band_key,
+      |  bit_xor(l_orderkey) AS bxor_key
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- Q-STR3
+  /** String battery #3: translate / repeat / reverse / ascii / left /
+    * right / rpad — all probed byte-identical across engines. (initcap
+    * is deliberately absent: DuckDB has none.)
+    */
+  private val qStr3: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      translate(substring(col("text"), 1, 40), "aeiou", "AEIOU").as("tr"),
+      reverse(substring(col("text"), 1, 20)).as("rev"),
+      ascii(col("text")).cast("long").as("first_code"),
+      expr("left(text, 10)").as("l10"),
+      expr("right(text, 10)").as("r10"),
+      rpad(col("source"), 8, ".").as("padded"),
+      expr("repeat(lang, 3)").as("rep"))
+      .orderBy("doc_id")
+
+  private val qStr3Sql =
+    """SELECT doc_id,
+      |  translate(substring(text, 1, 40), 'aeiou', 'AEIOU') AS tr,
+      |  reverse(substring(text, 1, 20)) AS rev,
+      |  CAST(ascii(text) AS BIGINT) AS first_code,
+      |  left(text, 10) AS l10,
+      |  right(text, 10) AS r10,
+      |  rpad(source, 8, '.') AS padded,
+      |  repeat(lang, 3) AS rep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -485,7 +537,9 @@ object Analytics {
     "q_window_range" -> qWindowRange,
     "q_upsert" -> qUpsert,
     "q_gapfill" -> qGapfill,
-    "q_pagerank" -> qPageRank)
+    "q_pagerank" -> qPageRank,
+    "q_bitwise" -> qBitwise,
+    "q_str3" -> qStr3)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -499,5 +553,7 @@ object Analytics {
     "q_window_range" -> qWindowRangeText,
     "q_upsert" -> qUpsertSql,
     "q_gapfill" -> qGapfillSql,
-    "q_pagerank" -> qPageRankSql)
+    "q_pagerank" -> qPageRankSql,
+    "q_bitwise" -> qBitwiseSql,
+    "q_str3" -> qStr3Sql)
 }

@@ -303,9 +303,12 @@ object Extended {
     val stats = o.agg(
       min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
     o.join(broadcast(stats))
-      .withColumn("bin", least(
-        floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 10.0)),
-        lit(9L)).cast("long"))
+      // mx == mn (all values equal / single row) would divide by zero —
+      // everything lands in bin 0, same as the oracle's CASE
+      .withColumn("bin", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(
+          floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 10.0)),
+          lit(9L))).cast("long"))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),
@@ -320,8 +323,9 @@ object Extended {
       |SELECT bin, round(min(mn) + bin * (min(mx) - min(mn)) / 10.0, 4) AS bin_lo,
       |       count(*) AS n
       |FROM (
-      |  SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT),
-      |               9) AS bin, mn, mx
+      |  SELECT CASE WHEN mx = mn THEN 0
+      |         ELSE least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9)
+      |         END AS bin, mn, mx
       |  FROM orders CROSS JOIN s)
       |GROUP BY bin ORDER BY bin""".stripMargin
 
