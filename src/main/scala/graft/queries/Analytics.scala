@@ -14,6 +14,10 @@ import graft.functions.{TopKAgg, VectorOps}
 object Analytics {
   import Core.Q
 
+  /** Typed row for q_typed's Dataset path. */
+  final case class Doc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+
   // -------------------------------------------------------------- Q-FUNNEL
   /** Ordered 3-stage funnel over `events`: first signup → first view
     * strictly after it → first purchase strictly after that, per user.
@@ -523,6 +527,38 @@ object Analytics {
       |  repeat(lang, 3) AS rep
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q-TYPED
+  /** The typed Dataset API surfaced as a driver-checkable query:
+    * as[Doc] → groupByKey → mapGroups with a compiled per-group fold.
+    * Scale note: mapGroups forgoes partial aggregation (all rows of a
+    * group reach one task) — the right tool for arbitrary per-group
+    * logic that Column expressions can't state; for expressible
+    * aggregates the untyped agg (one shuffle, map-side combine) wins,
+    * which is why only this one query uses the shape. Counts fold over
+    * the precomputed n_chars column (not String.length: UTF-16 code
+    * units vs code points would diverge on non-BMP text).
+    */
+  private val qTyped: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).as[Analytics.Doc]
+      .groupByKey(_.source)
+      .mapGroups { (src, it) =>
+        var n = 0L; var chars = 0L; var mx = 0L
+        it.foreach { doc =>
+          n += 1; chars += doc.n_chars; mx = math.max(mx, doc.n_chars)
+        }
+        (src, n, chars, mx)
+      }
+      .toDF("source", "n_docs", "sum_chars", "max_chars")
+      .orderBy("source")
+  }
+
+  private val qTypedSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  max(n_chars) AS max_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -539,7 +575,8 @@ object Analytics {
     "q_gapfill" -> qGapfill,
     "q_pagerank" -> qPageRank,
     "q_bitwise" -> qBitwise,
-    "q_str3" -> qStr3)
+    "q_str3" -> qStr3,
+    "q_typed" -> qTyped)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -555,5 +592,6 @@ object Analytics {
     "q_gapfill" -> qGapfillSql,
     "q_pagerank" -> qPageRankSql,
     "q_bitwise" -> qBitwiseSql,
-    "q_str3" -> qStr3Sql)
+    "q_str3" -> qStr3Sql,
+    "q_typed" -> qTypedSql)
 }
