@@ -50,11 +50,16 @@ object Bench {
         // a failed query must be visible in the JSON, not a fast timing
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      // min over the SUCCESSFUL passes — a transient failure must not
+      // discard a valid timing; -1 only when every pass failed
+      val good = times.filter(_ >= 0.0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total = sum of measured queries only (the -1 sentinels would
+    // subtract from it and skew the round-over-round comparison)
+    val total = results.map(_._2).filter(_ >= 0.0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -40,7 +40,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // restrict the oracle map by the same SPARK_GRAFT_ONLY set — else a
+    // subset dump pairs with the full oracle list and the compare
+    // reports every skipped query as a spurious failure
     val json = SparkEntry.oracleSql
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

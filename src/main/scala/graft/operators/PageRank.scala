@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per round: edges ⋈ ranks on src (both hash-partitioned
   * on the key after the first round — the exchange is reused), one
-  * aggregation on dst, one left join back to the node set. Rank state
-  * is localCheckpoint'ed eagerly each round (truncates the growing
-  * lineage — round-1 lesson) and the previous round unpersists.
-  * Deterministic given a deterministic edge set: every arithmetic step
-  * is the same expression tree each round.
+  * aggregation on dst, one left join back to the node set. Each round
+  * materializes into a persisted Row RDD and the next plan restarts
+  * from it via createDataFrame — that BOTH truncates the growing
+  * lineage (round-1 lesson) and leaves a handle whose unpersist
+  * actually frees the blocks. (Dataset.localCheckpoint would truncate
+  * too, but unpersist() on the checkpointed Dataset is a CacheManager
+  * lookup that never finds the checkpoint's RDD blocks — iters rounds
+  * of rank snapshots would pile up in executor storage.) The returned
+  * frame reads the final round's persisted snapshot. Deterministic
+  * given a deterministic edge set: every arithmetic step is the same
+  * expression tree each round.
   */
 object PageRank {
 
@@ -30,7 +36,7 @@ object PageRank {
     require(n > 0, "PageRank needs a non-empty edge set (1/n seed rank)")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    var prev: DataFrame = null
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     for (_ <- 0 until iters) {
       val mass = e.join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
@@ -40,10 +46,12 @@ object PageRank {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-        .localCheckpoint() // eager: materializes before prev unpersists
-      if (prev != null) prev.unpersist()
-      prev = ranks
-      ranks = next
+      val snapshot = next.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      snapshot.count() // materialize before the previous round frees
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(snapshot)
+      ranks = e.sparkSession.createDataFrame(snapshot, next.schema)
     }
     e.unpersist(); nodes.unpersist()
     ranks

@@ -270,7 +270,7 @@ object Analytics {
 
   private val qAgg3Sql =
     """SELECT o_orderpriority,
-      |  count_if(o_totalprice > 200000) AS n_big,
+      |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
       |  bool_and(o_totalprice > 0) AS all_positive,
       |  bool_or(o_orderstatus = 'F') AS any_f,
       |  max_by(o_totalprice, o_orderkey) AS price_of_last,
@@ -286,8 +286,13 @@ object Analytics {
     * same aggregate off the unpartitioned table — proving the
     * partitioned round-trip is lossless and the pruned scan complete.
     */
+  // one scratch dir per JVM (see Extended.sinkBase: per-call temp dirs
+  // leak a table copy per bench/verify pass)
+  private lazy val partBase: String =
+    java.nio.file.Files.createTempDirectory("graft_part").toString
+
   private val qPartitionPrune: Q = (s, d) => {
-    val base = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val base = partBase
     Tables.documents(s, d).write.mode("overwrite")
       .partitionBy("lang").parquet(base)
     s.read.parquet(base)

@@ -170,10 +170,16 @@ object Extended {
     * Oracle = the same aggregate straight off the parquet, × 2
     * formats — so the check proves the round-trip is lossless.
     */
+  // ONE scratch dir per JVM, overwritten per call — a per-call
+  // createTempDirectory leaks a full table copy every bench/verify
+  // invocation (warmup + N timed passes) until /tmp fills
+  private lazy val sinkBase: String =
+    java.nio.file.Files.createTempDirectory("graft_sink").toString
+
   private val qSinkRoundtrip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val base = sinkBase
     docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     docs.write.mode("overwrite").json(s"$base/json")
     docs.write.mode("overwrite").orc(s"$base/orc")
