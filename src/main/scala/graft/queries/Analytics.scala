@@ -564,6 +564,39 @@ object Analytics {
       |  max(n_chars) AS max_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- Q-DATE3
+  /** Date battery #3: calendar navigation — week/quarter truncation,
+    * ISO week, day-of-year, end-of-month clamped month add, last_day.
+    * (months_between deliberately absent: Spark's is fractional,
+    * DuckDB's date_diff('month') is integral — no shared semantics.)
+    */
+  private val qDate3: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate")).as("od"))
+      .select(
+        col("o_orderkey"),
+        date_trunc("week", col("od")).cast("date").as("week_start"),
+        date_trunc("quarter", col("od")).cast("date").as("quarter_start"),
+        quarter(col("od")).cast("long").as("qtr"),
+        weekofyear(col("od")).cast("long").as("woy"),
+        dayofyear(col("od")).cast("long").as("doy"),
+        add_months(col("od"), 1).as("next_month"),
+        last_day(col("od")).as("month_end"))
+      .orderBy("o_orderkey")
+
+  private val qDate3Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('week', od) AS DATE) AS week_start,
+      |  CAST(date_trunc('quarter', od) AS DATE) AS quarter_start,
+      |  CAST(quarter(od) AS BIGINT) AS qtr,
+      |  CAST(weekofyear(od) AS BIGINT) AS woy,
+      |  CAST(dayofyear(od) AS BIGINT) AS doy,
+      |  CAST(od + INTERVAL 1 MONTH AS DATE) AS next_month,
+      |  last_day(od) AS month_end
+      |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -581,7 +614,8 @@ object Analytics {
     "q_pagerank" -> qPageRank,
     "q_bitwise" -> qBitwise,
     "q_str3" -> qStr3,
-    "q_typed" -> qTyped)
+    "q_typed" -> qTyped,
+    "q_date3" -> qDate3)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -598,5 +632,6 @@ object Analytics {
     "q_pagerank" -> qPageRankSql,
     "q_bitwise" -> qBitwiseSql,
     "q_str3" -> qStr3Sql,
-    "q_typed" -> qTypedSql)
+    "q_typed" -> qTypedSql,
+    "q_date3" -> qDate3Sql)
 }
