@@ -221,6 +221,9 @@ object Analytics {
     * DuckDB's list_intersect dedups in arbitrary order (and the
     * driver comparator can't hash array cells), so the portable form
     * is the sorted scalar string; the set CONTENT is what's checked.
+    * Empty sets: Spark array_join([]) is '', DuckDB array_to_string([])
+    * is NULL — the oracle coalesces to '' (bit an sf0.001 doc whose
+    * a-slice was fully covered by its b-slice).
     */
   private val qArray: Q = (s, d) => {
     val toks = split(col("text"), " ")
@@ -243,10 +246,10 @@ object Analytics {
       |  WHERE doc_id < 100),
       |ab AS (SELECT doc_id, toks[1:6] AS a, toks[4:9] AS b FROM t)
       |SELECT doc_id,
-      |  array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_s,
-      |  array_to_string(list_sort(list_intersect(a, b)), ',') AS inter_s,
-      |  array_to_string(list_sort(list_filter(list_distinct(a),
-      |    x -> NOT list_contains(b, x))), ',') AS except_s,
+      |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS union_s,
+      |  COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS inter_s,
+      |  COALESCE(array_to_string(list_sort(list_filter(list_distinct(a),
+      |    x -> NOT list_contains(b, x))), ','), '') AS except_s,
       |  len(list_intersect(a, b)) > 0 AS overlap,
       |  CAST(list_position(a, 'the') AS BIGINT) AS pos_the
       |FROM ab ORDER BY doc_id""".stripMargin
