@@ -600,6 +600,29 @@ object Analytics {
       |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- Q-CODEC
+  /** Encoding + content-hash battery: base64 / hex / md5 / sha256 —
+    * the content-addressing primitives of dedup and cache keys. Both
+    * engines encode the UTF-8 bytes and emit uppercase hex for
+    * integers, lowercase hex digests (probed).
+    */
+  private val qCodec: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      base64(substring(col("text"), 1, 24).cast("binary")).as("b64"),
+      hex(col("doc_id")).as("id_hex"),
+      md5(col("text")).as("md5"),
+      sha2(col("text"), 256).as("sha256"))
+      .orderBy("doc_id")
+
+  private val qCodecSql =
+    """SELECT doc_id,
+      |  base64(CAST(substring(text, 1, 24) AS BLOB)) AS b64,
+      |  to_hex(doc_id) AS id_hex,
+      |  md5(text) AS md5,
+      |  sha256(text) AS sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -618,7 +641,8 @@ object Analytics {
     "q_bitwise" -> qBitwise,
     "q_str3" -> qStr3,
     "q_typed" -> qTyped,
-    "q_date3" -> qDate3)
+    "q_date3" -> qDate3,
+    "q_codec" -> qCodec)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -636,5 +660,6 @@ object Analytics {
     "q_bitwise" -> qBitwiseSql,
     "q_str3" -> qStr3Sql,
     "q_typed" -> qTypedSql,
-    "q_date3" -> qDate3Sql)
+    "q_date3" -> qDate3Sql,
+    "q_codec" -> qCodecSql)
 }
