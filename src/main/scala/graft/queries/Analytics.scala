@@ -7,9 +7,12 @@ import graft.Tables
 import graft.functions.{TopKAgg, VectorOps}
 
 /** Round-2 analytics surface: event-sequence analytics (funnel,
-  * cohort retention), PII redaction, a k-nearest-neighbour join, and
-  * UNPIVOT. Same parity rules as Core (explicit aliases, BIGINT
-  * normalization, deterministic total ORDER BY).
+  * cohort retention, gap-fill), PII redaction, kNN join, UNPIVOT,
+  * array set ops, misc/bitwise/codec batteries, partition-pruned
+  * reads, MERGE-shaped upsert, fixed-iteration PageRank, the typed
+  * Dataset path, and calendar navigation. Same parity rules as Core
+  * (explicit aliases, BIGINT normalization, deterministic total
+  * ORDER BY).
   */
 object Analytics {
   import Core.Q
