@@ -15,13 +15,10 @@ import org.apache.spark.sql.functions._
   * around a representative), so convergence is fast; for
   * billion-edge graphs with long chains, the large-star/small-star
   * variant (halves diameter per round) is the upgrade path. Each
-  * round is one join + one partial-aggregated groupBy; each round
-  * materializes into a persisted Row RDD and the next plan restarts
-  * from it via createDataFrame — truncating lineage AND leaving a
-  * handle whose unpersist actually frees the previous round's blocks
-  * (unpersist() on a localCheckpoint'd Dataset is a CacheManager
-  * lookup that never finds the checkpoint RDD), so at most two label
-  * generations are ever held.
+  * round is one join + one partial-aggregated groupBy; rounds
+  * snapshot through [[graft.operators.Snapshots.persistRound]] (plan
+  * restarts from a leaf, superseded round's blocks actually free), so
+  * at most two label generations of BLOCKS are ever held.
   */
 object ConnectedComponents {
 
@@ -40,16 +37,8 @@ object ConnectedComponents {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    val spark = edges.sparkSession
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def snapshot(df: DataFrame,
-        prev: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
-      val rdd = df.rdd.persist(lvl)
-      rdd.count() // materialize before the previous round frees
-      prev.foreach(_.unpersist(blocking = false))
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
-    var (labels, labelsRdd) = snapshot(
+    import graft.operators.Snapshots.persistRound
+    var (labels, labelsRdd) = persistRound(
       sym.select(col("a").as("node")).distinct()
         .withColumn("label", col("node")), None)
     var changed = 1L
@@ -58,7 +47,7 @@ object ConnectedComponents {
       val nbrMin = sym
         .join(labels.withColumnRenamed("node", "b_node"), col("b") === col("b_node"))
         .groupBy(col("a").as("node2")).agg(min(col("label")).as("nbr_min"))
-      val (updated, updatedRdd) = snapshot(
+      val (updated, updatedRdd) = persistRound(
         labels.join(nbrMin, col("node") === col("node2"), "left")
           .select(col("node"), col("label"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label")),

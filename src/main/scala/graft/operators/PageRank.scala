@@ -11,17 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per round: edges ⋈ ranks on src (both hash-partitioned
   * on the key after the first round — the exchange is reused), one
-  * aggregation on dst, one left join back to the node set. Each round
-  * materializes into a persisted Row RDD and the next plan restarts
-  * from it via createDataFrame — that BOTH truncates the growing
-  * lineage (round-1 lesson) and leaves a handle whose unpersist
-  * actually frees the blocks. (Dataset.localCheckpoint would truncate
-  * too, but unpersist() on the checkpointed Dataset is a CacheManager
-  * lookup that never finds the checkpoint's RDD blocks — iters rounds
-  * of rank snapshots would pile up in executor storage.) The returned
-  * frame reads the final round's persisted snapshot. Deterministic
-  * given a deterministic edge set: every arithmetic step is the same
-  * expression tree each round.
+  * aggregation on dst, one left join back to the node set. Rounds
+  * snapshot through [[Snapshots.persistRound]] (plan restarts from a
+  * leaf, superseded round's blocks actually free — see its doc for
+  * why Dataset.localCheckpoint+unpersist silently leaks instead).
+  * The returned frame reads the final round's persisted snapshot.
+  * Deterministic given a deterministic edge set: every arithmetic
+  * step is the same expression tree each round.
   */
 object PageRank {
 
@@ -46,12 +42,9 @@ object PageRank {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-      val snapshot = next.rdd.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      snapshot.count() // materialize before the previous round frees
-      prevRdd.foreach(_.unpersist(blocking = false))
-      prevRdd = Some(snapshot)
-      ranks = e.sparkSession.createDataFrame(snapshot, next.schema)
+      val (checkpointed, rdd) = Snapshots.persistRound(next, prevRdd)
+      prevRdd = Some(rdd)
+      ranks = checkpointed
     }
     e.unpersist(); nodes.unpersist()
     ranks
