@@ -626,6 +626,77 @@ object Analytics {
       |  sha256(text) AS sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q-CHUNK
+  /** Context-window chunking: split each document into fixed-size
+    * token chunks (64 tokens) — the sequence-prep op of every LLM
+    * training pipeline. Computed entirely array-native (slice over the
+    * token array, no explode-then-regroup): a collect_list after a
+    * shuffle would have nondeterministic intra-group order; slices of
+    * the original array are order-exact and shuffle-free.
+    */
+  private val qChunk: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks) / lit(64.0)).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          array_join(slice(toks, i * 64 + 1, lit(64)), " "))).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val qChunkSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT)),
+      |      i -> array_to_string(toks[i*64+1 : i*64+64], ' '))) AS chunk_text,
+      |    generate_subscripts(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT)), 1) - 1
+      |      AS chunk_idx
+      |  FROM t)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens, chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- Q-PACK
+  /** Sequence packing: concatenate-then-cut documents into fixed
+    * token-budget packs (2000 tokens), packed per source in doc_id
+    * order — deterministic, and the window partitions by source so
+    * packing parallelizes across sources instead of forcing a global
+    * single-partition sort. pack_id = the budget bin the document's
+    * FIRST token lands in (documents may straddle pack boundaries —
+    * the concatenate-then-cut strategy, vs greedy first-fit).
+    */
+  private val qPack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("n_toks")) / 2000L))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
+      .orderBy("source", "pack_id")
+  }
+
+  private val qPackSql =
+    """WITH sized AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, n_toks,
+      |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |                      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sized)
+      |SELECT source, CAST(floor((cum - n_toks) / 2000.0) AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tok_sum
+      |FROM cum GROUP BY source, 2 ORDER BY source, pack_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -645,7 +716,9 @@ object Analytics {
     "q_str3" -> qStr3,
     "q_typed" -> qTyped,
     "q_date3" -> qDate3,
-    "q_codec" -> qCodec)
+    "q_codec" -> qCodec,
+    "q_chunk" -> qChunk,
+    "q_pack" -> qPack)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -664,5 +737,7 @@ object Analytics {
     "q_str3" -> qStr3Sql,
     "q_typed" -> qTypedSql,
     "q_date3" -> qDate3Sql,
-    "q_codec" -> qCodecSql)
+    "q_codec" -> qCodecSql,
+    "q_chunk" -> qChunkSql,
+    "q_pack" -> qPackSql)
 }
