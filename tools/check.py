@@ -53,6 +53,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             fail += 1
             continue
+        # dtype parity: a DuckDB HUGEINT (int128, e.g. uncast count_if /
+        # list_sum) str()-compares equal to Spark's int64 but would trip
+        # a schema/dtype-aware driver compare — surface it here
+        got_types = {d[0]: d[1] for d in got.description}
+        exp_types = {d[0]: d[1] for d in exp.description}
+        dt = {c: (got_types[c], exp_types[c]) for c in got_types
+              if got_types[c] != exp_types[c]}
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}")
+            fail += 1
+            continue
         g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
