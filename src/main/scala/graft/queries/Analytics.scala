@@ -697,6 +697,44 @@ object Analytics {
       |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tok_sum
       |FROM cum GROUP BY source, 2 ORDER BY source, pack_id""".stripMargin
 
+  // -------------------------------------------------------- Q-DECONTAMINATE
+  /** Benchmark decontamination: drop every corpus document sharing ANY
+    * word-8-gram with the benchmark set (doc_id < 10) — the test-set
+    * overlap pass of an LLM data pipeline. Shape: distinct benchmark
+    * shingles (small → broadcast at scale) semi-join the corpus
+    * shingle stream, then anti-join the flagged ids — never an
+    * all-pairs comparison. 8-grams (vs the dedup 5-grams) keep the
+    * contamination signal specific.
+    */
+  private val qDecontaminate: Q = (s, d) => {
+    def shingled(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.HashExprs.shingles(col("text"), 8)).as("sh"))
+    val docs = Tables.documents(s, d)
+    val benchSh = shingled(docs.filter(col("doc_id") < 10))
+      .select(col("sh")).distinct()
+    val flagged = shingled(docs.filter(col("doc_id") >= 10))
+      .join(benchSh, Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") >= 10)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val qDecontaminateSql =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 6, 1)),
+      |    i -> array_to_string(t[i:i+7], ' ')))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |flagged AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM sh c JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id < 10) b USING (sh)
+      |  WHERE c.doc_id >= 10)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -718,7 +756,8 @@ object Analytics {
     "q_date3" -> qDate3,
     "q_codec" -> qCodec,
     "q_chunk" -> qChunk,
-    "q_pack" -> qPack)
+    "q_pack" -> qPack,
+    "q_decontaminate" -> qDecontaminate)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -739,5 +778,6 @@ object Analytics {
     "q_date3" -> qDate3Sql,
     "q_codec" -> qCodecSql,
     "q_chunk" -> qChunkSql,
-    "q_pack" -> qPackSql)
+    "q_pack" -> qPackSql,
+    "q_decontaminate" -> qDecontaminateSql)
 }
