@@ -27,8 +27,7 @@ object Bench {
     // reported numbers are steady-state query execution
     val warmDir = "/root/testdata/sf0.001"
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local profiling aid)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    val only = SparkEntry.onlyFilter
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>

@@ -31,4 +31,15 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Core.oracles ++ TrainingData.oracles ++ Extended.oracles ++ Analytics.oracles
+
+  /** SPARK_GRAFT_ONLY=q_a,q_b restriction for Verify/Bench — one
+    * parse, and a BLANK value means "no restriction" (a naive
+    * split(",") would yield Set("") and silently filter out every
+    * query, making an `export SPARK_GRAFT_ONLY=""` run look green
+    * while checking nothing).
+    */
+  def onlyFilter: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
 }

@@ -15,6 +15,10 @@ import graft.functions.{TextOps, VectorOps}
   * quadratically only within buckets. No all-pairs cross join ever
   * materializes, so the plans survive a 100TB corpus as long as
   * buckets stay small (band width / chunk size are the knobs).
+  *
+  * Sessions must register [[graft.GraftExtensions]]
+  * (spark.sql.extensions) — the hot paths dispatch to native
+  * graft_* kernels resolved through the function registry.
   */
 object Dedup {
 

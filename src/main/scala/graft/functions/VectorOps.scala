@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  // array<double> (and other numeric-array) inputs are narrowed to the
+  // kernels' array<float> contract here — the pre-kernel zip_with form
+  // accepted any numeric element type, and callers like
+  // Dedup.embeddingNearDups shouldn't lose that. For float inputs the
+  // cast is a no-op in the plan.
+  private def f(c: Column): Column = c.cast("array<float>")
+
   /** Sequential-fold dot product of two float-array columns (native). */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", f(a), f(b))
 
   /** Cosine similarity; null on zero-norm vectors (native, fused). */
-  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", f(a), f(b))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

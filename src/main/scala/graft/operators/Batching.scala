@@ -43,8 +43,15 @@ object Batching {
     // The counts pass and the id-assignment pass must see the SAME
     // partition contents; persist so a nondeterministic upstream
     // (sample, rand-derived, unstable source order) is computed once,
-    // not re-derived differently on the second pass.
+    // not re-derived differently on the second pass. persist() is a
+    // best-effort barrier though — a lost cache block recomputes from
+    // lineage, which for a nondeterministic source can differ between
+    // the passes. When the session has a checkpoint dir, ALSO write a
+    // reliable checkpoint so recomputation replays identical data; on
+    // a cluster with lossy executors and nondeterministic input, set
+    // one (sc.setCheckpointDir) or materialize the input yourself.
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) rdd.checkpoint()
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)

@@ -33,7 +33,23 @@ object SkewJoin {
   def saltedInnerJoin(probe: DataFrame, build: DataFrame, key: String,
       probeTiebreak: String, saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1)
-    val rowSpread = xxhash64(probe.columns.map(col).toSeq: _*)
+    // whole-row spread for null tiebreaks — over HASHABLE columns only:
+    // xxhash64 rejects MapType (and map-bearing nesting) at analysis,
+    // and a probe frame with such a column must not fail for rows whose
+    // tiebreak isn't even null
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val spreadCols = probe.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
+    // all-map degenerate frame: fall back to the (null) tiebreak hash —
+    // degraded-to-unsalted for null rows, but analyzable
+    val rowSpread =
+      if (spreadCols.nonEmpty) xxhash64(spreadCols: _*)
+      else xxhash64(col(probeTiebreak))
     val salted = probe.withColumn("_salt",
       pmod(when(col(probeTiebreak).isNull, rowSpread)
         .otherwise(xxhash64(col(probeTiebreak))), lit(saltFactor)).cast("int"))

@@ -29,6 +29,15 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
+  test("array<double> inputs are accepted (narrowed to float like the old zip_with form)") {
+    val d = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val out = d.select(
+      VectorOps.dot(col("a"), col("b")).as("dot"),
+      VectorOps.cosine(col("a"), col("b")).as("cos")).head()
+    assert(out.getDouble(0) == 32.0)
+    assert(math.abs(out.getDouble(1) - 0.9746318461970762) < 1e-12)
+  }
+
   test("edge semantics: null array, null element, length mismatch, zero norm") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),   // plain

@@ -26,6 +26,17 @@ class SkewJoinSpec extends SparkTestBase {
     assert(salted.select("_salt").distinct().count() == 8)
   }
 
+  test("probe frames with map columns (and null tiebreaks) still join") {
+    // xxhash64 rejects MapType — the whole-row null-tiebreak spread
+    // must skip unhashable columns instead of failing analysis
+    val probe = Seq((1L, Some(10L)), (1L, None), (2L, Some(20L)))
+      .toDF("k", "tb")
+      .withColumn("props", map(lit("a"), lit("b")))
+    val build = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val out = SkewJoin.saltedInnerJoin(probe, build, "k", "tb", saltFactor = 4)
+    assert(out.count() == 3)
+  }
+
   test("keyHistogram surfaces the heaviest keys first") {
     val df = Seq.fill(50)((1L, "x")).toDF("k", "v")
       .union(Seq.fill(3)((2L, "y")).toDF("k", "v"))
