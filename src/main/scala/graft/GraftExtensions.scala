@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimExpr, DotProductExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr}
+import graft.functions.{BloomContainsExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §4.2 preference order: native Expression over UDF).
@@ -52,6 +52,13 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_cosine(a, b)")
         CosineSimExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_bloom_contains(filter, key)")
+        BloomContainsExpr(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{TopKAgg, VectorOps}
+import graft.functions.{Bloom, HashExprs, TopKAgg, VectorOps}
 
 /** Round-2 analytics surface: event-sequence analytics (funnel,
   * cohort retention, gap-fill), PII redaction, kNN join, UNPIVOT,
@@ -735,6 +735,166 @@ object Analytics {
       |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM flagged)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ Q-BLOOM
+  /** Bloom-pruned semi join (native `graft_bloom_contains` kernel,
+    * functions/BloomExprs): the filter built over the selective dim
+    * side (urgent orders) probes the fact SCAN, so ~non-matching
+    * lineitem rows are dropped narrow, before the exchange; the exact
+    * semi join removes false positives, making the result identical
+    * to the plain semi join — which is the oracle. At 100 TB this is
+    * the runtime-filter pattern that keeps a selective join from
+    * shuffling the whole fact table.
+    */
+  private val qBloomJoin: Q = (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val pruned = Bloom.prunedSemiJoin(Tables.lineitem(s, d), urgent,
+      "l_orderkey", "o_orderkey", expectedN = math.max(1L, urgent.count()))
+    pruned.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Core.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qBloomJoinSql =
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |       ${Core.DSUM.format("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |WHERE l_orderkey IN
+       |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------- Q-SCD2
+  /** Slowly-changing-dimension type-2 build: each customer's order
+    * history becomes validity intervals — valid_from = the order's
+    * date, valid_to = the NEXT order's date (null ⇒ current row).
+    * One window over (customer, date, key-tiebreak); no self-join.
+    */
+  private val qScd2: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qScd2Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       o_orderdate AS valid_from,
+      |       lead(o_orderdate) OVER w AS valid_to,
+      |       lead(o_orderdate) OVER w IS NULL AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------- Q-REPETITION
+  /** Gopher-style repetition quality signals per document: the
+    * fraction of tokens taken by the single most-frequent word, and
+    * the duplicate-2-gram fraction (1 − distinct/total). Both are
+    * small-integer-over-small-integer doubles — bit-identical across
+    * engines, no rounding. Distinct 2-grams come from the native
+    * `graft_shingles` kernel (distinct by construction); the total is
+    * just token count − 1, no materialized 2-gram list.
+    */
+  private val qRepetition: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val top = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tokens"))
+    val g2 = docs.select(col("doc_id"),
+      (size(split(col("text"), " ")) - 1).cast("long").as("n_2grams"),
+      size(HashExprs.shingles(col("text"), 2)).cast("long").as("d_2grams"))
+    top.join(g2, "doc_id")
+      .filter(col("n_2grams") >= 1)
+      .select(col("doc_id"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_word_frac"),
+        ((col("n_2grams") - col("d_2grams")).cast("double") / col("n_2grams"))
+          .as("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val qRepetitionSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |cc AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(t) AS w FROM t) GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tokens FROM cc GROUP BY 1),
+      |g AS (SELECT doc_id, len(t) - 1 AS n2,
+      |        len(list_distinct(list_transform(range(1, greatest(len(t), 1)),
+      |          i -> array_to_string(t[i:i+1], ' ')))) AS d2
+      |      FROM t)
+      |SELECT doc_id,
+      |  CAST(top_c AS DOUBLE) / n_tokens AS top_word_frac,
+      |  CAST(n2 - d2 AS DOUBLE) / n2 AS dup_2gram_frac
+      |FROM top JOIN g USING (doc_id)
+      |WHERE n2 >= 1 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ Q-BOILERPLATE
+  /** C4-style boilerplate removal, chunk-level (the corpus has no
+    * newlines, so "line" = non-overlapping 16-word chunk): a chunk
+    * text appearing in ≥2 DISTINCT documents of the same source is
+    * boilerplate; documents are reassembled from their kept chunks in
+    * order. Output is per-doc chunk accounting + md5 of the cleaned
+    * text (portable scalar; raw text would bloat the compare).
+    *
+    * Scale shape: chunking is narrow; the frequency count and the
+    * anti-join both key on (source, chunk) — one shuffle each, no
+    * all-pairs; reassembly groups by doc_id. A doc that is 100%%
+    * boilerplate survives with n_kept = 0 and a null hash (left join
+    * from the full chunk census).
+    */
+  private val qBoilerplate: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks) / lit(16.0)).cast("int")
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          array_join(slice(toks, i * 16 + 1, lit(16)), " ")))
+          .as(Seq("idx", "chunk")))
+    val boiler = ch.groupBy("source", "chunk")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("source", "chunk")
+    val kept = ch.join(boiler, Seq("source", "chunk"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x("chunk")), " ")).as("clean_hash"))
+    ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val qBoilerplateSql =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |ch AS (
+      |  SELECT doc_id, source, u.idx AS idx, u.chunk AS chunk
+      |  FROM (SELECT doc_id, source,
+      |          unnest(list_transform(range(1, len(t) + 1, 16),
+      |            i -> {'idx': i, 'chunk': array_to_string(t[i:i+15], ' ')})) AS u
+      |        FROM t)),
+      |boiler AS (
+      |  SELECT source, chunk FROM ch
+      |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
+      |kept AS (
+      |  SELECT c.* FROM ch c
+      |  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+      |                    WHERE b.source = c.source AND b.chunk = c.chunk)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         md5(string_agg(chunk, ' ' ORDER BY idx)) AS clean_hash
+      |  FROM kept GROUP BY 1),
+      |census AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1)
+      |SELECT doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept, clean_hash
+      |FROM census LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -757,7 +917,11 @@ object Analytics {
     "q_codec" -> qCodec,
     "q_chunk" -> qChunk,
     "q_pack" -> qPack,
-    "q_decontaminate" -> qDecontaminate)
+    "q_decontaminate" -> qDecontaminate,
+    "q_bloom_join" -> qBloomJoin,
+    "q_scd2" -> qScd2,
+    "q_repetition" -> qRepetition,
+    "q_boilerplate" -> qBoilerplate)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -779,5 +943,9 @@ object Analytics {
     "q_codec" -> qCodecSql,
     "q_chunk" -> qChunkSql,
     "q_pack" -> qPackSql,
-    "q_decontaminate" -> qDecontaminateSql)
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_bloom_join" -> qBloomJoinSql,
+    "q_scd2" -> qScd2Sql,
+    "q_repetition" -> qRepetitionSql,
+    "q_boilerplate" -> qBoilerplateSql)
 }

@@ -37,9 +37,9 @@ object Core {
     * rounded while the scaled integer fits in double's 53-bit
     * mantissa — scale 2 keeps sums exact up to ~9e13.
     */
-  private def dsum(c: Column): Column =
+  private[queries] def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
-  private val DSUM = "CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
+  private[queries] val DSUM = "CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
 
   /** Exact revenue sum: price * (1 - discount) with BOTH factors cast
     * to decimal BEFORE multiplying — casting the double *product*

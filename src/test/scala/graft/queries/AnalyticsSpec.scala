@@ -83,4 +83,56 @@ class AnalyticsSpec extends SparkTestBase {
     assert(df.count() == flags * 3)
     assert(df.select("metric").distinct().count() == 3)
   }
+
+  test("scd2: exactly one current row per customer, intervals chain without overlap") {
+    val df = Analytics.defs("q_scd2")(spark, sf).cache()
+    try {
+      val customers = df.select("o_custkey").distinct().count()
+      assert(df.filter(col("is_current")).count() == customers)
+      // valid_from <= valid_to on every closed interval
+      assert(df.filter(col("valid_to").isNotNull &&
+        col("valid_from") > col("valid_to")).count() == 0)
+      // each closed interval's valid_to equals the next row's valid_from
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      val broken = df
+        .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        .filter(col("valid_to").isNotNull &&
+          col("valid_to") =!= col("next_from")).count()
+      assert(broken == 0)
+    } finally df.unpersist()
+  }
+
+  test("repetition: fractions live in (0,1] and planted exact dups agree pairwise") {
+    val df = Analytics.defs("q_repetition")(spark, sf).cache()
+    try {
+      assert(df.count() == Tables.documents(spark, sf).count())
+      assert(df.filter(col("top_word_frac") <= 0 || col("top_word_frac") > 1 ||
+        col("dup_2gram_frac") < 0 || col("dup_2gram_frac") >= 1).count() == 0)
+      // identical texts must produce identical signals
+      val dupPair = Tables.documents(spark, sf)
+        .groupBy("text").agg(collect_list("doc_id").as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(col("ids")).as("doc_id"), md5(col("text")).as("h"))
+      val distinctSignals = df.join(dupPair, "doc_id")
+        .select("h", "top_word_frac", "dup_2gram_frac").distinct()
+        .groupBy("h").count().filter(col("count") > 1).count()
+      assert(distinctSignals == 0)
+    } finally df.unpersist()
+  }
+
+  test("boilerplate: chunk accounting conserves, untouched docs hash to their own text") {
+    val df = Analytics.defs("q_boilerplate")(spark, sf).cache()
+    try {
+      assert(df.filter(col("n_kept") > col("n_chunks")).count() == 0)
+      // the planted duplicate docs lose chunks; most docs keep all
+      assert(df.filter(col("n_kept") < col("n_chunks")).count() > 0)
+      val untouched = df.filter(col("n_kept") === col("n_chunks"))
+      val expect = Tables.documents(spark, sf)
+        .select(col("doc_id"), md5(col("text")).as("expect_hash"))
+      val mismatched = untouched.join(expect, "doc_id")
+        .filter(col("clean_hash") =!= col("expect_hash")).count()
+      assert(mismatched == 0)
+    } finally df.unpersist()
+  }
 }
