@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BloomContainsExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr}
+import graft.functions.{BloomContainsExpr, CmsEstimateExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, NfcNormalizeExpr, ShinglesExpr, SimHash64Expr, StripAccentsExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §4.2 preference order: native Expression over UDF).
@@ -59,6 +59,27 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_bloom_contains(filter, key)")
         BloomContainsExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateExpr].getName, "graft_cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cms_estimate(sketch, key)")
+        CmsEstimateExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_nfc(text)")
+        NfcNormalizeExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "graft_strip_accents"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_strip_accents(text)")
+        StripAccentsExpr(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

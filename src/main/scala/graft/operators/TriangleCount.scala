@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degree-ordered triangle counting (edge-iterator form).
+  *
+  * Every undirected edge is oriented toward its higher-(degree, id)
+  * endpoint, which bounds out-degrees by O(√m) on any graph; the
+  * count is then Σ over oriented edges (u→v) of |N⁺(u) ∩ N⁺(v)| —
+  * each triangle contributes exactly once, at the edge between its
+  * two lowest-ordered vertices. The out-neighbor sets materialize as
+  * sorted array columns (Σ|N⁺| = m entries total), the two adjacency
+  * joins are plain equi-joins on the edge endpoints, and the
+  * intersection is a narrow per-row operation — nothing quadratic in
+  * degree ever hits a shuffle, unlike the wedge self-join, whose
+  * O(m^1.5) intermediate (~20M rows on the sf0.1 co-purchase graph,
+  * 13s) this replaces (~1s).
+  *
+  * Input: `edges` with two long columns `u`, `v` (undirected, may
+  * contain duplicates/self-loops — both are normalized away).
+  */
+object TriangleCount {
+
+  def count(edges: DataFrame): Long = stats(edges)._2
+
+  /** (distinct undirected edge count, triangle count) in one pass
+    * over one persisted normalized edge set — callers needing both
+    * must not pay the normalization shuffle twice.
+    */
+  def stats(edges: DataFrame): (Long, Long) = {
+    import org.apache.spark.storage.StorageLevel
+    // e feeds deg AND the orientation join; oriented feeds adj AND the
+    // two adjacency joins — without persists the upstream edge
+    // derivation (often an expensive self-join) recomputes per reuse.
+    val e = edges.select(
+      least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deg and adj are node-count-sized (≪ edge count); below this
+      // edge bound they broadcast — the whole count then shuffles the
+      // edge set only for distinct/deg/adj, never for the joins. Past
+      // it, Catalyst's shuffled joins take over (adj no longer fits).
+      val nEdges = e.count()
+      val broadcastable = nEdges < 20_000_000L
+      def maybeB(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
+      val deg = maybeB(e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg")))
+      val oriented = e
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val adj = maybeB(oriented.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+        val counted = oriented
+          .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), "src")
+          .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")),
+            Seq("dst"), "left")
+          .select(coalesce(
+            size(array_intersect(col("nbrs_u"), col("nbrs_v"))), lit(0))
+            .cast("long").as("tri"))
+          .agg(sum(col("tri"))).head()
+        (nEdges, if (counted.isNullAt(0)) 0L else counted.getLong(0))
+      } finally oriented.unpersist()
+    } finally e.unpersist()
+  }
+
+  /** Reference implementation: naive id-ordered 3-way self-join.
+    * O(Σ deg²) wedges — fine on small/uniform graphs, the oracle for
+    * the oriented path.
+    */
+  def countNaive(edges: DataFrame): Long = {
+    val e = edges.select(
+      least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    e.as("e1")
+      .join(e.as("e2"), col("e2.u") === col("e1.u") && col("e2.v") > col("e1.v"))
+      .join(e.as("e3"), col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .count()
+  }
+}

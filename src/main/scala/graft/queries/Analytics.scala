@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Bloom, HashExprs, TopKAgg, VectorOps}
+import graft.functions.{Bloom, HashExprs, NormalizeOps, Sketches, TopKAgg, VectorOps}
 
 /** Round-2 analytics surface: event-sequence analytics (funnel,
   * cohort retention, gap-fill), PII redaction, kNN join, UNPIVOT,
@@ -895,6 +895,99 @@ object Analytics {
       |SELECT doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept, clean_hash
       |FROM census LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- Q-HEAVYHITTERS
+  /** Count-Min-sketch heavy hitters (native `graft_cms_estimate`,
+    * functions/SketchExprs): terms holding ≥1%% of the token stream.
+    * Pass 1 builds the fixed-size sketch (partials SUM-merge, a few
+    * KB per partition through the shuffle); pass 2 keeps candidate
+    * terms whose estimate clears the threshold — CMS never
+    * underestimates, so no true heavy hitter is lost — and the exact
+    * count + final `>= T` filter run over candidates only, making
+    * the result identical to the exact query (= the oracle). At web
+    * scale the long tail never reaches the exact-count shuffle.
+    */
+  private val qHeavyHitters: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val n = tok.count()
+    val threshold = math.ceil(n * 0.01)
+    val sketch = Sketches.build(tok, "w", depth = 4, width = 8192)
+    val cand = tok.distinct()
+      .filter(Sketches.estimate(sketch, col("w")) >= threshold)
+    tok.join(cand, Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= threshold)
+      .orderBy("w")
+  }
+
+  private val qHeavyHittersSql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT w, count(*) AS c FROM tok, tot
+      |GROUP BY w, n HAVING count(*) >= ceil(0.01 * n)
+      |ORDER BY w""".stripMargin
+
+  // -------------------------------------------------------- Q-TRIANGLES
+  /** Triangle count over the part co-purchase graph (parts appearing
+    * in the same order are adjacent). Spark side runs the
+    * degree-ordered orientation algorithm: every edge points at its
+    * higher-(degree, id) endpoint, so wedges enumerate only at each
+    * triangle's lowest-ordered vertex — out-degrees are bounded by
+    * ~√(2m) on any graph, which caps the wedge explosion that kills
+    * the naive 3-way self-join on skewed graphs (power-law web/user
+    * graphs especially). The oracle is the naive id-ordered 3-join —
+    * same count, tractable at oracle scale.
+    */
+  private val qTriangles: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+    val (nEdges, nTri) = graft.operators.TriangleCount.stats(edges)
+    val s2 = s
+    import s2.implicits._
+    Seq((nEdges, nTri)).toDF("n_edges", "n_triangles")
+  }
+
+  private val qTrianglesSql =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)
+      |SELECT (SELECT count(*) FROM e) AS n_edges,
+      |       (SELECT count(*)
+      |        FROM e e1
+      |        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin
+
+  // -------------------------------------------------------- Q-NORMALIZE
+  /** Unicode canonicalization (native `graft_nfc` /
+    * `graft_strip_accents` kernels): the corpus is ASCII, so each doc
+    * gets a deterministic decomposed-form suffix (e + combining
+    * acute, n + combining tilde) appended IN the query — NFC must
+    * recompose it (codepoint count shrinks), accent-stripping must
+    * then drop the marks. Output is codepoint accounting + md5s, the
+    * portable scalars.
+    */
+  private val qNormalize: Q = (s, d) => {
+    val raw = concat(col("text"), lit(" cafe\u0301 nin\u0303o"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(raw).as("len_raw"),
+        length(NormalizeOps.nfc(raw)).as("len_nfc"),
+        md5(NormalizeOps.nfc(raw)).as("nfc_hash"),
+        md5(NormalizeOps.stripAccents(raw)).as("stripped_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val qNormalizeSql =
+    """SELECT doc_id,
+      |  length(text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o') AS len_raw,
+      |  length(nfc_normalize(text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o')) AS len_nfc,
+      |  md5(nfc_normalize(text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o')) AS nfc_hash,
+      |  md5(strip_accents(nfc_normalize(text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o'))) AS stripped_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -921,7 +1014,10 @@ object Analytics {
     "q_bloom_join" -> qBloomJoin,
     "q_scd2" -> qScd2,
     "q_repetition" -> qRepetition,
-    "q_boilerplate" -> qBoilerplate)
+    "q_boilerplate" -> qBoilerplate,
+    "q_heavyhitters" -> qHeavyHitters,
+    "q_triangles" -> qTriangles,
+    "q_normalize" -> qNormalize)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -947,5 +1043,8 @@ object Analytics {
     "q_bloom_join" -> qBloomJoinSql,
     "q_scd2" -> qScd2Sql,
     "q_repetition" -> qRepetitionSql,
-    "q_boilerplate" -> qBoilerplateSql)
+    "q_boilerplate" -> qBoilerplateSql,
+    "q_heavyhitters" -> qHeavyHittersSql,
+    "q_triangles" -> qTrianglesSql,
+    "q_normalize" -> qNormalizeSql)
 }

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class TriangleCountSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("known graphs: K4 has 4 triangles, a path has 0, a pendant adds none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    assert(TriangleCount.count(k4) == 4)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(TriangleCount.count(path) == 0)
+    val pendant = k4.union(Seq((4L, 9L)).toDF("u", "v"))
+    assert(TriangleCount.count(pendant) == 4)
+  }
+
+  test("normalization: duplicates, reversed edges, self-loops don't change the count") {
+    val messy = Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L),   // duplicate + reversed
+      (2L, 3L), (3L, 1L),
+      (2L, 2L)                        // self-loop
+    ).toDF("u", "v")
+    assert(TriangleCount.count(messy) == 1)
+    assert(TriangleCount.countNaive(messy) == 1)
+  }
+
+  test("oriented count matches the naive 3-join on a skewed random graph") {
+    val rnd = new scala.util.Random(7)
+    // hub-skewed: node 0 connects widely (the naive killer shape)
+    val edges = ((1 to 60).map(i => (0L, i.toLong)) ++
+      (1 to 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)))
+      .toDF("u", "v")
+    assert(TriangleCount.count(edges) == TriangleCount.countNaive(edges))
+  }
+}
