@@ -988,6 +988,61 @@ object Analytics {
       |  md5(strip_accents(nfc_normalize(text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o'))) AS stripped_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ Q-SPLIT
+  /** Deterministic train/val/test split — the assignment step of
+    * every training-data pipeline. Split = first md5(doc_id) byte
+    * against 80/10/10 thresholds (204/230 of 256): pure hash
+    * arithmetic, no rand(), so the assignment is stable across runs,
+    * cluster layouts, and retries, and a document never migrates
+    * between splits when the corpus grows. Output checks both the
+    * per-source×split counts and the char mass.
+    */
+  private val qSplit: Q = (s, d) => {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int")
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source", "split")
+  }
+
+  private val qSplitSql =
+    """SELECT source,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) < 204 THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) < 230 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  // ------------------------------------------------------ Q-INCREMENTAL
+  /** Incremental aggregation: a stored per-source aggregate STATE
+    * (docs below the watermark) merges with a DELTA batch (docs at/
+    * above it) by re-aggregating the partials — counts and sums are
+    * mergeable, so the merged result is IDENTICAL to the full
+    * recompute (= the oracle). This is the daily-ETL shape: the state
+    * side is aggregate-sized (one row per source), so each increment
+    * costs one pass over the delta, never over the corpus.
+    */
+  private val qIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def part(df: DataFrame): DataFrame = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val state = part(docs.filter(col("doc_id") < 250))
+    val delta = part(docs.filter(col("doc_id") >= 250))
+    state.unionByName(delta)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  private val qIncrementalSql =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1017,7 +1072,9 @@ object Analytics {
     "q_boilerplate" -> qBoilerplate,
     "q_heavyhitters" -> qHeavyHitters,
     "q_triangles" -> qTriangles,
-    "q_normalize" -> qNormalize)
+    "q_normalize" -> qNormalize,
+    "q_split" -> qSplit,
+    "q_incremental" -> qIncremental)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1046,5 +1103,7 @@ object Analytics {
     "q_boilerplate" -> qBoilerplateSql,
     "q_heavyhitters" -> qHeavyHittersSql,
     "q_triangles" -> qTrianglesSql,
-    "q_normalize" -> qNormalizeSql)
+    "q_normalize" -> qNormalizeSql,
+    "q_split" -> qSplitSql,
+    "q_incremental" -> qIncrementalSql)
 }
