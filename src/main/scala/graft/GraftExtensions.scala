@@ -24,6 +24,18 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // native as-of join: marker condition → logical rewrite → strategy
+    ext.injectFunction((
+      new FunctionIdentifier("graft_asof_marker"),
+      new ExpressionInfo(
+        classOf[graft.plans.AsOfMarkerExpr].getName, "graft_asof_marker"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_asof_marker(leftKey, leftTime, rightKey, rightTime)")
+        graft.plans.AsOfMarkerExpr(children)
+      }))
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRewriteRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),

@@ -66,4 +66,43 @@ object AsOfJoin {
     }
     bounded.select((left.columns.map(col) ++ outCols.map(col)): _*)
   }
+
+  /** Native-plan backward as-of join (graft.plans.AsOfJoinExec): same
+    * semantics as [[backward]], executed by the custom sorted-merge
+    * physical operator instead of the union+window composition — each
+    * side shuffles at its own width and the merge is a streaming
+    * single pass with O(1) state. Requires [[graft.GraftExtensions]]
+    * on the session.
+    *
+    * `tsToLong` maps the event-time column to an orderable BIGINT.
+    * The default keeps MICROSECOND resolution (a plain cast-to-long
+    * would truncate to seconds and silently reorder same-second
+    * events); TIMESTAMP_NTZ goes through the timestamp cast first
+    * (identity wall time under the UTC session).
+    */
+  def backwardNative(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String],
+      tsToLong: Column => Column = c => unix_micros(c.cast("timestamp"))): DataFrame = {
+    val outCols = "asof_ts" +: payload.map(p => s"asof_$p")
+    require(!left.columns.exists(outCols.contains),
+      s"left already has ${outCols.mkString("/")} columns")
+    // the physical node wants plain BIGINT columns — materialize the
+    // casts as (temporary) attributes on each side
+    val l = left
+      .withColumn("_asof_lk", col(key).cast("long"))
+      .withColumn("_asof_lt", tsToLong(col(ts)))
+    val r = right.select(
+      col(key).cast("long").as("_asof_rk") +:
+        tsToLong(col(ts)).as("_asof_rt") +:
+        col(ts).as("asof_ts") +:
+        payload.map(p => col(p).as(s"asof_$p")): _*)
+    // left_outer: semantically what as-of is, and it makes the ANALYZED
+    // schema mark the right columns nullable — the physical operator
+    // emits nulls for misses, and downstream codegen must expect them
+    // (an inner join's non-nullable schema would read them as 0/empty)
+    l.join(r, call_function("graft_asof_marker",
+        col("_asof_lk"), col("_asof_lt"), col("_asof_rk"), col("_asof_rt")),
+        "left_outer")
+      .drop("_asof_lk", "_asof_lt", "_asof_rk", "_asof_rt")
+  }
 }

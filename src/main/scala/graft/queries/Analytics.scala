@@ -1043,6 +1043,34 @@ object Analytics {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ----------------------------------------------------- Q-ASOF-NATIVE
+  /** The native-plan as-of join (graft.plans: marker → rewrite rule →
+    * strategy → custom sorted-merge SparkPlan) on q_asof's exact
+    * shape, against the same DuckDB ASOF oracle. Unlike the
+    * union+window form, each side shuffles at its own width and the
+    * merge streams with O(1) state (see plans/AsOfJoinPlan.scala).
+    */
+  private val qAsofNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val lft = ev.filter(col("event_type") =!= "signup")
+      .select("event_id", "user_id", "ts")
+    val rgt = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts").agg(max("event_id").as("signup_id"))
+    graft.operators.AsOfJoin.backwardNative(lft, rgt, "user_id", "ts",
+        Seq("signup_id"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofNativeSql =
+    """WITH r AS (
+      |  SELECT user_id, ts, max(event_id) AS signup_id FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id, ts),
+      |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup')
+      |SELECT l.event_id, l.user_id, l.ts,
+      |       r.ts AS asof_ts, r.signup_id AS asof_signup_id
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1074,7 +1102,8 @@ object Analytics {
     "q_triangles" -> qTriangles,
     "q_normalize" -> qNormalize,
     "q_split" -> qSplit,
-    "q_incremental" -> qIncremental)
+    "q_incremental" -> qIncremental,
+    "q_asof_native" -> qAsofNative)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1105,5 +1134,6 @@ object Analytics {
     "q_triangles" -> qTrianglesSql,
     "q_normalize" -> qNormalizeSql,
     "q_split" -> qSplitSql,
-    "q_incremental" -> qIncrementalSql)
+    "q_incremental" -> qIncrementalSql,
+    "q_asof_native" -> qAsofNativeSql)
 }
