@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BloomContainsExpr, CmsEstimateExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, NfcNormalizeExpr, ShinglesExpr, SimHash64Expr, StripAccentsExpr}
+import graft.functions.{BloomContainsExpr, CmsEstimateExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, NfcNormalizeExpr, ShinglesExpr, SimHash64Expr, SortedIsectCountExpr, StripAccentsExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §4.2 preference order: native Expression over UDF).
@@ -78,6 +78,14 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_cms_estimate(sketch, key)")
         CmsEstimateExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_isect_count"),
+      new ExpressionInfo(
+        classOf[SortedIsectCountExpr].getName, "graft_sorted_isect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_sorted_isect_count(a, b)")
+        SortedIsectCountExpr(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_nfc"),

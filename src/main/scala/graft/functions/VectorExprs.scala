@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst kernels for embedding math (SURVEY.md similarity
   * mandate). The relational formulations (VectorOps.dotRelational:
@@ -103,5 +103,57 @@ final case class CosineSimExpr(left: Expression, right: Expression)
     VectorKernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedArrayKernels {
+  /** |a ∩ b| for two ASC-sorted long arrays by linear merge — no
+    * per-row hash-set build (what the generic `array_intersect` pays),
+    * no allocation. Duplicate elements count once, mirroring
+    * array_intersect's set semantics on the sorted inputs.
+    */
+  def isectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    var last = 0L; var seen = false
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        if (!seen || x != last) { n += 1; last = x; seen = true }
+        i += 1; j += 1
+      }
+    }
+    n
+  }
+}
+
+/** array<bigint> × array<bigint> (both ASC-sorted, non-null elements)
+  * → int intersection size. The triangle-count hot path: one call per
+  * edge, fused merge loop inside whole-stage codegen.
+  */
+final case class SortedIsectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_isect_count expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedArrayKernels.isectCount(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.functions.SortedArrayKernels.isectCount($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIsectCountExpr =
     copy(left = newLeft, right = newRight)
 }

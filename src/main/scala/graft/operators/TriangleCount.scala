@@ -61,12 +61,15 @@ object TriangleCount {
       try {
         val adj = maybeB(oriented.groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+        // adjacency lists are sorted ASC ⇒ the native merge-count
+        // kernel replaces array_intersect's per-row hash-set build
         val counted = oriented
           .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), "src")
           .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")),
             Seq("dst"), "left")
           .select(coalesce(
-            size(array_intersect(col("nbrs_u"), col("nbrs_v"))), lit(0))
+            call_function("graft_sorted_isect_count",
+              col("nbrs_u"), col("nbrs_v")), lit(0))
             .cast("long").as("tri"))
           .agg(sum(col("tri"))).head()
         (nEdges, if (counted.isNullAt(0)) 0L else counted.getLong(0))

@@ -1071,6 +1071,78 @@ object Analytics {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ----------------------------------------------------------- Q-JSON2
+  /** JSON path battery #2 (q_json covers from_json+schema): nested
+    * documents are BUILT from order columns by identical string
+    * concat in both engines, then extracted with path expressions —
+    * `get_json_object` nested paths, array indexing, and a missing
+    * path (null). Extraction parity is the point; the build step just
+    * manufactures deterministic nested JSON the corpus lacks.
+    */
+  private val qJson2: Q = (s, d) => {
+    val doc = concat(
+      lit("{\"cust\": {\"id\": "), col("o_custkey").cast("string"),
+      lit(", \"seg\": \""), col("o_orderpriority"),
+      lit("\"}, \"events\": [{\"t\": \""), col("o_orderstatus"),
+      lit("\"}, {\"t\": \"x\"}], \"total\": "),
+      col("o_totalprice").cast("decimal(18,2)").cast("string"), lit("}"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), doc.as("doc"))
+      .select(col("o_orderkey"),
+        get_json_object(col("doc"), "$.cust.id").cast("long").as("cust_id"),
+        get_json_object(col("doc"), "$.cust.seg").as("seg"),
+        get_json_object(col("doc"), "$.events[0].t").as("first_event"),
+        get_json_object(col("doc"), "$.events[1].t").as("second_event"),
+        get_json_object(col("doc"), "$.total").cast("double").as("total"),
+        get_json_object(col("doc"), "$.missing").as("missing"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qJson2Sql =
+    """WITH j AS (
+      |  SELECT o_orderkey,
+      |    '{"cust": {"id": ' || CAST(o_custkey AS VARCHAR)
+      |      || ', "seg": "' || o_orderpriority
+      |      || '"}, "events": [{"t": "' || o_orderstatus
+      |      || '"}, {"t": "x"}], "total": '
+      |      || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '}' AS doc
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  CAST(json_extract_string(doc, '$.cust.id') AS BIGINT) AS cust_id,
+      |  json_extract_string(doc, '$.cust.seg') AS seg,
+      |  json_extract_string(doc, '$.events[0].t') AS first_event,
+      |  json_extract_string(doc, '$.events[1].t') AS second_event,
+      |  CAST(json_extract_string(doc, '$.total') AS DOUBLE) AS total,
+      |  json_extract_string(doc, '$.missing') AS missing
+      |FROM j ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------- Q-HLL
+  /** HLL sketch columns (Spark's DataSketches `hll_sketch_agg`): one
+    * mergeable sketch per source — the store-then-merge pattern of
+    * warehouse distinct counting: daily/per-partition sketches
+    * persist as binary columns and any rollup (here: global via
+    * `hll_union_agg`) is sketch-merge, never a re-scan of raw data.
+    * No DuckDB twin (different sketch format) ⇒ rows-only driver
+    * check; AnalyticsSpec bounds the estimates against exact counts.
+    */
+  private val qHll: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val perSource = tok.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("w")).as("sk"),
+        countDistinct(col("w")).as("exact_distinct"))
+    val global = perSource.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(lit("__global__").as("source"), col("est"),
+        lit(null).cast("long").as("exact_distinct"))
+    perSource
+      .select(col("source"), hll_sketch_estimate(col("sk")).as("est"),
+        col("exact_distinct"))
+      .unionByName(global)
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1103,7 +1175,9 @@ object Analytics {
     "q_normalize" -> qNormalize,
     "q_split" -> qSplit,
     "q_incremental" -> qIncremental,
-    "q_asof_native" -> qAsofNative)
+    "q_asof_native" -> qAsofNative,
+    "q_json2" -> qJson2,
+    "q_hll" -> qHll)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1135,5 +1209,6 @@ object Analytics {
     "q_normalize" -> qNormalizeSql,
     "q_split" -> qSplitSql,
     "q_incremental" -> qIncrementalSql,
-    "q_asof_native" -> qAsofNativeSql)
+    "q_asof_native" -> qAsofNativeSql,
+    "q_json2" -> qJson2Sql)
 }

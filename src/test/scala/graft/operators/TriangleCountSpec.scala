@@ -25,6 +25,21 @@ class TriangleCountSpec extends SparkTestBase {
     assert(TriangleCount.countNaive(messy) == 1)
   }
 
+  test("sorted-intersect kernel: duplicates once, empty/disjoint zero, matches array_intersect") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), 2),
+      (Seq(1L, 1L, 2L, 2L), Seq(1L, 2L), 2),    // dups count once
+      (Seq.empty[Long], Seq(1L, 2L), 0),
+      (Seq(1L, 2L), Seq(3L, 4L), 0)
+    ).toDF("a", "b", "expect")
+    val bad = df.filter(
+      call_function("graft_sorted_isect_count", col("a"), col("b")) =!= col("expect") ||
+      call_function("graft_sorted_isect_count", col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b")))).count()
+    assert(bad == 0)
+  }
+
   test("oriented count matches the naive 3-join on a skewed random graph") {
     val rnd = new scala.util.Random(7)
     // hub-skewed: node 0 connects widely (the naive killer shape)

@@ -84,6 +84,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(df.select("metric").distinct().count() == 3)
   }
 
+  test("hll: per-source and merged estimates land within DataSketches error bounds") {
+    val rows = Analytics.defs("q_hll")(spark, sf).collect()
+    val perSource = rows.filter(_.getString(0) != "__global__")
+    assert(perSource.nonEmpty)
+    perSource.foreach { r =>
+      val est = r.getLong(1); val exact = r.getLong(2)
+      assert(math.abs(est - exact) <= math.max(2L, (exact * 0.05).toLong),
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+    // the union estimate must cover the global distinct (31-word vocab)
+    val global = rows.find(_.getString(0) == "__global__").get.getLong(1)
+    val union = perSource.map(_.getLong(2)).max
+    assert(global >= (union * 0.95).toLong && global <= 40,
+      s"global estimate $global implausible")
+  }
+
   test("scd2: exactly one current row per customer, intervals chain without overlap") {
     val df = Analytics.defs("q_scd2")(spark, sf).cache()
     try {
