@@ -1143,6 +1143,79 @@ object Analytics {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------------- Q-BM25
+  /** BM25 relevance scoring (k1=1.2, b=0.75) for a fixed 3-term query
+    * — the IR-standard upgrade of q_tfidf's scoring. One pass builds
+    * (doc, term, tf); df and avgdl derive from aggregates of it;
+    * scoring is narrow arithmetic post-join. Scores round to 6dp for
+    * cross-engine float parity (ln differs in the last ulps).
+    */
+  private val qBm25: Q = (s, d) => {
+    val terms = Seq("join", "hash", "stream")
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = docs.select(avg(size(split(col("text"), " ")))).head().getDouble(0)
+    val idf = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val score = idf * (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    tf.join(dfreq, "tok")
+      .groupBy(col("doc_id")).agg(round(sum(score), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  private val qBm25Sql =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |n AS (SELECT count(*) AS n FROM docs),
+      |avgdl AS (SELECT avg(len(t)) AS avgdl FROM docs),
+      |toks AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok FROM docs),
+      |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM toks
+      |       WHERE tok IN ('join', 'hash', 'stream') GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id,
+      |  round(sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |    * (tf.tf * 2.2)
+      |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl.avgdl))), 6) AS bm25,
+      |  count(*) AS n_terms_hit
+      |FROM tf JOIN df USING (tok) CROSS JOIN n CROSS JOIN avgdl
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------- Q-OUTLIERS
+  /** Z-score outlier detection per group — the anomaly gate of a data
+    * pipeline: per-source mean/stddev of n_chars (exact decimal-path
+    * sums via the two-aggregate formulation), flag docs beyond 1.5σ.
+    * One aggregate + one broadcast-sized join back; z rounds to 6dp.
+    */
+  private val qOutliers: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy(col("source"))
+      .agg(avg(col("n_chars")).as("mu"),
+        stddev_samp(col("n_chars")).as("sigma"))
+    docs.join(stats, "source")
+      .withColumn("z", round((col("n_chars") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) > 1.5)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("z"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val qOutliersSql =
+    """WITH stats AS (
+      |  SELECT source, avg(n_chars) AS mu, stddev_samp(n_chars) AS sigma
+      |  FROM documents GROUP BY 1)
+      |SELECT source, doc_id, n_chars,
+      |       round((n_chars - mu) / sigma, 6) AS z
+      |FROM documents JOIN stats USING (source)
+      |WHERE abs((n_chars - mu) / sigma) > 1.5
+      |ORDER BY source, doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1177,7 +1250,9 @@ object Analytics {
     "q_incremental" -> qIncremental,
     "q_asof_native" -> qAsofNative,
     "q_json2" -> qJson2,
-    "q_hll" -> qHll)
+    "q_hll" -> qHll,
+    "q_bm25" -> qBm25,
+    "q_outliers" -> qOutliers)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1210,5 +1285,7 @@ object Analytics {
     "q_split" -> qSplitSql,
     "q_incremental" -> qIncrementalSql,
     "q_asof_native" -> qAsofNativeSql,
-    "q_json2" -> qJson2Sql)
+    "q_json2" -> qJson2Sql,
+    "q_bm25" -> qBm25Sql,
+    "q_outliers" -> qOutliersSql)
 }
