@@ -1216,6 +1216,40 @@ object Analytics {
       |WHERE abs((n_chars - mu) / sigma) > 1.5
       |ORDER BY source, doc_id""".stripMargin
 
+  // -------------------------------------------------------- Q-RECURSIVE
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): per-level census of a
+    * synthetic 4-ary tree over doc ids (parent = id div 4, root 0) —
+    * depth grows log₄(corpus), so the iteration count self-bounds
+    * (~9 levels at sf0.1) regardless of scale. Each recursion step is
+    * one join of the frontier against the corpus: the engine-native
+    * iterate-to-fixpoint surface that PageRank/connected components
+    * hand-roll with persisted loops.
+    */
+  private val qRecursive: Q = (s, d) => {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(
+      """WITH RECURSIVE tree(doc_id, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS depth
+        |  UNION ALL
+        |  SELECT c.doc_id, t.depth + 1
+        |  FROM documents c JOIN tree t ON c.doc_id div 4 = t.doc_id
+        |  WHERE c.doc_id >= 1)
+        |SELECT depth, count(*) AS n_nodes,
+        |       min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  private val qRecursiveSql =
+    """WITH RECURSIVE tree(doc_id, depth) AS (
+      |  SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS depth
+      |  UNION ALL
+      |  SELECT c.doc_id, t.depth + 1
+      |  FROM documents c JOIN tree t ON c.doc_id // 4 = t.doc_id
+      |  WHERE c.doc_id >= 1)
+      |SELECT depth, count(*) AS n_nodes,
+      |       min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1252,7 +1286,8 @@ object Analytics {
     "q_json2" -> qJson2,
     "q_hll" -> qHll,
     "q_bm25" -> qBm25,
-    "q_outliers" -> qOutliers)
+    "q_outliers" -> qOutliers,
+    "q_recursive" -> qRecursive)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1287,5 +1322,6 @@ object Analytics {
     "q_asof_native" -> qAsofNativeSql,
     "q_json2" -> qJson2Sql,
     "q_bm25" -> qBm25Sql,
-    "q_outliers" -> qOutliersSql)
+    "q_outliers" -> qOutliersSql,
+    "q_recursive" -> qRecursiveSql)
 }

@@ -64,6 +64,41 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
   }
 
+  test("property: native as-of equals per-row brute force on random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val sideGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      ks <- Gen.listOfN(n, Gen.choose(1L, 5L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    } yield ks.zip(ts)
+
+    for (i <- 0 until 10) {
+      val lRows = sample(sideGen, 100L + i)
+      // dedup right (key, ts) — tie order is engine-defined
+      val rRows = sample(sideGen, 200L + i).distinct
+        .groupBy(identity).keys.toList
+      val l = lRows.zipWithIndex
+        .map { case ((k, t), id) => (id.toLong, k, new Timestamp(t * 1000)) }
+        .toDF("id", "k", "ts")
+      val r = rRows.map { case (k, t) =>
+        (k, new Timestamp(t * 1000), k * 1000 + t) }.toDF("k", "ts", "v")
+      val got = AsOfJoin.backwardNative(l, r, "k", "ts", Seq("v"))
+        .select(col("id"), col("asof_v"))
+        .collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .toMap
+      val expect = lRows.zipWithIndex.map { case ((k, t), id) =>
+        val best = rRows.filter(rr => rr._1 == k && rr._2 <= t)
+          .sortBy(_._2).lastOption.map(rr => rr._1 * 1000 + rr._2)
+        id.toLong -> best
+      }.toMap
+      assert(got == expect, s"iteration $i mismatch")
+    }
+  }
+
   test("null keys and null times on the left emit null matches, not crashes") {
     val l = Seq(
       (Some(1L), Some(ts("2024-01-01 10:03:00"))),
