@@ -168,6 +168,8 @@ object Bloom {
 final case class BloomContainsExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def prettyName: String = "graft_bloom_contains"
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, LongType) if left.foldable =>

@@ -133,6 +133,8 @@ object Sketches {
 final case class CmsEstimateExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def prettyName: String = "graft_cms_estimate"
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, StringType) if left.foldable =>

@@ -135,6 +135,8 @@ object SortedArrayKernels {
   */
 final case class SortedIsectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def prettyName: String = "graft_sorted_isect_count"
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>

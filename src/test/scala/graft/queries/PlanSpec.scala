@@ -94,4 +94,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("EqualTo(event_type,view)"), p.take(1200))
     assert(p.contains("EqualTo(event_type,purchase)"))
   }
+
+  test("q_bloom_join probes the bloom filter below the semi join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("graft_bloom_contains"), p.take(1200))
+    assert(p.contains("LeftSemi"), p.take(1200))
+    // the probe is a Filter under the join, printed after it top-down
+    assert(p.indexOf("graft_bloom_contains") > p.indexOf("LeftSemi"), p.take(1500))
+  }
+
+  test("q_asof_native plans the custom sorted-merge operator, not a window") {
+    val p = plan("q_asof_native")
+    assert(p.contains("AsOfJoin"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q_heavyhitters prunes candidates through the cms probe before the exact count") {
+    val p = plan("q_heavyhitters")
+    assert(p.contains("graft_cms_estimate"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
 }
