@@ -1250,6 +1250,44 @@ object Analytics {
       |       min(doc_id) AS first_id, max(doc_id) AS last_id
       |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
 
+  // ------------------------------------------------- Q-SAMPLE-WEIGHTED
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * A-Res), deterministic: u = uniform from the md5 of the doc id
+    * (13 hex digits = exactly 2^52 buckets — integer-exact in a
+    * double in both engines), sample key = ln(u)/weight, take the
+    * top-5 keys per source. No rand(): reruns, retries, and engine
+    * swaps draw the SAME sample — the property q_split relies on,
+    * extended to weighted draws (weight = n_chars: longer docs more
+    * likely). Keys round to 12dp for ln parity; doc_id tiebreak.
+    */
+  private val qSampleWeighted: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") + 1.0) / lit(math.pow(16, 13))
+    val key = round(log(u) / col("n_chars"), 12)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        key.as("sample_key"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("sample_key"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val qSampleWeightedSql =
+    """WITH keyed AS (
+      |  SELECT source, doc_id, n_chars,
+      |    round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+      |             / 4503599627370496.0) / n_chars, 12) AS sample_key
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY sample_key DESC, doc_id) AS rn FROM keyed)
+      |SELECT source, doc_id, n_chars, sample_key
+      |FROM ranked WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1287,7 +1325,8 @@ object Analytics {
     "q_hll" -> qHll,
     "q_bm25" -> qBm25,
     "q_outliers" -> qOutliers,
-    "q_recursive" -> qRecursive)
+    "q_recursive" -> qRecursive,
+    "q_sample_weighted" -> qSampleWeighted)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1323,5 +1362,6 @@ object Analytics {
     "q_json2" -> qJson2Sql,
     "q_bm25" -> qBm25Sql,
     "q_outliers" -> qOutliersSql,
-    "q_recursive" -> qRecursiveSql)
+    "q_recursive" -> qRecursiveSql,
+    "q_sample_weighted" -> qSampleWeightedSql)
 }

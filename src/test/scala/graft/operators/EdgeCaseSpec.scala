@@ -65,4 +65,40 @@ class EdgeCaseSpec extends SparkTestBase {
     }
     assert(ex.getMessage != null)
   }
+
+  test("bloom filter built over an empty dim matches nothing, pruned join is empty") {
+    import graft.functions.Bloom
+    val emptyDim = Seq.empty[Long].toDF("dk")
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("fk", "v")
+    val f = Bloom.LongBloomFilter.deserialize(
+      Bloom.buildFilter(emptyDim, "dk", expectedN = 1))
+    assert(!f.contains(1L) && !f.contains(2L))
+    assert(Bloom.prunedSemiJoin(fact, emptyDim, "fk", "dk", expectedN = 1)
+      .count() == 0)
+  }
+
+  test("cms built over an empty stream estimates zero everywhere") {
+    import graft.functions.Sketches
+    val cms = Sketches.CountMinSketch.deserialize(
+      Sketches.build(Seq.empty[String].toDF("w"), "w"))
+    assert(cms.estimate(org.apache.spark.unsafe.types.UTF8String.fromString("x")) == 0)
+  }
+
+  test("triangle stats of an empty / single-edge graph are (0,0) / (1,0)") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(TriangleCount.stats(empty) == ((0L, 0L)))
+    val one = Seq((1L, 2L)).toDF("u", "v")
+    assert(TriangleCount.stats(one) == ((1L, 0L)))
+  }
+
+  test("native as-of join with empty right side keeps all left rows unmatched") {
+    val left = Seq((1L, new java.sql.Timestamp(1000), "x")).toDF("k", "ts", "v")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "ts", "px")
+    val out = AsOfJoin.backwardNative(left, right, "k", "ts", Seq("px"))
+    assert(out.count() == 1)
+    assert(out.filter(col("asof_px").isNotNull).count() == 0)
+    // and an empty LEFT side is simply empty
+    val emptyLeft = Seq.empty[(Long, java.sql.Timestamp, String)].toDF("k", "ts", "v")
+    assert(AsOfJoin.backwardNative(emptyLeft, right, "k", "ts", Seq("px")).count() == 0)
+  }
 }
