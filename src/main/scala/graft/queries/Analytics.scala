@@ -1288,6 +1288,74 @@ object Analytics {
       |SELECT source, doc_id, n_chars, sample_key
       |FROM ranked WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
 
+  // ---------------------------------------------------------- Q-PROFILE
+  /** Column profiling — the data-quality census run before any corpus
+    * lands in a training mix: per column, null count, distinct count,
+    * min/max (stringified to one portable schema). One pass per
+    * column over a single cached scan; each profile row is
+    * aggregate-sized. (A single-pass multi-aggregate is possible but
+    * makes every stat a struct column — the per-column union keeps
+    * the output relational and the scan count is still O(columns),
+    * all served from the cached scan.)
+    */
+  private val qProfile: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val profiles = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      docs.agg(
+        count(lit(1)).as("n_rows"),
+        count(lit(1)).minus(count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }
+    profiles.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  private val qProfileSql = Seq("doc_id", "text", "lang", "source", "n_chars")
+    .map(c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val FROM documents""".stripMargin)
+    .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  // ----------------------------------------------------------- Q-MARKOV
+  /** Event-transition matrix (first-order Markov counts): per user,
+    * order events by (ts, event_id) and count each consecutive
+    * (prev_event_type → event_type) pair; transition probability =
+    * count / row-total. One window (lag) + one aggregation — the
+    * sequence-model statistic behind session analysis, all keyed by
+    * user_id so both steps share a partitioning.
+    */
+  private val qMarkov: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("prev"))
+    trans
+      .withColumn("p", round(col("n") / sum(col("n")).over(totals), 6))
+      .orderBy("prev", "next")
+  }
+
+  private val qMarkovSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |trans AS (
+      |  SELECT prev, event_type AS next, count(*) AS n
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev, next, n,
+      |  round(n / sum(n) OVER (PARTITION BY prev), 6) AS p
+      |FROM trans ORDER BY prev, next""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1326,7 +1394,9 @@ object Analytics {
     "q_bm25" -> qBm25,
     "q_outliers" -> qOutliers,
     "q_recursive" -> qRecursive,
-    "q_sample_weighted" -> qSampleWeighted)
+    "q_sample_weighted" -> qSampleWeighted,
+    "q_profile" -> qProfile,
+    "q_markov" -> qMarkov)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1363,5 +1433,7 @@ object Analytics {
     "q_bm25" -> qBm25Sql,
     "q_outliers" -> qOutliersSql,
     "q_recursive" -> qRecursiveSql,
-    "q_sample_weighted" -> qSampleWeightedSql)
+    "q_sample_weighted" -> qSampleWeightedSql,
+    "q_profile" -> qProfileSql,
+    "q_markov" -> qMarkovSql)
 }
