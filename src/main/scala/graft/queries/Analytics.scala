@@ -939,11 +939,19 @@ object Analytics {
     * same count, tractable at oracle scale.
     */
   private val qTriangles: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
+    // co-purchase edges with ONE shuffle: collect the (deduped,
+    // sorted) part set per order, explode pairs narrowly — the
+    // items-self-join alternative shuffles both sides AND joins.
+    // Within-order sets are small (a handful of parts), so the pair
+    // explosion is bounded per row.
+    val edges = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .select(col("e.u"), col("e.v"))
     val (nEdges, nTri) = graft.operators.TriangleCount.stats(edges)
     val s2 = s
     import s2.implicits._
@@ -1291,12 +1299,12 @@ object Analytics {
   // ---------------------------------------------------------- Q-PROFILE
   /** Column profiling — the data-quality census run before any corpus
     * lands in a training mix: per column, null count, distinct count,
-    * min/max (stringified to one portable schema). One pass per
-    * column over a single cached scan; each profile row is
-    * aggregate-sized. (A single-pass multi-aggregate is possible but
-    * makes every stat a struct column — the per-column union keeps
-    * the output relational and the scan count is still O(columns),
-    * all served from the cached scan.)
+    * min/max (stringified to one portable schema). One aggregation
+    * per column, each over a COLUMN-PRUNED parquet scan — O(columns)
+    * scans that together read each column once, the same bytes as a
+    * single wide scan, with no cache materialization. (A single-pass
+    * multi-aggregate is possible but makes every stat a struct
+    * column; the per-column union keeps the output relational.)
     */
   private val qProfile: Q = (s, d) => {
     val docs = Tables.documents(s, d)
