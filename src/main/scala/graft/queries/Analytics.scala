@@ -1364,6 +1364,40 @@ object Analytics {
       |  round(n / sum(n) OVER (PARTITION BY prev), 6) AS p
       |FROM trans ORDER BY prev, next""".stripMargin
 
+  // ---------------------------------------------------------- Q-ENTROPY
+  /** Token-distribution entropy per document — the quality signal
+    * that separates natural text (high entropy) from degenerate
+    * repetition (low). One token pass → per-(doc, word) counts →
+    * per-doc Shannon entropy over the count distribution; 6dp
+    * rounding absorbs summation-order ulps (bm25 precedent).
+    */
+  private val qEntropy: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val n = sum(col("c")).over(Window.partitionBy(col("doc_id")))
+    wc.withColumn("term", (col("c") / n) * log(col("c") / n))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum(col("term")), 6).as("entropy"),
+        count(lit(1)).as("n_distinct_terms"))
+      .orderBy("doc_id")
+  }
+
+  private val qEntropySql =
+    """WITH wc AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT doc_id,
+      |    (c / sum(c) OVER (PARTITION BY doc_id))
+      |      * ln(c / sum(c) OVER (PARTITION BY doc_id)) AS term
+      |  FROM wc)
+      |SELECT doc_id, round(-sum(term), 6) AS entropy,
+      |       count(*) AS n_distinct_terms
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1404,7 +1438,8 @@ object Analytics {
     "q_recursive" -> qRecursive,
     "q_sample_weighted" -> qSampleWeighted,
     "q_profile" -> qProfile,
-    "q_markov" -> qMarkov)
+    "q_markov" -> qMarkov,
+    "q_entropy" -> qEntropy)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1443,5 +1478,6 @@ object Analytics {
     "q_recursive" -> qRecursiveSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_profile" -> qProfileSql,
-    "q_markov" -> qMarkovSql)
+    "q_markov" -> qMarkovSql,
+    "q_entropy" -> qEntropySql)
 }
