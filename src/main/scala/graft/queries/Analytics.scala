@@ -1398,6 +1398,38 @@ object Analytics {
       |       count(*) AS n_distinct_terms
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- Q-CDC
+  /** Change-data-capture apply / latest-state compaction: the event
+    * stream is a changelog per user (signup=insert, view/click/
+    * purchase=update, error=tombstone); the current table is each
+    * user's LAST change — one row_number window over (user, ts desc)
+    * with tombstoned users dropped. This is the merge-on-read
+    * compaction every CDC lakehouse table runs; at scale the window
+    * keys by user_id, so partial compaction per partition needs no
+    * global pass.
+    */
+  private val qCdc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("current_value"))
+      .orderBy("user_id")
+  }
+
+  private val qCdcSql =
+    """WITH ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, ts AS last_ts, event_type AS last_type,
+      |       value AS current_value
+      |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1439,7 +1471,8 @@ object Analytics {
     "q_sample_weighted" -> qSampleWeighted,
     "q_profile" -> qProfile,
     "q_markov" -> qMarkov,
-    "q_entropy" -> qEntropy)
+    "q_entropy" -> qEntropy,
+    "q_cdc" -> qCdc)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1479,5 +1512,6 @@ object Analytics {
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_profile" -> qProfileSql,
     "q_markov" -> qMarkovSql,
-    "q_entropy" -> qEntropySql)
+    "q_entropy" -> qEntropySql,
+    "q_cdc" -> qCdcSql)
 }

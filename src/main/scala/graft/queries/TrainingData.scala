@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.FloatType
 
@@ -200,7 +201,11 @@ object TrainingData {
     * representative. Oracle: DuckDB recursive-CTE reachability with
     * min-label components — exact hash match.
     */
-  private val qDedupGroups: Q = (s, d) => {
+  /** (doc_id, component) for the blocking-graph clusters — shared by
+    * q_dedup_groups (the raw labeling) and q_dedup_keepbest (the
+    * resolution step on top).
+    */
+  private def docComponents(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), expr("n_chars div 100"))
@@ -213,8 +218,59 @@ object TrainingData {
     docs.join(comp, docs("doc_id") === comp("id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
-      .orderBy("doc_id")
   }
+
+  private val qDedupGroups: Q = (s, d) =>
+    docComponents(s, d).orderBy("doc_id")
+
+  // ------------------------------------------------- cluster resolution
+  /** Duplicate-cluster RESOLUTION: within each component keep the
+    * highest-quality member (longest doc; doc_id tiebreak) — the
+    * curation decision that follows clustering. One window over the
+    * component labeling; the survivor count and per-cluster sizes
+    * come out of the same pass.
+    */
+  private val qDedupKeepbest: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docComponents(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keep_id"),
+        col("n_chars"), col("cluster_size"))
+      .orderBy("component")
+  }
+
+  private val qDedupKeepbestSql =
+    """WITH RECURSIVE stars AS (
+      |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY source, n_chars // 100) AS b
+      |  FROM documents
+      |  UNION
+      |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY lang, n_chars // 100) AS b
+      |  FROM documents),
+      |edges AS (
+      |  SELECT a, b FROM stars WHERE a <> b
+      |  UNION SELECT b, a FROM stars WHERE a <> b),
+      |walk(node, lbl) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.node = e.a),
+      |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+      |labeled AS (
+      |  SELECT doc_id, coalesce(component, doc_id) AS component, n_chars
+      |  FROM documents LEFT JOIN comp ON doc_id = node),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY component
+      |            ORDER BY n_chars DESC, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY component) AS cluster_size
+      |  FROM labeled)
+      |SELECT component, doc_id AS keep_id, n_chars, cluster_size
+      |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
 
   private val qDedupGroupsSql =
     """WITH RECURSIVE stars AS (
@@ -534,6 +590,7 @@ object TrainingData {
     "q_embed_neardup" -> qEmbedNear,
     "q_embed_pairs" -> qEmbedPairs,
     "q_dedup_groups" -> qDedupGroups,
+    "q_dedup_keepbest" -> qDedupKeepbest,
     "q_sample_stratified" -> qSampleStratified,
     "q_sim_brute" -> qSimBrute,
     "q_sim_bucketed" -> qSimBucketed,
@@ -559,6 +616,7 @@ object TrainingData {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_groups" -> qDedupGroupsSql,
+    "q_dedup_keepbest" -> qDedupKeepbestSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_embed_pairs" -> qEmbedPairsSql,
     "q_embed_neardup" -> qEmbedNearSql,
