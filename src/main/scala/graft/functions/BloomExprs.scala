@@ -101,10 +101,15 @@ object Bloom {
     */
   final class BloomAgg(expectedN: Long, fpp: Double)
       extends Aggregator[java.lang.Long, Array[Long], Array[Byte]] {
-    private val proto = LongBloomFilter.sized(expectedN, fpp)
-    private val kHashes = proto.numHashes
+    // keep only the two ints — holding the sized prototype itself
+    // would serialize its full zeroed words array (GBs at large
+    // expectedN) into every task with the aggregator
+    private val (numWords, kHashes) = {
+      val p = LongBloomFilter.sized(expectedN, fpp)
+      (p.words.length, p.numHashes)
+    }
 
-    override def zero: Array[Long] = new Array[Long](proto.words.length)
+    override def zero: Array[Long] = new Array[Long](numWords)
 
     override def reduce(buf: Array[Long], v: java.lang.Long): Array[Long] = {
       if (v != null) { new LongBloomFilter(buf, kHashes).add(v.longValue()) }

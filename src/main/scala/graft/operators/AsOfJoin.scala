@@ -86,6 +86,20 @@ object AsOfJoin {
     val outCols = "asof_ts" +: payload.map(p => s"asof_$p")
     require(!left.columns.exists(outCols.contains),
       s"left already has ${outCols.mkString("/")} columns")
+    // the physical merge compares BIGINT keys; a string key would cast
+    // to null (ANSI off) or throw mid-job (ANSI on) — fail fast here
+    // instead; [[backward]] handles arbitrary key types
+    Seq(left, right).foreach { side =>
+      import org.apache.spark.sql.types._
+      val ok = side.schema(key).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"backwardNative needs an integral key, got $key: " +
+          s"${side.schema(key).dataType.sql} " +
+          "(use backward, or pre-hash the key to BIGINT)")
+    }
     // the physical node wants plain BIGINT columns — materialize the
     // casts as (temporary) attributes on each side
     val l = left

@@ -45,11 +45,12 @@ object SkewJoin {
     }
     val spreadCols = probe.schema.fields
       .filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
-    // all-map degenerate frame: fall back to the (null) tiebreak hash —
-    // degraded-to-unsalted for null rows, but analyzable
-    val rowSpread =
-      if (spreadCols.nonEmpty) xxhash64(spreadCols: _*)
-      else xxhash64(col(probeTiebreak))
+    // an all-map frame can't be salted at all — the tiebreak hash in
+    // the otherwise() branch below would fail analysis on the same
+    // map column anyway, so fail here with a message instead
+    require(spreadCols.nonEmpty,
+      "saltedInnerJoin: probe has no hashable (non-map) column to spread on")
+    val rowSpread = xxhash64(spreadCols: _*)
     val salted = probe.withColumn("_salt",
       pmod(when(col(probeTiebreak).isNull, rowSpread)
         .otherwise(xxhash64(col(probeTiebreak))), lit(saltFactor)).cast("int"))

@@ -68,7 +68,14 @@ final case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   */
 object AsOfJoinRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
-    case j @ Join(l, r, _, Some(AsOfMarkerExpr(args)), _) =>
+    case j @ Join(l, r, joinType, Some(AsOfMarkerExpr(args)), _) =>
+      // LeftOuter ONLY: the exec emits null right columns on misses,
+      // and only a left-outer join's ANALYZED schema marks them
+      // nullable — rewriting an inner join would make downstream
+      // codegen read those nulls as 0/empty (silent wrong results)
+      require(joinType == org.apache.spark.sql.catalyst.plans.LeftOuter,
+        s"graft_asof_marker requires a left_outer join (got $joinType): " +
+          "write l.join(r, marker, \"left_outer\") or use AsOfJoin.backwardNative")
       require(args.length == 4,
         "graft_asof_marker(leftKey, leftTime, rightKey, rightTime)")
       val leftSide = args.filter(_.references.subsetOf(l.outputSet))
