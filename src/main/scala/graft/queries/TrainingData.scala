@@ -566,6 +566,13 @@ object TrainingData {
 
   private val qStreamJoin: Q = (s, d) => EventStream.enrichedStream(s, d)
 
+  private val qStreamTopK: Q = (s, d) => EventStream.topKStream(s, d)
+
+  private val qStreamTopKSql =
+    """SELECT user_id, count(*) AS n_events
+      |FROM events GROUP BY user_id
+      |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
+
   private val qStreamJoinSql =
     """SELECT c_mktsegment, event_type, count(*) AS n_events
       |FROM (SELECT event_type,
@@ -607,6 +614,7 @@ object TrainingData {
     "q_stream_seg" -> qStreamSeg,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_join" -> qStreamJoin,
+    "q_stream_topk" -> qStreamTopK,
     "q_stream_session" -> qStreamSession)
 
   /** Oracles only for the SQL-expressible subset; the rest get the
@@ -633,5 +641,6 @@ object TrainingData {
     "q_stream_seg" -> qStreamSegSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_session" -> qStreamSessionSql,
-    "q_stream_join" -> qStreamJoinSql)
+    "q_stream_join" -> qStreamJoinSql,
+    "q_stream_topk" -> qStreamTopKSql)
 }

@@ -97,6 +97,32 @@ object EventStream {
     * synthetic tables share no natural key); the oracle states the
     * same join in SQL.
     */
+  /** Streaming top-k: complete-mode per-user event counts, then the
+    * k heaviest users off the result table. The stateful op is the
+    * keyed count (state = one row per user); the top-k itself is a
+    * bounded post-pass over the complete-mode sink — ranking INSIDE
+    * the stream would re-sort the whole aggregate every micro-batch
+    * for the same answer. Deterministic ties: (count desc, user_id).
+    */
+  def topKStream(spark: SparkSession, dir: String, k: Int = 10,
+      statePartitions: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"stream_topk_${System.nanoTime()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = src.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy(col("n_events").desc, col("user_id")).limit(k)
+  }
+
   def enrichedStream(spark: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
