@@ -1451,6 +1451,49 @@ object Analytics {
       |FROM ranked WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- Q-MAD
+  /** Median-absolute-deviation anomaly gate — the ROBUST sibling of
+    * q_outliers' z-score (one wild value inflates mean/stddev and
+    * hides its own outlierness; medians don't budge). Two grouped
+    * exact-percentile aggregations (median, then MAD of residuals)
+    * + a broadcast-sized join back; a doc is anomalous when
+    * |x − med| > 2 · 1.4826 · mad (≈2σ-equivalent). Output is the
+    * per-source summary (always one row per source, zero-count
+    * included) — bounded regardless of how many rows trip the gate.
+    * Counts compare on RAW values (both engines), stats round 6dp.
+    */
+  private val qMad: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val med = docs.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val mad = docs.join(med, "source")
+      .groupBy(col("source"), col("med"))
+      .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+    docs.join(mad, "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((abs(col("n_chars") - col("med")) > lit(2 * 1.4826) * col("mad"))
+          .cast("long")).as("n_anomalies"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"))
+      .orderBy("source")
+  }
+
+  private val qMadSql =
+    """WITH med AS (
+      |  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+      |  FROM documents GROUP BY 1),
+      |mad AS (
+      |  SELECT source, med,
+      |         quantile_cont(abs(n_chars - med), 0.5) AS mad
+      |  FROM documents JOIN med USING (source) GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN abs(n_chars - med) > 2 * 1.4826 * mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |       round(any_value(med), 6) AS med, round(any_value(mad), 6) AS mad
+      |FROM documents JOIN mad USING (source)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
@@ -1493,7 +1536,8 @@ object Analytics {
     "q_profile" -> qProfile,
     "q_markov" -> qMarkov,
     "q_entropy" -> qEntropy,
-    "q_cdc" -> qCdc)
+    "q_cdc" -> qCdc,
+    "q_mad" -> qMad)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
@@ -1534,5 +1578,6 @@ object Analytics {
     "q_profile" -> qProfileSql,
     "q_markov" -> qMarkovSql,
     "q_entropy" -> qEntropySql,
-    "q_cdc" -> qCdcSql)
+    "q_cdc" -> qCdcSql,
+    "q_mad" -> qMadSql)
 }
