@@ -59,7 +59,20 @@ object Bench {
     // total = sum of measured queries only (the -1 sentinels would
     // subtract from it and skew the round-over-round comparison)
     val total = results.map(_._2).filter(_ >= 0.0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO persist in-repo: the driver's stdout tail capture clips long
+    // lines (round-2 BENCH artifact was truncated mid-JSON, making 42
+    // per-query timings unauditable) — the file is the durable record
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

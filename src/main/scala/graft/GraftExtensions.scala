@@ -34,7 +34,15 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_asof_marker(leftKey, leftTime, rightKey, rightTime)")
         graft.plans.AsOfMarkerExpr(children)
       }))
-    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRewriteRule)
+    // POST-HOC RESOLUTION, not injectOptimizerRule: extension optimizer
+    // rules run inside the operator-optimization batch AFTER
+    // EliminateOuterJoin, which flips left_outer→inner when a user
+    // filter above the marker join is null-intolerant on right columns
+    // (e.g. asof_price IS NOT NULL) — the rewrite would then see Inner
+    // and abort the query. Rewriting at analysis time removes the Join
+    // before any join-type elimination can touch it, and the analyzed
+    // schema comes from AsOfJoinNode itself (right side nullable).
+    ext.injectPostHocResolutionRule(_ => graft.plans.AsOfJoinRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash64"),

@@ -242,6 +242,9 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, signBits: Int = 12): DataFrame = {
+    // double-typed corpora keep the full-double relational cosine
+    // (float kernel would narrow and can flip near-threshold pairs)
+    val cos = VectorOps.cosineFor(emb, vecCol)
     val bucketed = emb.select(col(idCol), col(vecCol),
       VectorOps.signBucket(col(vecCol), signBits).as("bucket"))
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
@@ -249,7 +252,7 @@ object Dedup {
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorOps.cosine(col("v_a"), col("v_b")).as("cosine"))
+        cos(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -265,14 +268,16 @@ object Dedup {
     */
   def embeddingNearDupsExact(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    val dotF = VectorOps.dotFor(emb, vecCol)
+    val normF = VectorOps.normFor(emb, vecCol)
     val normed = emb.select(col(idCol), col(vecCol),
-      VectorOps.norm(col(vecCol)).as("nrm"))
+      normF(col(vecCol)).as("nrm"))
     val a = normed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
     val b = normed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         when(col("n_a") * col("n_b") =!= 0.0,
-          VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+          dotF(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }

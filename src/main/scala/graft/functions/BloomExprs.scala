@@ -73,12 +73,26 @@ object Bloom {
     /** Optimal sizing for `expectedN` keys at false-positive rate
       * `fpp`: m = -n·ln(p)/ln²2 bits, k = (m/n)·ln2 hashes.
       */
-    def sized(expectedN: Long, fpp: Double): LongBloomFilter = {
+    /** (numWords, numHashes) for `expectedN` keys at rate `fpp` —
+      * pure arithmetic, so callers that only need the geometry (e.g.
+      * [[BloomAgg]]) never allocate the zeroed filter itself.
+      */
+    def geometry(expectedN: Long, fpp: Double): (Int, Int) = {
       require(expectedN > 0 && fpp > 0 && fpp < 1)
       val mBits = math.max(64L,
         math.ceil(-expectedN * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-      val words = ((mBits + 63) / 64).toInt
+      val words = (mBits + 63) / 64
+      // ((mBits+63)/64).toInt silently overflows Int for extreme
+      // expectedN (≈ >1.3e19 bits), yielding a negative array size
+      require(words <= Int.MaxValue.toLong,
+        s"bloom filter of $mBits bits ($expectedN keys @ fpp=$fpp) exceeds " +
+          "the max array-backed size; raise fpp or shard the filter")
       val k = math.max(1, math.round(mBits.toDouble / expectedN * math.log(2)).toInt)
+      (words.toInt, k)
+    }
+
+    def sized(expectedN: Long, fpp: Double): LongBloomFilter = {
+      val (words, k) = geometry(expectedN, fpp)
       new LongBloomFilter(new Array[Long](words), k)
     }
 
@@ -101,13 +115,10 @@ object Bloom {
     */
   final class BloomAgg(expectedN: Long, fpp: Double)
       extends Aggregator[java.lang.Long, Array[Long], Array[Byte]] {
-    // keep only the two ints — holding the sized prototype itself
-    // would serialize its full zeroed words array (GBs at large
-    // expectedN) into every task with the aggregator
-    private val (numWords, kHashes) = {
-      val p = LongBloomFilter.sized(expectedN, fpp)
-      (p.words.length, p.numHashes)
-    }
+    // geometry only — instantiating a prototype just to read two ints
+    // would transiently allocate the full zeroed filter (multi-GB at
+    // large expectedN) on driver AND executors
+    private val (numWords, kHashes) = LongBloomFilter.geometry(expectedN, fpp)
 
     override def zero: Array[Long] = new Array[Long](numWords)
 

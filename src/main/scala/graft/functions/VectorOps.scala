@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Vector math over `array<float>` embedding columns.
   *
@@ -19,12 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  // array<double> (and other numeric-array) inputs are narrowed to the
-  // kernels' array<float> contract here — the pre-kernel zip_with form
-  // accepted any numeric element type, and callers like
-  // Dedup.embeddingNearDups shouldn't lose that. For float inputs the
-  // cast is a no-op in the plan.
+  // NARROWING CONTRACT of the bare dot/cosine entry points: any
+  // numeric-array input is cast to the kernels' array<float> form, so
+  // an array<double> embedding loses precision here (near-threshold
+  // cosines can flip vs the old full-double zip_with form). Callers
+  // that hold the DataFrame should use the *For dispatchers below,
+  // which keep double-typed columns on the full-precision relational
+  // path. For float inputs the cast is a no-op in the plan.
   private def f(c: Column): Column = c.cast("array<float>")
+
+  private def isDoubleArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** True when `vecCol` is array<double> — such columns should stay on
+    * the relational double path (see the narrowing contract above).
+    */
+  def isDoubleVec(df: DataFrame, vecCol: String): Boolean =
+    isDoubleArray(df.schema(vecCol).dataType)
+
+  /** Schema-aware cosine: native float kernel unless `vecCol` is
+    * array<double>, in which case the full-double relational fold is
+    * used (the pre-kernel behavior double-typed callers relied on).
+    */
+  def cosineFor(df: DataFrame, vecCol: String): (Column, Column) => Column =
+    if (isDoubleArray(df.schema(vecCol).dataType)) cosineRelational _ else cosine _
+
+  /** Schema-aware dot; see [[cosineFor]]. */
+  def dotFor(df: DataFrame, vecCol: String): (Column, Column) => Column =
+    if (isDoubleArray(df.schema(vecCol).dataType)) dotRelational _ else dot _
+
+  /** Schema-aware norm; see [[cosineFor]]. */
+  def normFor(df: DataFrame, vecCol: String): Column => Column =
+    if (isDoubleArray(df.schema(vecCol).dataType))
+      (a: Column) => sqrt(dotRelational(a, a))
+    else norm _
 
   /** Sequential-fold dot product of two float-array columns (native). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", f(a), f(b))

@@ -65,14 +65,26 @@ final case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   * [[AsOfJoinNode]]. The marker's four arguments are classified by
   * which side's output they resolve against, so argument order in the
   * SQL surface doesn't matter beyond (key, time) per side.
+  *
+  * Injected as a POST-HOC RESOLUTION rule (not an optimizer rule):
+  * at analysis time the Join still has the join type the user wrote,
+  * so the LeftOuter check below is reliable — in the optimizer,
+  * EliminateOuterJoin (which runs earlier in the same batch as
+  * extension rules) can flip left_outer→inner under a null-intolerant
+  * filter on right columns, turning a well-formed query into a
+  * confusing abort. Rewriting during analysis also makes the Dataset
+  * schema come from [[AsOfJoinNode.output]] directly (right side
+  * nullable), so downstream codegen nullability is consistent by
+  * construction.
   */
 object AsOfJoinRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
-    case j @ Join(l, r, joinType, Some(AsOfMarkerExpr(args)), _) =>
-      // LeftOuter ONLY: the exec emits null right columns on misses,
-      // and only a left-outer join's ANALYZED schema marks them
-      // nullable — rewriting an inner join would make downstream
-      // codegen read those nulls as 0/empty (silent wrong results)
+    case j @ Join(l, r, joinType, Some(AsOfMarkerExpr(args)), _) if j.resolved =>
+      // LeftOuter ONLY: the exec emits null right columns on misses;
+      // an inner-join schema would mark them non-nullable and make
+      // downstream codegen read those nulls as 0/empty (silent wrong
+      // results). Checked at analysis, where the user's declared join
+      // type is still visible.
       require(joinType == org.apache.spark.sql.catalyst.plans.LeftOuter,
         s"graft_asof_marker requires a left_outer join (got $joinType): " +
           "write l.join(r, marker, \"left_outer\") or use AsOfJoin.backwardNative")

@@ -226,7 +226,10 @@ object Analytics {
     * is the sorted scalar string; the set CONTENT is what's checked.
     * Empty sets: Spark array_join([]) is '', DuckDB array_to_string([])
     * is NULL — the oracle coalesces to '' (bit an sf0.001 doc whose
-    * a-slice was fully covered by its b-slice).
+    * a-slice was fully covered by its b-slice). Absence parity:
+    * Spark array_position returns 0 when the element is missing while
+    * DuckDB list_position returns NULL — the oracle coalesces to 0 so
+    * absence compares equal regardless of which docs contain 'the'.
     */
   private val qArray: Q = (s, d) => {
     val toks = split(col("text"), " ")
@@ -254,7 +257,7 @@ object Analytics {
       |  COALESCE(array_to_string(list_sort(list_filter(list_distinct(a),
       |    x -> NOT list_contains(b, x))), ','), '') AS except_s,
       |  len(list_intersect(a, b)) > 0 AS overlap,
-      |  CAST(list_position(a, 'the') AS BIGINT) AS pos_the
+      |  CAST(COALESCE(list_position(a, 'the'), 0) AS BIGINT) AS pos_the
       |FROM ab ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- Q-AGG3

@@ -28,7 +28,10 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
     val q = typedlit(query)
-    emb.select(col(idCol), VectorOps.cosine(col(vecCol), q).as("cosine"))
+    // double-typed corpora stay on the full-double relational cosine
+    // (the float kernel narrows; near-threshold ranks could flip)
+    val cos = VectorOps.cosineFor(emb, vecCol)
+    emb.select(col(idCol), cos(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -54,10 +57,11 @@ object Similarity {
         .flatMap(flips).toSeq.distinct
     }
     val q = typedlit(query)
+    val cos = VectorOps.cosineFor(emb, vecCol)
     emb.select(col(idCol), col(vecCol),
       VectorOps.signBucket(col(vecCol), signBits).as("bucket"))
       .filter(col("bucket").isin(probes: _*))
-      .select(col(idCol), VectorOps.cosine(col(vecCol), q).as("cosine"))
+      .select(col(idCol), cos(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -142,9 +146,10 @@ object Similarity {
     }
     val assignU = udf(nearest(centroids) _)
     val q = typedlit(query)
+    val cos = VectorOps.cosineFor(work, vecCol)
     val result = work.select(col(idCol), col(vecCol), assignU(col(vecCol)).as("cell"))
       .filter(col("cell").isin(probes: _*))
-      .select(col(idCol), VectorOps.cosine(col(vecCol), q).as("cosine"))
+      .select(col(idCol), cos(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
       .localCheckpoint() // materialize before dropping the cache
@@ -158,10 +163,16 @@ object Similarity {
   def batchTopK(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // relational double path if EITHER side is double-typed
+    val cos =
+      if (VectorOps.isDoubleVec(emb, vecCol) ||
+          VectorOps.isDoubleVec(queries, qVecCol))
+        VectorOps.cosineRelational _
+      else VectorOps.cosine _
     val joined = emb.crossJoin(broadcast(
       queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))))
       .select(col("query_id"), col(idCol),
-        VectorOps.cosine(col(vecCol), col("qv")).as("cosine"))
+        cos(col(vecCol), col("qv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")

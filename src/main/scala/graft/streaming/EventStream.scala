@@ -25,8 +25,7 @@ object EventStream {
     */
   def windowedCounts(spark: SparkSession, dir: String,
       window_ : String = "1 hour", watermark: String = "10 minutes",
-      statePartitions: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source only accepts a directory; stream the sf
     // dir and select the single events file with pathGlobFilter
@@ -64,8 +63,8 @@ object EventStream {
     * batch DISTINCT).
     */
   def dedupStream(spark: SparkSession, dir: String,
-      watermark: String = "10 minutes", statePartitions: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      watermark: String = "10 minutes",
+      statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -105,8 +104,7 @@ object EventStream {
     * for the same answer. Deterministic ties: (count desc, user_id).
     */
   def topKStream(spark: SparkSession, dir: String, k: Int = 10,
-      statePartitions: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -124,8 +122,7 @@ object EventStream {
   }
 
   def enrichedStream(spark: SparkSession, dir: String,
-      statePartitions: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val customers = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -163,8 +160,7 @@ object EventStream {
     */
   def intervalJoinStream(spark: SparkSession, dir: String,
       window_ : String = "2 hours", watermark: String = "1 hour",
-      statePartitions: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -205,8 +201,7 @@ object EventStream {
     */
   def sessionStream(spark: SparkSession, dir: String,
       gap: String = "30 minutes", watermark: String = "10 minutes",
-      statePartitions: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)

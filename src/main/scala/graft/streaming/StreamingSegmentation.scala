@@ -83,9 +83,9 @@ object StreamingSegmentation {
     * rows. Deterministic: same input → same rows.
     */
   def segmentFile(spark: SparkSession, dir: String, markerType: String = "signup",
-      watermarkDelay: String = "10 minutes", statePartitions: Int = 8): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)

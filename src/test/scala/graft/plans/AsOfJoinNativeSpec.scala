@@ -99,6 +99,21 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     }
   }
 
+  test("a null-intolerant filter on right columns above the join still plans " +
+      "(EliminateOuterJoin can no longer flip the marker join before the rewrite)") {
+    // regression: as an optimizer rule, the rewrite raced EliminateOuterJoin —
+    // this filter is null-intolerant on the right side, so the optimizer
+    // would flip left_outer→inner first and the rewrite's require aborted
+    // the query. As a post-hoc resolution rule the Join is gone before any
+    // join-type elimination runs.
+    val out = AsOfJoin.backwardNative(trades, quotes, "k", "ts", Seq("price"))
+      .filter(col("asof_price").isNotNull)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"), s"native node missing:\n$physical")
+    assert(out.count() == 3) // the two miss rows are filtered
+    assert(out.filter(col("asof_price").isNull).count() == 0)
+  }
+
   test("null keys and null times on the left emit null matches, not crashes") {
     val l = Seq(
       (Some(1L), Some(ts("2024-01-01 10:03:00"))),
