@@ -353,6 +353,52 @@ object TrainingData {
       queryVec(s, d), k = 10, nCentroids = 16, nProbe = 4, iters = 2)
       .withColumn("cosine", round(col("cosine"), 6))
 
+  // ------------------------------------------- embedding generation (MLlib)
+  /** MLlib embedding GENERATION (ml.feature.IDF over deterministic
+    * vocabulary TF vectors): the engine produces the embeddings it
+    * searches, instead of reading them pre-computed. Emits the sparse
+    * weights of the generated vectors for doc_id < 50 — tf is read
+    * back out of the TF vector and the weight out of the IDF-model
+    * output (float32 contract), so the oracle checks the actual MLlib
+    * path end-to-end: vocab cut (df desc, term tiebreak), tf, and
+    * idf = ln((m+1)/(df+1)).
+    */
+  private val qEmbedGenerate: Q = (s, d) => {
+    import org.apache.spark.ml.functions.vector_to_array
+    val docs = Tables.documents(s, d)
+    val vecs = graft.ml.Embeddings.tfidfVectors(docs, "doc_id", "text", 256)
+    val vocab = graft.ml.Embeddings.vocabulary(docs, "doc_id", "text", 256)
+    vecs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        vector_to_array(col("tf_vec")).as("tfe"),
+        vector_to_array(col("tfidf_vec"), "float32").as("we"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.tfe").as("tfd"), col("col.we").as("wf"))
+      .filter(col("tfd") =!= 0.0)
+      .join(broadcast(vocab.select(col("pos").cast("long").as("pos"), col("term"))),
+        "pos")
+      .select(col("doc_id"), col("pos"), col("term"),
+        col("tfd").cast("long").as("tf"),
+        round(col("wf").cast("double"), 6).as("weight"))
+      .orderBy("doc_id", "pos")
+  }
+
+  private val qEmbedGenerateSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tfrel AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfrel AS (SELECT term, count(*) AS df FROM tfrel GROUP BY term),
+      |m AS (SELECT count(*) AS m FROM documents),
+      |vocab AS (
+      |  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) - 1 AS pos
+      |  FROM (SELECT * FROM dfrel ORDER BY df DESC, term LIMIT 256))
+      |SELECT t.doc_id, CAST(v.pos AS BIGINT) AS pos, v.term,
+      |       CAST(t.tf AS BIGINT) AS tf,
+      |       round(CAST(CAST(t.tf * ln((m.m + 1.0) / (v.df + 1.0)) AS REAL) AS DOUBLE), 6) AS weight
+      |FROM tfrel t JOIN vocab v USING (term) CROSS JOIN m
+      |WHERE t.doc_id < 50
+      |ORDER BY doc_id, pos""".stripMargin
+
   // ------------------------------------------------------ text analysis
   private val qTextTokens: Q = (s, d) =>
     Tables.documents(s, d)
@@ -596,6 +642,7 @@ object TrainingData {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_embed_neardup" -> qEmbedNear,
     "q_embed_pairs" -> qEmbedPairs,
+    "q_embed_generate" -> qEmbedGenerate,
     "q_dedup_groups" -> qDedupGroups,
     "q_dedup_keepbest" -> qDedupKeepbest,
     "q_sample_stratified" -> qSampleStratified,
@@ -628,6 +675,7 @@ object TrainingData {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_embed_pairs" -> qEmbedPairsSql,
     "q_embed_neardup" -> qEmbedNearSql,
+    "q_embed_generate" -> qEmbedGenerateSql,
     "q_langid" -> qLangIdSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_sim_bucketed" -> qSimBucketedSql,
