@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BloomContainsExpr, CmsEstimateExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, NfcNormalizeExpr, ShinglesExpr, SimHash64Expr, SortedIsectCountExpr, StripAccentsExpr}
+import graft.functions.{BloomContainsExpr, CmsEstimateExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, NfcNormalizeExpr, ShinglesExpr, SimHash60Md5Expr, SimHash64Expr, SortedIsectCountExpr, StripAccentsExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §4.2 preference order: native Expression over UDF).
@@ -50,6 +50,13 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_simhash64(text)")
         SimHash64Expr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60Md5Expr].getName, "graft_simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash60(text)")
+        SimHash60Md5Expr(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sig"),

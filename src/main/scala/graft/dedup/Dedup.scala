@@ -235,6 +235,42 @@ object Dedup {
       .distinct()
   }
 
+  /** 60-bit MD5-token SimHash — the ORACLE-PARITY variant of
+    * [[simhash]]: the token hash (first 60 bits of md5(token)) is
+    * computable in portable SQL, so both the signatures and the
+    * Hamming-near pairs hash-check against DuckDB exactly
+    * (q_simhash / q_simhash_near). Same algorithm, same plan shape
+    * (per-row kernel, no shuffle); [[simhash]]'s xxhash kernel stays
+    * the faster choice when parity isn't needed.
+    */
+  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.HashExprs.simhash60(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup pairs over the 60-bit md5 signature: pigeonhole
+    * on 4 15-bit chunks (complete for Hamming ≤ 3, same argument as
+    * [[simhashNearDups]]), exact bit_count(xor) verify.
+    */
+  def simhash60NearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole is only complete for maxHamming <= 3")
+    val sh = simhash60(docs, idCol, textCol)
+    val chunked = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(0x7FFFL)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ---------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-dup pairs. Candidates: sign-bit bucket on
     * the first `signBits` components (near-identical vectors share the

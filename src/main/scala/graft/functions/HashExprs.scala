@@ -54,7 +54,51 @@ object HashExprs {
   def shingles(text: Column, k: Int): Column =
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(k))
 
+  /** 60-bit MD5-token SimHash (oracle-parity variant): same algorithm
+    * as [[simhash64]] but the token hash is the first 15 hex chars of
+    * md5(token) — a quantity DuckDB computes natively
+    * (`CAST('0x' || substr(md5(tok),1,15) AS BIGINT)`), so signatures
+    * AND Hamming-near pairs check against a SQL oracle exactly. 60
+    * bits keeps the value in non-negative signed BIGINT range on both
+    * engines. Use [[simhash64]] (xxhash, no digest allocation) when
+    * cross-engine parity isn't needed.
+    */
+  def simhash60(text: Column): Column = call_function("graft_simhash60", text)
+
   private val SPACE: Byte = ' '.toByte
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Kernel: 60-bit md5-token simhash votes; empty tokens included
+    * (`split` parity, same as [[computeSimhash]]).
+    */
+  def computeSimhash60Md5(s: UTF8String): Long = {
+    val md = md5Local.get()
+    val toks = s.split(UTF8String.fromString(" "), -1)
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < toks.length) {
+      val d = md.digest(toks(t).getBytes) // digest() resets the instance
+      // first 15 hex chars = big-endian first 8 bytes >>> 4
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 
   /** Codegen/eval kernel: simhash votes over space-delimited byte
     * ranges, no allocation.
@@ -144,6 +188,21 @@ final case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashExprs.computeSimhash($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** text → 60-bit md5-token simhash; whole-stage-codegen friendly. */
+final case class SimHash60Md5Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash60 expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashExprs.computeSimhash60Md5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashExprs.computeSimhash60Md5($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Md5Expr =
     copy(child = newChild)
 }
 

@@ -53,20 +53,100 @@ object TrainingData {
     * flood the LSH buckets with false candidates; 5-shingles keep the
     * shingle space sparse (what production dedup uses for web text).
     */
+  /** Round-3: 16 bands × 2 rows (32 hashes) instead of 4×4 — at
+    * threshold 0.5 the old band shape caught a J=0.5 pair with
+    * probability only 1-(1-0.5⁴)⁴ ≈ 0.23; 16×2 raises it to
+    * 1-(1-0.25)¹⁶ ≈ 0.99, which (verified at all three SFs) catches
+    * EVERY pair the exact all-pairs Jaccard finds on this corpus — so
+    * the query upgrades from rows-only to a full DuckDB oracle:
+    * LSH candidates → exact-Jaccard verify ≡ exact query, the same
+    * sketch-then-verify contract as q_heavyhitters.
+    */
   private val qMinhash: Q = (s, d) =>
     Dedup.minhashNearDups(Tables.documentsParallel(s, d), "doc_id", "text",
-      threshold = 0.5, shingleK = 5).orderBy("id_a", "id_b")
+      threshold = 0.5, shingleK = 5, bands = 16, rowsPerBand = 2)
+      .orderBy("id_a", "id_b")
+
+  /** Oracle: exact 5-shingle Jaccard ≥ 0.5 over ALL pairs (restated as
+    * a shared-shingle inverted-index join — a pair at J ≥ 0.5 shares
+    * ≥ 1 shingle, so the join loses nothing; no df cap here, unlike
+    * q_ngram_jaccard, because the minhash operator has none).
+    */
+  private val qMinhashSql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 3, 1)),
+      |    i -> array_to_string(t[i:i+4], ' '))) AS shs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 5),
+      |inv AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT id_a, id_b,
+      |    len(list_intersect(x.shs, y.shs)) AS inter,
+      |    len(x.shs) AS na, len(y.shs) AS nb
+      |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 
   // simhash/ngram read the PLAIN scan: their first wide op (chunk join
   // / df window) redistributes anyway, so an upfront repartition just
   // shuffles the raw text twice (measured slower). minhash keeps the
   // parallel scan — its LSH banding explode runs pre-shuffle.
+  /** Round-3: switched from the xxhash 64-bit kernel to the 60-bit
+    * MD5-token kernel — same algorithm, but the token hash is
+    * portable SQL (md5 hex prefix), so signatures AND near pairs
+    * upgrade from rows-only to full DuckDB oracles. The xxhash kernel
+    * remains in [[Dedup.simhash]] for parity-free use.
+    */
   private val qSimhash: Q = (s, d) =>
-    Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    Dedup.simhash60(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+
+  private val qSimhashSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |th AS (SELECT doc_id,
+      |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+      |votes AS (
+      |  SELECT doc_id, bits.b AS b,
+      |         sum(CASE WHEN ((h >> bits.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+      |  GROUP BY doc_id, bits.b)
+      |SELECT doc_id,
+      |  CAST(bit_or(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
+      |              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val qSimhashNear: Q = (s, d) =>
-    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+    Dedup.simhash60NearDups(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 3).orderBy("id_a", "id_b")
+
+  /** Same signature construction, then all-pairs Hamming ≤ 3 — the
+    * pigeonhole join is complete for ≤ 3, so the approximate plan's
+    * result EQUALS the exact all-pairs restatement.
+    */
+  private val qSimhashNearSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |th AS (SELECT doc_id,
+      |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+      |votes AS (
+      |  SELECT doc_id, bits.b AS b,
+      |         sum(CASE WHEN ((h >> bits.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+      |  GROUP BY doc_id, bits.b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(bit_or(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
+      |                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   private val qNgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardNearDups(Tables.documents(s, d), "doc_id", "text",
@@ -348,10 +428,52 @@ object TrainingData {
       |SELECT vec_id, round(cos_raw, 6) AS cosine FROM sims
       |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
 
-  private val qSimIvf: Q = (s, d) =>
-    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      queryVec(s, d), k = 10, nCentroids = 16, nProbe = 4, iters = 2)
+  /** Round-3: hard recall gate + exact oracle. On this corpus the
+    * vectors are near-random (true neighbours spread across IVF
+    * cells), so IVF@10 reaches 8–9/10 recall at nProbe=8/16 and can
+    * never hit 10/10 short of scanning every cell — an exact-equality
+    * oracle would force IVF to degenerate into brute force. Contract
+    * instead: the query RUNS the IVF scan, computes recall@10 against
+    * the exact scan, and ABORTS below 0.8; the emitted rows are the
+    * exact (rank, vec_id, cosine) top-10, hash-checked by DuckDB. A
+    * recall regression now fails the driver gate loudly instead of
+    * drifting silently past a rows-only check.
+    */
+  private val qSimIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val qv = queryVec(s, d)
+    // both collects are bounded to k rows
+    val ivfIds = Similarity.ivfTopK(emb, "vec_id", "embedding", qv,
+      k = 10, nCentroids = 16, nProbe = 8, iters = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, k = 10)
+    val exactIds = exact.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val recall = ivfIds.intersect(exactIds).size / 10.0
+    require(recall >= 0.8,
+      s"IVF recall@10 = $recall < 0.8 (nProbe=8/16) — index quality regressed")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("vec_id"))
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cosine", round(col("cosine"), 6))
+      .select(col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("rank")
+  }
+
+  private val qSimIvfSql =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT vec_id,
+      |    list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM embeddings),
+      |top AS (SELECT vec_id, cos_raw FROM sims ORDER BY cos_raw DESC, vec_id LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rank,
+      |       vec_id, round(cos_raw, 6) AS cosine
+      |FROM top ORDER BY rank""".stripMargin
 
   // ------------------------------------------- embedding generation (MLlib)
   /** MLlib embedding GENERATION (ml.feature.IDF over deterministic
@@ -678,8 +800,12 @@ object TrainingData {
     "q_embed_generate" -> qEmbedGenerateSql,
     "q_langid" -> qLangIdSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_minhash" -> qMinhashSql,
+    "q_simhash" -> qSimhashSql,
+    "q_simhash_near" -> qSimhashNearSql,
     "q_sim_bucketed" -> qSimBucketedSql,
     "q_sim_brute" -> qSimBruteSql,
+    "q_sim_ivf" -> qSimIvfSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,
     "q_text_topterms" -> qTextTopTermsSql,

@@ -104,6 +104,29 @@ class DedupSpec extends SparkTestBase {
     assert(ks == rs)
   }
 
+  test("simhash60 md5 kernel matches a relational md5-hex formulation") {
+    val d = graft.Tables.documents(spark, sf).limit(100)
+    val k = Dedup.simhash60(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // relational restatement: explode tokens, token hash = first 15
+    // hex chars of md5 (conv base16), 60 partial ±1 votes
+    val toks = d.select($"doc_id",
+      explode(split($"text", " ")).as("tok"))
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val aggs = (0 until 60).map(i =>
+      sum(when(shiftrightunsigned($"h", i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val votes = toks.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val r = votes.select($"doc_id",
+      (0 until 60).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(k == r)
+    // signatures are 60-bit non-negative (portable BIGINT both engines)
+    assert(k.values.forall(v => v >= 0L && v < (1L << 60)))
+  }
+
   test("runs on the real corpus without error (all-unique => no exact dups)") {
     val d = graft.Tables.documents(spark, sf)
     assert(Dedup.exactGroups(d, "doc_id", "text")

@@ -35,21 +35,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
   }
 
-  test("ivf top-k: deterministic, finds the query itself, decent recall vs brute force") {
+  test("ivf top-k: deterministic, finds the query itself, recall@10 >= 0.8 at nProbe=8") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
-      nCentroids = 16, nProbe = 4, iters = 2)
+      nCentroids = 16, nProbe = 8, iters = 2)
       .select("vec_id", "cosine").as[(Long, Double)].collect()
     assert(ivf.head._1 == 0L && math.abs(ivf.head._2 - 1.0) < 1e-9)
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).toSeq.sorted.reverse)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
       .select("vec_id").as[Long].collect().toSet
+    // the q_sim_ivf driver gate enforces the same bound — keep in sync
     val recall = ivf.map(_._1).count(brute.contains)
-    assert(recall >= 4, s"ivf recall@10 too low: $recall")
+    assert(recall >= 8, s"ivf recall@10 too low: $recall (want >= 8 at nProbe=8/16)")
     // determinism: a second run returns identical rows
     val again = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
-      nCentroids = 16, nProbe = 4, iters = 2)
+      nCentroids = 16, nProbe = 8, iters = 2)
       .select("vec_id", "cosine").as[(Long, Double)].collect()
     assert(ivf.toSeq == again.toSeq)
   }
