@@ -31,6 +31,61 @@ trait QuestionModel extends Serializable {
       context: Option[Subtopic]): Seq[Question]
 }
 
+/** Bounded-retry + request-batching decorator for any [[QuestionModel]]
+  * — the configuration surface for the reference's own open issues
+  * (rate limiting, retry logic, request batching —
+  * /root/reference/README.md:325-328), which SURVEY §4.2 locates at
+  * this seam. Wrap the real API-backed implementation:
+  * `new ResilientQuestionModel(apiModel, maxRetries = 3, backoffMs = 500)`.
+  *
+  *  - Each model call is retried up to `maxRetries` times with linear
+  *    backoff (`backoffMs * attempt` — the polite shape under
+  *    rate-limit errors). Still failing ⇒ degrade to Nil, the
+  *    reference's parse-or-empty contract
+  *    (syllabus_ai_graph.py:88-90,269-271): one poisoned topic/batch
+  *    never fails a corpus run.
+  *  - `maxBatchSize` splits oversized generation batches into
+  *    sub-calls (request batching): a permanent failure then degrades
+  *    only its own sub-batch, and the per-call payload stays bounded
+  *    regardless of the caller's batch build.
+  *
+  * The decorator composes per-call, so inside `mapPartitions` stages
+  * the retries happen task-locally — a retry re-invokes the model for
+  * ONE topic/batch, never the whole partition.
+  */
+final class ResilientQuestionModel(inner: QuestionModel,
+    maxRetries: Int = 2, backoffMs: Long = 0L,
+    maxBatchSize: Int = Int.MaxValue) extends QuestionModel {
+  require(maxRetries >= 0 && backoffMs >= 0 && maxBatchSize >= 1)
+
+  private def withRetry[T](empty: T)(call: => T): T = {
+    var attempt = 0
+    var out = empty
+    var done = false
+    while (!done) {
+      try { out = call; done = true }
+      catch {
+        case scala.util.control.NonFatal(_) if attempt < maxRetries =>
+          attempt += 1
+          if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+        case scala.util.control.NonFatal(_) =>
+          done = true // degrade to empty (parse-or-empty)
+      }
+    }
+    out
+  }
+
+  override def extractSubtopics(topic: SyllabusTopic, subject: String,
+      academicClass: String): Seq[Subtopic] =
+    withRetry(Seq.empty[Subtopic])(
+      inner.extractSubtopics(topic, subject, academicClass))
+
+  override def generateQuestions(batch: Seq[PlannedQuestion],
+      context: Option[Subtopic]): Seq[Question] =
+    batch.grouped(maxBatchSize).toSeq.flatMap(sub =>
+      withRetry(Seq.empty[Question])(inner.generateQuestions(sub, context)))
+}
+
 /** Deterministic, pure-Scala QuestionModel: content is hash-seeded
   * from the inputs, so the same document always yields the same
   * questions (same spirit as the reference's temperature=0, but
