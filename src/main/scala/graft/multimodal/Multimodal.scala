@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with a typed metadata struct alongside. The
   * Spark-side mechanics — schema, per-partition batched processing,
-  * deterministic output — are real; the codec itself is a STUB
-  * (`FakeCodec`) because no image/audio libraries ship in this
-  * container. Swapping in a real decoder means replacing one pure
-  * function; the distributed plumbing does not change.
+  * deterministic output — are real. Codecs are pluggable: IMAGE rows
+  * carry real PNG payloads and decode through `javax.imageio`
+  * (JDK-only — [[ImageIoCodec]]: true pixel geometry, real Java2D
+  * resampling on resize); audio/video remain behind the deterministic
+  * [[FakeCodec]] stub because no audio/video libraries ship in this
+  * container. Swapping a stub for a real decoder means replacing one
+  * pure function; the distributed plumbing does not change.
   *
   * Scale notes: decode runs inside `mapPartitions`, so per-partition
   * codec state (a real decoder's native context) is initialized once
@@ -51,16 +54,124 @@ object Multimodal {
     }
   }
 
-  /** Attach a binary payload column (here synthesized from text —
-    * UTF-8 bytes standing in for media bytes) plus a kind tag. In a
-    * real pipeline this is the ingest step reading blob files.
+  /** Real JDK-only image codec over PNG payloads: `javax.imageio`
+    * decode (actual pixel geometry), per-region pixel statistics as
+    * the feature vector, and Java2D nearest-neighbor resampling for
+    * resize (deterministic: pure software raster, no native paths).
+    * Corrupt/undecodable payloads degrade to (0, 0, 0) + empty
+    * features instead of failing the task — at corpus scale a bad
+    * blob is data, not an error.
     */
-  def asMedia(docs: DataFrame): DataFrame =
+  object ImageIoCodec {
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload.isEmpty) None
+      else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+
+    /** 8-dim feature: mean luminance of the 4 quadrants, mean R/G/B,
+      * aspect ratio — real pixel statistics, cheap and deterministic.
+      */
+    def features(img: java.awt.image.BufferedImage): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val quad = new Array[Double](4)
+      val quadN = new Array[Long](4)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quad(q) += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+          quadN(q) += 1
+          sr += r / 255.0; sg += g / 255.0; sb += b / 255.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(
+        (if (quadN(0) > 0) quad(0) / quadN(0) else 0.0).toFloat,
+        (if (quadN(1) > 0) quad(1) / quadN(1) else 0.0).toFloat,
+        (if (quadN(2) > 0) quad(2) / quadN(2) else 0.0).toFloat,
+        (if (quadN(3) > 0) quad(3) / quadN(3) else 0.0).toFloat,
+        (if (n > 0) sr / n else 0.0).toFloat,
+        (if (n > 0) sg / n else 0.0).toFloat,
+        (if (n > 0) sb / n else 0.0).toFloat,
+        if (h > 0) w.toFloat / h else 0f)
+    }
+
+    /** Aspect-preserving nearest-neighbor resample, re-encoded PNG. */
+    def resize(img: java.awt.image.BufferedImage, maxSide: Int): (Int, Int, Array[Byte]) = {
+      val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+      val nw = math.max(1, (img.getWidth * scale).toInt)
+      val nh = math.max(1, (img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(nw, nh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < nh) { // hand-rolled NN sampling: bit-deterministic on any JVM
+        var x = 0
+        while (x < nw) {
+          out.setRGB(x, y, img.getRGB(x * img.getWidth / nw, y * img.getHeight / nh))
+          x += 1
+        }
+        y += 1
+      }
+      (nw, nh, encodePng(out))
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic synthetic PNG for `docId`: geometry and pixel
+      * pattern are pure functions of the id — the test fixture
+      * generator for the real decode path.
+      */
+    def synthesize(docId: Long): Array[Byte] = {
+      val (w, h) = synthDims(docId)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (docId * 31 + x * 7 + y * 13) & 0xffffffL
+          img.setRGB(x, y, v.toInt)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** The geometry [[synthesize]] uses — tests assert the decoded
+      * dimensions equal THIS, proving real pixel geometry flows.
+      */
+    def synthDims(docId: Long): (Int, Int) =
+      (16 + math.floorMod(docId, 48).toInt, 16 + math.floorMod(docId / 7, 48).toInt)
+  }
+
+  /** Attach a binary payload column plus a kind tag. IMAGE rows carry
+    * real synthetic PNGs (decoded downstream by [[ImageIoCodec]]);
+    * audio/video payloads are synthesized from text bytes and stay on
+    * the stub codec. In a real pipeline this is the ingest step
+    * reading blob files.
+    */
+  def asMedia(docs: DataFrame): DataFrame = {
+    val png = udf((id: Long) => ImageIoCodec.synthesize(id))
     docs.select(col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       // null text ⇒ empty payload, not a null that NPEs the codec
-      encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("text_bytes"))
+      .select(col("doc_id"), col("kind"),
+        when(col("kind") === "image", png(col("doc_id")))
+          .otherwise(col("text_bytes")).as("payload"))
+  }
 
   /** A null binary payload (nullable source column) is an empty media
     * blob, never an NPE inside a task — every operator below
@@ -69,16 +180,30 @@ object Multimodal {
   private def safePayload(p: Array[Byte]): Array[Byte] =
     if (p == null) Array.emptyByteArray else p
 
-  /** Per-partition batched decode + feature extraction. */
+  /** Per-partition batched decode + feature extraction. Image rows go
+    * through the REAL `javax.imageio` decode; audio/video stay on the
+    * stub (no codecs in this container).
+    */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // per-task codec init would go here (native contexts, models…)
       rows.map { r =>
         val payload = safePayload(r.payload)
-        val (w, h, f) = FakeCodec.decode(r.kind, payload)
-        MediaFeatures(r.doc_id, r.kind, payload.length.toLong, w, h, f,
-          FakeCodec.features(payload))
+        if (r.kind == "image") {
+          ImageIoCodec.decode(payload) match {
+            case Some(img) =>
+              MediaFeatures(r.doc_id, r.kind, payload.length.toLong,
+                img.getWidth, img.getHeight, 1, ImageIoCodec.features(img))
+            case None => // corrupt blob: degrade, don't fail the task
+              MediaFeatures(r.doc_id, r.kind, payload.length.toLong,
+                0, 0, 0, Array.empty[Float])
+          }
+        } else {
+          val (w, h, f) = FakeCodec.decode(r.kind, payload)
+          MediaFeatures(r.doc_id, r.kind, payload.length.toLong, w, h, f,
+            FakeCodec.features(payload))
+        }
       }
     }
   }
@@ -86,21 +211,28 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, kind: String, width: Int, height: Int,
       payload: Array[Byte])
 
-  /** Resize-to-fit stub: computes the real target geometry (aspect-
-    * preserving fit into maxSide) and re-encodes the payload with the
-    * fake codec (truncate-to-proportional-size stands in for actual
-    * pixel resampling). The Spark mechanics — binary in/binary out,
-    * partition-batched, narrow — are the production shape.
+  /** Resize-to-fit: image rows are REALLY resampled (nearest-neighbor
+    * Java2D, re-encoded PNG — the output payload decodes to the new
+    * geometry); audio/video keep the stub (real target geometry,
+    * truncate-to-proportional-size standing in for resampling). The
+    * Spark mechanics — binary in/binary out, partition-batched,
+    * narrow — are the production shape for both.
     */
   def resize(spark: SparkSession, media: DataFrame, maxSide: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { r =>
       val payload = safePayload(r.payload)
-      val (w, h, _) = FakeCodec.decode(r.kind, payload)
-      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-      val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-      val nBytes = math.max(1, (payload.length * scale * scale).toInt)
-      ResizedMedia(r.doc_id, r.kind, nw, nh, payload.take(nBytes))
+      (if (r.kind == "image") ImageIoCodec.decode(payload) else None) match {
+        case Some(img) =>
+          val (nw, nh, bytes) = ImageIoCodec.resize(img, maxSide)
+          ResizedMedia(r.doc_id, r.kind, nw, nh, bytes)
+        case None =>
+          val (w, h, _) = FakeCodec.decode(r.kind, payload)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          val nBytes = math.max(1, (payload.length * scale * scale).toInt)
+          ResizedMedia(r.doc_id, r.kind, nw, nh, payload.take(nBytes))
+      }
     })
   }
 

@@ -13,7 +13,14 @@ class MultimodalSpec extends SparkTestBase {
     rows.foreach { r =>
       assert(Set("image", "audio", "video")(r.kind))
       assert(r.n_bytes > 0)
-      assert(r.width >= 64 && r.height >= 64 && r.n_frames >= 1)
+      if (r.kind == "image") {
+        // REAL decode: javax.imageio geometry equals the synthesized one
+        val (w, h) = Multimodal.ImageIoCodec.synthDims(r.doc_id)
+        assert(r.width == w && r.height == h && r.n_frames == 1,
+          s"doc ${r.doc_id}: decoded ${r.width}x${r.height}, synthesized ${w}x$h")
+      } else {
+        assert(r.width >= 64 && r.height >= 64 && r.n_frames >= 1)
+      }
       assert(r.feature.length == 8)
     }
     // determinism: second run identical
@@ -75,6 +82,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.filter(_.doc_id == 2L).forall(_.payload.isEmpty))
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.count(_.n_bytes == 0) == 2)
+  }
+
+  test("image rows decode through javax.imageio with true pixel geometry and pixel features") {
+    val png = Multimodal.ImageIoCodec.synthesize(42L)
+    val img = Multimodal.ImageIoCodec.decode(png).get
+    val (w, h) = Multimodal.ImageIoCodec.synthDims(42L)
+    assert(img.getWidth == w && img.getHeight == h)
+    // pixel content round-trips the synthesis formula (PNG is lossless)
+    assert((img.getRGB(3, 5) & 0xffffff) == ((42L * 31 + 3 * 7 + 5 * 13) & 0xffffffL).toInt)
+    val feats = Multimodal.ImageIoCodec.features(img)
+    assert(feats.length == 8)
+    assert(feats(7) == w.toFloat / h) // aspect channel
+    assert(feats.take(7).forall(f => f >= 0f && f <= 1f)) // normalized pixel stats
+  }
+
+  test("image resize REALLY resamples: output PNG decodes to the target geometry") {
+    val docs = graft.Tables.documents(spark, sf)
+    val media = Multimodal.asMedia(docs)
+      .filter($"kind" === "image").limit(20)
+    val resized = Multimodal.resize(spark, media, maxSide = 16).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val back = Multimodal.ImageIoCodec.decode(r.payload).get // valid PNG out
+      assert(back.getWidth == r.width && back.getHeight == r.height,
+        s"doc ${r.doc_id}: payload decodes ${back.getWidth}x${back.getHeight}, " +
+          s"row claims ${r.width}x${r.height}")
+      assert(math.max(r.width, r.height) <= 16)
+      val (w0, h0) = Multimodal.ImageIoCodec.synthDims(r.doc_id)
+      // aspect-preserving fit, never upscaled
+      val scale = math.min(1.0, 16.0 / math.max(w0, h0))
+      assert(r.width == math.max(1, (w0 * scale).toInt))
+      assert(r.height == math.max(1, (h0 * scale).toInt))
+      // nearest-neighbor sampling: corner pixel comes from the source formula
+      assert((back.getRGB(0, 0) & 0xffffff) ==
+        ((r.doc_id * 31) & 0xffffffL).toInt)
+    }
   }
 
   test("fake codec varies frames by kind") {
