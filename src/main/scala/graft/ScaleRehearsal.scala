@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal above the driver's sf0.1: replicate the sf0.1
+  * tables K× with per-replica key strides (disjoint key spaces, so
+  * joins/graphs scale linearly and expected answers are K× the base
+  * where counting is additive), then time the heaviest queries and
+  * dump the plans whose SHAPE must change with scale — the
+  * triangle-count 20M-edge broadcast cutoff and the AQE skew-join
+  * split. Run:
+  *
+  *   gen  — write replicated parquet to SPARK_GRAFT_SCALE_DIR
+  *   run  — time heavy queries there, write SCALE_REHEARSAL.md
+  *
+  * Key strides keep every replica's keyspace disjoint (1e7 per
+  * replica, far above any sf0.1 key). Document text gets a per-replica
+  * suffix token so replicas are NEAR-duplicates (exact dedup keeps
+  * them apart; near-dup/shingle paths see K×-sized buckets — the skew
+  * stress we want). Embedding vectors are reused verbatim: cosine
+  * buckets get K× occupancy, the IVF/LSH stress case.
+  */
+object ScaleRehearsal {
+  private val Stride = 10_000_000L
+
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "all"
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/scale_data")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (mode == "gen" || mode == "all") gen(spark, src, dir, factor)
+    if (mode == "run" || mode == "all") run(spark, src, dir, factor)
+    spark.stop()
+  }
+
+  /** Cross the base table with a broadcast replica range and shift
+    * the named long key columns by rep*Stride — one narrow scan per
+    * table, no shuffle.
+    */
+  private def replicate(df: DataFrame, factor: Int, keys: Seq[String]): DataFrame = {
+    val reps = broadcast(
+      df.sparkSession.range(factor.toLong).select(col("id").as("graft_rep")))
+    val crossed = df.crossJoin(reps)
+    keys.foldLeft(crossed) { (d, k) =>
+      d.withColumn(k, col(k) + col("graft_rep") * Stride)
+    }
+  }
+
+  private def writeT(df: DataFrame, dir: String, name: String): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+  def gen(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
+    def t(n: String) = Tables.load(spark, src, n)
+    // dims stay as-is: every replica shares nations/regions, which is
+    // what a real scale-up looks like (dims grow much slower than facts)
+    writeT(t("region"), dir, "region")
+    writeT(t("nation"), dir, "nation")
+    writeT(replicate(t("customer"), factor, Seq("c_custkey"))
+      .drop("graft_rep"), dir, "customer")
+    writeT(replicate(t("supplier"), factor, Seq("s_suppkey"))
+      .drop("graft_rep"), dir, "supplier")
+    writeT(replicate(t("part"), factor, Seq("p_partkey"))
+      .drop("graft_rep"), dir, "part")
+    writeT(replicate(t("orders"), factor, Seq("o_orderkey", "o_custkey"))
+      .drop("graft_rep"), dir, "orders")
+    writeT(replicate(t("lineitem"), factor,
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .drop("graft_rep"), dir, "lineitem")
+    // events.ts is ns — read as raw long (vectorized reader rejects ns
+    // timestamps), write back as long; Tables.events handles both
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try writeT(replicate(t("events"), factor, Seq("event_id", "user_id"))
+      .drop("graft_rep"), dir, "events")
+    finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    // replica docs are NEAR-dups (suffix token), not exact dups —
+    // n_chars recomputed to stay consistent with the text
+    writeT(replicate(t("documents"), factor, Seq("doc_id"))
+      .withColumn("text",
+        when(col("graft_rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("graft_rep"))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("graft_rep"), dir, "documents")
+    writeT(replicate(t("embeddings"), factor, Seq("vec_id"))
+      .drop("graft_rep"), dir, "embeddings")
+    println(s"[scale] wrote $factor x $src -> $dir")
+  }
+
+  /** The heavy set from the round-2 bench tail plus every dedup/ANN
+    * path — the queries whose plan shape is the 100 TB risk.
+    */
+  private val heavy = Seq(
+    "q_triangles", "q_pagerank", "q_join_broadcast", "q_join_salted",
+    "q_join_semi", "q_agg", "q_window", "q_dedup_minhash", "q_dedup_near",
+    "q_ngram_jaccard", "q_simhash_near", "q_embed_neardup", "q_knn_join",
+    "q_sim_ivf", "q_decontaminate", "q_dedup_groups", "q_topk_grouped")
+
+  def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
+    val sb = new StringBuilder
+    sb ++= s"# SCALE REHEARSAL — ${factor}x sf0.1 (~sf${factor / 10.0})\n\n"
+    sb ++= s"Data: `$dir` = sf0.1 replicated ${factor}x with disjoint key strides.\n"
+    sb ++= "Timings are min of 2 passes after one untimed warmup at sf0.001;\n"
+    sb ++= "`x/sf0.1` is the heavy-set slowdown vs the same query on sf0.1 in\n"
+    sb ++= "THIS run (same JVM, same session) — linear-or-better at 10x data\n"
+    sb ++= s"on a fixed 32-core box means the plan has no super-linear shuffle.\n\n"
+    sb ++= "| query | sf0.1 s | scale s | x | rows(scale) |\n|---|---|---|---|---|\n"
+    val qs = SparkEntry.queries
+    // warmup on the tiny sf: codegen+JIT, untimed
+    heavy.foreach { n => try qs(n)(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () } }
+    def time(n: String, d: String): (Double, Long) = {
+      var rows = 0L
+      val ts = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = qs(n)(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (ts.min, rows)
+    }
+    heavy.foreach { n =>
+      val (base, _) = time(n, src)
+      val (scaled, rows) = time(n, dir)
+      val x = if (base > 0) scaled / base else Double.NaN
+      sb ++= f"| $n | $base%.2f | $scaled%.2f | $x%.1f | $rows |\n"
+      println(f"[scale] $n base=$base%.2fs scaled=$scaled%.2fs x=$x%.1f rows=$rows")
+    }
+
+    // --- shape check 1: triangle broadcast cutoff ------------------
+    // disjoint replicas ⇒ triangles must be exactly factor x the base
+    sb ++= "\n## Triangle-count cutoff check\n\n"
+    val baseTri = qs("q_triangles")(spark, src).collect()(0)
+    val scaleTri = qs("q_triangles")(spark, dir).collect()(0)
+    val be = baseTri.getLong(0); val bt = baseTri.getLong(1)
+    val se = scaleTri.getLong(0); val st = scaleTri.getLong(1)
+    val triOk = se == factor * be && st == factor * bt
+    sb ++= s"- base: $be edges / $bt triangles; scaled: $se edges / $st triangles\n"
+    sb ++= s"- expected ${factor}x both (disjoint replicas): ${if (triOk) "OK" else "MISMATCH"}\n"
+    sb ++= s"- broadcast cutoff 20M edges: scaled graph is ${if (se >= 20000000L) "ABOVE (shuffled-join path exercised)" else "below (broadcast path)"}\n"
+
+    // --- shape check 2: AQE skew-join split ------------------------
+    // 40% of a 6M-row probe side lands on ONE key; AQE must split the
+    // skewed partition rather than let one task carry 2.4M rows
+    sb ++= "\n## AQE skew-join check\n\n"
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val skewed = Tables.lineitem(spark, dir).select(
+        when(pmod(col("l_orderkey"), lit(5)) < 2, lit(42L))
+          .otherwise(col("l_partkey")).as("k"),
+        col("l_extendedprice").as("x"))
+      val dim = Tables.part(spark, dir)
+        .select(col("p_partkey").as("k"), col("p_retailprice"))
+        .union(spark.range(1).select(lit(42L).as("k"), lit(0.0).as("p_retailprice")))
+      val j = skewed.join(dim, "k").agg(sum(col("x") + col("p_retailprice")))
+      val t0 = System.nanoTime()
+      j.collect()
+      val skewSec = (System.nanoTime() - t0) / 1e9
+      val plan = j.queryExecution.executedPlan.toString
+      val split = plan.contains("skew=true")
+      sb ++= f"- 40%% of ${factor * 600000} probe rows on one key, sort-merge forced: $skewSec%.2f s\n"
+      sb ++= s"- final adaptive plan contains `skew=true`: ${if (split) "YES — skewed partition was split" else "NO"}\n"
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
+    // --- plan dump: the star join at scale -------------------------
+    sb ++= "\n## q_join_broadcast plan at scale (excerpt)\n\n```\n"
+    val starPlan = qs("q_join_broadcast")(spark, dir)
+      .queryExecution.executedPlan.toString
+    sb ++= starPlan.linesIterator.take(40).mkString("\n")
+    sb ++= "\n```\n"
+
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_REHEARSAL.md"))
+    java.nio.file.Files.write(out,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[scale] wrote $out")
+  }
+}
