@@ -40,6 +40,7 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "gen" || mode == "all") gen(spark, src, dir, factor)
     if (mode == "run" || mode == "all") run(spark, src, dir, factor)
+    if (mode == "skew") println(skewCheck(spark, dir, factor))
     spark.stop()
   }
 
@@ -99,10 +100,10 @@ object ScaleRehearsal {
     * path — the queries whose plan shape is the 100 TB risk.
     */
   private val heavy = Seq(
-    "q_triangles", "q_pagerank", "q_join_broadcast", "q_join_salted",
-    "q_join_semi", "q_agg", "q_window", "q_dedup_minhash", "q_dedup_near",
-    "q_ngram_jaccard", "q_simhash_near", "q_embed_neardup", "q_knn_join",
-    "q_sim_ivf", "q_decontaminate", "q_dedup_groups", "q_topk_grouped")
+    "q_join_broadcast", "q_join_salted", "q_join_semi", "q_agg", "q_window",
+    "q_dedup_minhash", "q_dedup_near", "q_ngram_jaccard", "q_simhash_near",
+    "q_embed_neardup", "q_knn_join", "q_sim_ivf", "q_decontaminate",
+    "q_dedup_groups", "q_topk_grouped", "q_pagerank", "q_triangles")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
@@ -134,24 +135,64 @@ object ScaleRehearsal {
     }
 
     // --- shape check 1: triangle broadcast cutoff ------------------
-    // disjoint replicas ⇒ triangles must be exactly factor x the base
-    sb ++= "\n## Triangle-count cutoff check\n\n"
+    // run the scaled graph through BOTH plan shapes: the default
+    // cutoff (50M edges — broadcast adjacency) and a forced 1M-edge
+    // cutoff (shuffled fallback with edge-scaled partitioning).
+    // disjoint replicas ⇒ both must report exactly factor x the base.
+    sb ++= "\n## Triangle-count cutoff check (both paths at scale)\n\n"
     val baseTri = qs("q_triangles")(spark, src).collect()(0)
-    val scaleTri = qs("q_triangles")(spark, dir).collect()(0)
     val be = baseTri.getLong(0); val bt = baseTri.getLong(1)
-    val se = scaleTri.getLong(0); val st = scaleTri.getLong(1)
-    val triOk = se == factor * be && st == factor * bt
-    sb ++= s"- base: $be edges / $bt triangles; scaled: $se edges / $st triangles\n"
-    sb ++= s"- expected ${factor}x both (disjoint replicas): ${if (triOk) "OK" else "MISMATCH"}\n"
-    sb ++= s"- broadcast cutoff 20M edges: scaled graph is ${if (se >= 20000000L) "ABOVE (shuffled-join path exercised)" else "below (broadcast path)"}\n"
+    def timedTri(): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val r = qs("q_triangles")(spark, dir).collect()(0)
+      ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+    }
+    val (tB, seB, stB) = timedTri() // default cutoff: broadcast path
+    spark.conf.set("spark.graft.triangles.broadcastMaxEdges", "1000000")
+    val (tS, seS, stS) =
+      try timedTri() // forced fallback: shuffled path
+      finally spark.conf.unset("spark.graft.triangles.broadcastMaxEdges")
+    val triOk = seB == factor * be && stB == factor * bt &&
+      seS == seB && stS == stB
+    sb ++= s"- base: $be edges / $bt triangles\n"
+    sb ++= f"- scaled, broadcast path (default 50M cutoff): $seB edges / $stB triangles in $tB%.1f s\n"
+    sb ++= f"- scaled, shuffled path (cutoff forced to 1M): $seS edges / $stS triangles in $tS%.1f s\n"
+    sb ++= s"- both paths equal and exactly ${factor}x base: ${if (triOk) "OK" else "MISMATCH"}\n"
+    println(f"[scale] triangles broadcast=$tB%.1fs shuffled=$tS%.1fs ok=$triOk")
 
     // --- shape check 2: AQE skew-join split ------------------------
-    // 40% of a 6M-row probe side lands on ONE key; AQE must split the
-    // skewed partition rather than let one task carry 2.4M rows
+    sb ++= skewCheck(spark, dir, factor)
+
+    sb ++= planDump(spark, dir)
+
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_REHEARSAL.md"))
+    java.nio.file.Files.write(out,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[scale] wrote $out")
+  }
+
+  /** 40% of the probe side lands on ONE key; AQE must split the
+    * skewed partition rather than let one task carry 40% of the
+    * rows. Returns the markdown section (also printed by mode=skew).
+    */
+  def skewCheck(spark: SparkSession, dir: String, factor: Int): String = {
+    val sb = new StringBuilder
     sb ++= "\n## AQE skew-join check\n\n"
+    // thresholds scaled to LOCAL data: skew detection reads COMPRESSED
+    // map-output sizes, and the 42-key partition (4.8M rows of a
+    // constant long + 20×-replicated doubles) compresses to ~1-2 MB —
+    // hence 256k here where a production hot key (GBs compressed)
+    // clears the 256 MB default on its own. forceOptimize is required
+    // because the join feeds the result stage directly — without a
+    // downstream exchange Spark declines the split as "introducing an
+    // extra shuffle" (verified: same query, threshold 2m or no force →
+    // no split at 13.5-18 s; 256k + force → split at 9.0 s).
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val skewed = Tables.lineitem(spark, dir).select(
@@ -161,31 +202,42 @@ object ScaleRehearsal {
       val dim = Tables.part(spark, dir)
         .select(col("p_partkey").as("k"), col("p_retailprice"))
         .union(spark.range(1).select(lit(42L).as("k"), lit(0.0).as("p_retailprice")))
-      val j = skewed.join(dim, "k").agg(sum(col("x") + col("p_retailprice")))
+      val j = skewed.join(dim, "k").select(col("x"))
+      // drive THIS DataFrame's own adaptive plan: df.count() builds a
+      // separate QueryExecution, leaving j's plan isFinalPlan=false —
+      // executing the AdaptiveSparkPlanExec's RDD is what finalizes it
+      val qe = j.queryExecution
       val t0 = System.nanoTime()
-      j.collect()
+      val n = qe.executedPlan.execute().count()
       val skewSec = (System.nanoTime() - t0) / 1e9
-      val plan = j.queryExecution.executedPlan.toString
+      val plan = qe.executedPlan.toString
       val split = plan.contains("skew=true")
-      sb ++= f"- 40%% of ${factor * 600000} probe rows on one key, sort-merge forced: $skewSec%.2f s\n"
+      val aqeRead = plan.contains("AQEShuffleRead")
+      sb ++= f"- 40%% of ${factor * 600000} probe rows on one key, sort-merge forced: $skewSec%.2f s, $n joined rows\n"
       sb ++= s"- final adaptive plan contains `skew=true`: ${if (split) "YES — skewed partition was split" else "NO"}\n"
+      sb ++= s"- plan contains AQEShuffleRead: $aqeRead\n"
+      if (!split) {
+        sb ++= "\n<details><summary>executed plan (first 25 lines)</summary>\n\n```\n"
+        sb ++= plan.linesIterator.take(25).mkString("\n")
+        sb ++= "\n```\n</details>\n"
+      }
     } finally {
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+    sb.toString
+  }
 
-    // --- plan dump: the star join at scale -------------------------
+  private def planDump(spark: SparkSession, dir: String): String = {
+    val sb = new StringBuilder
     sb ++= "\n## q_join_broadcast plan at scale (excerpt)\n\n```\n"
-    val starPlan = qs("q_join_broadcast")(spark, dir)
+    val starPlan = SparkEntry.queries("q_join_broadcast")(spark, dir)
       .queryExecution.executedPlan.toString
     sb ++= starPlan.linesIterator.take(40).mkString("\n")
     sb ++= "\n```\n"
-
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_REHEARSAL.md"))
-    java.nio.file.Files.write(out,
-      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[scale] wrote $out")
+    sb.toString
   }
 }

@@ -180,6 +180,44 @@ object Multimodal {
   private def safePayload(p: Array[Byte]): Array[Byte] =
     if (p == null) Array.emptyByteArray else p
 
+  case class PixelSums(doc_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL-decode correctness surface: `javax.imageio` decode of each
+    * image payload, then exact integer per-channel pixel sums — no
+    * floating point anywhere, so the result is bit-identical to any
+    * other correct decoder. The synthetic PNGs are pure arithmetic in
+    * (doc_id, x, y) and PNG is lossless, which makes these sums
+    * SQL-expressible: the DuckDB oracle recomputes them from the
+    * formula without decoding anything (q_image_decode). Undecodable
+    * payloads degrade to all-zero sums, same policy as
+    * [[extractFeatures]].
+    */
+  def decodePixelSums(spark: SparkSession, media: DataFrame): Dataset[PixelSums] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        ImageIoCodec.decode(safePayload(r.payload)) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y)
+                sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            PixelSums(r.doc_id, w.toLong, h.toLong, sr, sg, sb)
+          case None => PixelSums(r.doc_id, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** Per-partition batched decode + feature extraction. Image rows go
     * through the REAL `javax.imageio` decode; audio/video stay on the
     * stub (no codecs in this container).

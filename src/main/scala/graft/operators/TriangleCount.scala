@@ -43,8 +43,35 @@ object TriangleCount {
       // edge set only for distinct/deg/adj, never for the joins. Past
       // it, Catalyst's shuffled joins take over (adj no longer fits).
       val nEdges = e.count()
-      val broadcastable = nEdges < 20_000_000L
+      // deg/adj are ≤ edge-count rows of (long, long)/(long, array) —
+      // ~8-16 B per edge serialized, so the default cutoff keeps the
+      // broadcast ≤ ~0.8 GB, inside a production executor's budget.
+      // Measured at 24M edges (scale rehearsal): broadcast path is
+      // ~3× cheaper per edge than the shuffled fallback, so prefer it
+      // as long as the relation fits. Conf-tunable for small-memory
+      // clusters (and for forcing the fallback in tests).
+      val cutoff = edges.sparkSession.conf
+        .getOption("spark.graft.triangles.broadcastMaxEdges")
+        .map(_.toLong).getOrElse(50_000_000L)
+      val broadcastable = nEdges < cutoff
       def maybeB(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
+      // Past the cutoff the adjacency joins sort-merge, and every
+      // shuffled row carries its neighbor ARRAY (~avg-degree longs) —
+      // at the session's default partition count a partition of a
+      // big graph is hundreds of MB and 32 concurrent sorts starve
+      // the execution-memory pool into a spill-retry spin (observed
+      // live at 24M edges / 32 partitions: every task wedged in
+      // HeapMemoryAllocator). Scope the shuffle width to the edge
+      // volume (~250k edges/partition, capped) for the heavy jobs,
+      // and restore the session default after.
+      val spark = edges.sparkSession
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      if (!broadcastable) {
+        val n = math.min(4096L,
+          math.max(prevShuffle.toLong, nEdges / 250_000L)).toInt
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      }
+      try {
       val deg = maybeB(e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node")
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg")))
@@ -74,6 +101,7 @@ object TriangleCount {
           .agg(sum(col("tri"))).head()
         (nEdges, if (counted.isNullAt(0)) 0L else counted.getLong(0))
       } finally oriented.unpersist()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     } finally e.unpersist()
   }
 

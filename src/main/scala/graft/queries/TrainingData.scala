@@ -649,6 +649,34 @@ object TrainingData {
       .withColumn("n_frames", col("n_frames").cast("long"))
       .orderBy("doc_id")
 
+  /** Oracle-checked REAL image decode: javax.imageio over the
+    * synthetic PNGs, integer-exact channel sums (see
+    * [[Multimodal.decodePixelSums]]). The oracle recomputes the sums
+    * from the synthesis formula — pixel (x,y) of doc d is
+    * (d*31 + x*7 + y*13) & 0xffffff, dims (16 + d%48, 16 + (d/7)%48)
+    * — proving decode + pixel access are byte-faithful end to end.
+    */
+  private val qImageDecode: Q = (s, d) =>
+    Multimodal.decodePixelSums(s,
+      Multimodal.asMedia(Tables.documents(s, d)).filter(col("kind") === "image"))
+      .toDF().orderBy("doc_id")
+
+  private val qImageDecodeSql =
+    """WITH img AS (
+      |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id // 7) % 48 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |xs AS (SELECT unnest(range(0, 64)) AS x),
+      |ys AS (SELECT unnest(range(0, 64)) AS y),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |         ((doc_id * 31 + x * 7 + y * 13) & 16777215) AS v
+      |  FROM img, xs, ys WHERE x < w AND y < h)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
+      |       CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
+      |       CAST(sum(v & 255) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- approx aggregates
   /** Sketch aggregates — the only sane cardinality/quantile path at
     * 100 TB (exact distinct shuffles every key; HLL/KLL ship constant-
@@ -778,6 +806,7 @@ object TrainingData {
     "q_langid" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_multimodal" -> qMultimodal,
+    "q_image_decode" -> qImageDecode,
     "q_approx" -> qApprox,
     "q_stream_window" -> qStream,
     "q_stream_seg" -> qStreamSeg,
@@ -811,6 +840,7 @@ object TrainingData {
     "q_text_topterms" -> qTextTopTermsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_fingerprint" -> qFingerprintSql,
+    "q_image_decode" -> qImageDecodeSql,
     "q_stream_window" -> qStreamSql,
     "q_stream_seg" -> qStreamSegSql,
     "q_stream_dedup" -> qStreamDedupSql,

@@ -120,6 +120,32 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("decodePixelSums: real decode matches the synthesis formula exactly") {
+    val media = Multimodal.asMedia(graft.Tables.documents(spark, sf))
+      .filter($"kind" === "image").limit(25)
+    val sums = Multimodal.decodePixelSums(spark, media).collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      val (w, h) = Multimodal.ImageIoCodec.synthDims(r.doc_id)
+      assert(r.width == w && r.height == h)
+      // recompute the channel sums straight from the pixel formula —
+      // equality proves PNG encode → imageio decode is byte-faithful
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((r.doc_id * 31 + x * 7 + y * 13) & 0xffffffL).toInt
+        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      }
+      assert(r.sum_r == sr && r.sum_g == sg && r.sum_b == sb,
+        s"doc ${r.doc_id}: decoded sums (${r.sum_r},${r.sum_g},${r.sum_b}) " +
+          s"!= formula ($sr,$sg,$sb)")
+    }
+    // corrupt payload degrades to zero sums, not a task failure
+    val bad = Seq((7L, "image", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "kind", "payload")
+    val z = Multimodal.decodePixelSums(spark, bad).collect()
+    assert(z.head.width == 0 && z.head.sum_r == 0)
+  }
+
   test("fake codec varies frames by kind") {
     val payload = "hello world".getBytes("UTF-8")
     val (w1, h1, f1) = Multimodal.FakeCodec.decode("image", payload)

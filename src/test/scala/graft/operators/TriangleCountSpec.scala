@@ -15,6 +15,17 @@ class TriangleCountSpec extends SparkTestBase {
     assert(TriangleCount.count(pendant) == 4)
   }
 
+  test("stats restores spark.sql.shuffle.partitions (scale path scopes it)") {
+    // past the broadcast cutoff the operator widens the shuffle to
+    // ~250k edges/partition for the array-carrying joins; the session
+    // conf must come back no matter which branch ran
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    assert(TriangleCount.stats(k4) == ((6L, 4L)))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("normalization: duplicates, reversed edges, self-loops don't change the count") {
     val messy = Seq(
       (1L, 2L), (2L, 1L), (1L, 2L),   // duplicate + reversed
