@@ -1,0 +1,84 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Build-once / serve-many IVF index — the production half of
+  * [[Similarity.ivfTopK]], which (deliberately, for the oracle)
+  * retrains its centroids on every call.
+  *
+  * At corpus scale the clustering is amortized: `build` trains the
+  * centroids and assigns every vector its cell ONCE; `save` writes the
+  * corpus **partitioned by cell** plus a tiny centroid table; `topK`
+  * on a loaded index plans the nProbe cell cut as a PARTITION FILTER —
+  * the scan reads only nProbe/nCentroids of the files, which is the
+  * entire point of IVF on a 100 TB corpus (spec-asserted via
+  * `PartitionFilters` in IvfIndexSpec, the same plan-shape guard
+  * PlanSpec uses for the pruned date scan).
+  *
+  * Centroid training is shared with [[Similarity.ivfTopK]]
+  * (deterministic hash-ordered init, fixed Lloyd rounds, decimal-exact
+  * means), so a fresh index returns exactly the per-call result.
+  */
+object IvfIndex {
+
+  /** centroids(i) = cell i's center; `corpus` carries (id, vec, cell).
+    * `pruned` is true when `corpus` comes from a cell-partitioned
+    * on-disk layout (cell cuts become partition pruning).
+    */
+  final case class Index(centroids: Array[Array[Double]], corpus: DataFrame,
+      idCol: String, vecCol: String, pruned: Boolean)
+
+  /** Train centroids and assign cells in one distributed pass.
+    * The returned corpus is NOT persisted to disk — call [[save]] for
+    * the pruned layout.
+    */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, iters: Int = 2): Index = {
+    val work = emb.select(col(idCol), col(vecCol))
+    val centroids = Similarity.trainCentroids(work, idCol, vecCol, nCentroids, iters)
+    val assignU = udf(Similarity.nearestCell(centroids) _)
+    Index(centroids,
+      work.withColumn("cell", assignU(col(vecCol))), idCol, vecCol, pruned = false)
+  }
+
+  /** Persist: corpus partitioned by cell (one directory per cell —
+    * the unit of query-time pruning) + a (cell, centroid) table.
+    */
+  def save(index: Index, path: String): Unit = {
+    index.corpus.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/corpus")
+    val spark = index.corpus.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: SparkSession, path: String,
+      idCol: String, vecCol: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    Index(centroids, spark.read.parquet(s"$path/corpus"),
+      idCol, vecCol, pruned = true)
+  }
+
+  /** Approximate top-k: scan only the nProbe cells nearest the query.
+    * On a loaded index the `cell` predicate is a partition filter —
+    * non-probed cells are never read.
+    */
+  def topK(index: Index, query: Seq[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val probes = Similarity.nearestCentroids(index.centroids, query, nProbe)
+    val q = typedlit(query)
+    val cos = VectorOps.cosineFor(index.corpus, index.vecCol)
+    index.corpus
+      .filter(col("cell").isin(probes: _*))
+      .select(col(index.idCol), cos(col(index.vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(index.idCol))
+      .limit(k)
+  }
+}

@@ -89,43 +89,72 @@ object Similarity {
     // the refinement loop + final scan make iters+2 passes over the
     // corpus — cache the two columns we touch for the duration
     val work = emb.select(col(idCol), col(vecCol)).cache()
+    val centroids = trainCentroids(work, idCol, vecCol, nCentroids, iters)
+    val probes = nearestCentroids(centroids, query, nProbe)
+    val assignU = udf(nearestCell(centroids) _)
+    val q = typedlit(query)
+    val cos = VectorOps.cosineFor(work, vecCol)
+    val result = work.select(col(idCol), col(vecCol), assignU(col(vecCol)).as("cell"))
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), cos(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .localCheckpoint() // materialize before dropping the cache
+    work.unpersist()
+    result
+  }
 
-    def l2sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    def nearest(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      val arr = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
-      var c = 0
-      while (c < cs.length) {
-        val d = l2sq(cs(c), arr)
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
 
-    // deterministic init: hash-ordered corpus sample
+  /** Index of the nearest centroid (L2, ties by index) — the cell
+    * assignment function, shared by the per-call path and
+    * [[IvfIndex]].
+    */
+  def nearestCell(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    val arr = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+    var c = 0
+    while (c < cs.length) {
+      val d = l2sq(cs(c), arr)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nProbe cell ids nearest the query (L2, ties by index). */
+  def nearestCentroids(centroids: Array[Array[Double]], query: Seq[Float],
+      nProbe: Int): Seq[Int] = {
+    val qa = query.map(_.toDouble).toArray
+    centroids.zipWithIndex
+      .sortBy { case (c, i) => (l2sq(c, qa), i) }
+      .take(nProbe).map(_._2).toSeq
+  }
+
+  /** Deterministic k-means centroids: hash-ordered corpus sample init,
+    * `iters` Lloyd rounds with decimal-exact per-cell means (double avg
+    * is IEEE754 order-dependent; drifting centroids would silently
+    * change probed cells under AQE re-plans). Per-cell means are `dim`
+    * avg aggregates over element_at — one partial-agg row per cell, no
+    * corpus×dim explode. Only nCentroids×dim values ever reach the
+    * driver.
+    */
+  def trainCentroids(work: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = work
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters if dim > 0) {
       val cs = centroids
-      val assignU = udf(nearest(cs) _)
-      // per-cell mean as `dim` avg aggregates over element_at — no
-      // row explosion (a posexplode here is corpus×dim rows through a
-      // shuffle; this is one partial-agg row per cell). Elements go
-      // through DecimalType so the sum is exact and the mean is
-      // identical under any partition layout / AQE re-plan — double
-      // avg is IEEE754 order-dependent, and drifting centroids would
-      // silently change the probed cells and the returned top-k.
+      val assignU = udf(nearestCell(cs) _)
       def dmean(i: Int) = avg(element_at(col(vecCol), i + 1)
         .cast(org.apache.spark.sql.types.DecimalType(38, 20))).as(s"m$i")
       val means = work
@@ -137,24 +166,7 @@ object Similarity {
       centroids = centroids.indices
         .map(i => means.getOrElse(i, centroids(i))).toArray // empty cell keeps its centroid
     }
-
-    val probes: Seq[Int] = {
-      val qa = query.map(_.toDouble).toArray
-      centroids.zipWithIndex
-        .sortBy { case (c, i) => (l2sq(c, qa), i) }
-        .take(nProbe).map(_._2).toSeq
-    }
-    val assignU = udf(nearest(centroids) _)
-    val q = typedlit(query)
-    val cos = VectorOps.cosineFor(work, vecCol)
-    val result = work.select(col(idCol), col(vecCol), assignU(col(vecCol)).as("cell"))
-      .filter(col("cell").isin(probes: _*))
-      .select(col(idCol), cos(col(vecCol), q).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
-      .localCheckpoint() // materialize before dropping the cache
-    work.unpersist()
-    result
+    centroids
   }
 
   /** All-pairs exact cosine for a (small, broadcastable) query set
