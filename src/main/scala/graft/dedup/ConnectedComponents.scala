@@ -32,36 +32,45 @@ object ConnectedComponents {
     * Size maxIter to the worst-case graph diameter.
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
     import graft.operators.Snapshots.persistRound
-    var (labels, labelsRdd) = persistRound(
-      sym.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")), None)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("node", "b_node"), col("b") === col("b_node"))
-        .groupBy(col("a").as("node2")).agg(min(col("label")).as("nbr_min"))
-      val (updated, updatedRdd) = persistRound(
-        labels.join(nbrMin, col("node") === col("node2"), "left")
-          .select(col("node"), col("label"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label")),
-        Some(labelsRdd))
-      labelsRdd = updatedRdd
-      changed = updated.filter(col("next_label") < col("label")).count()
-      labels = updated.select(col("node"), col("next_label").as("label"))
-      i += 1
-    }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          "(graph diameter exceeds maxIter); raise maxIter")
-    labels.select(col("node").as("id"), col("label").as("component"))
+    // sym goes through the SAME persistRound pattern as the label
+    // rounds — localCheckpoint here leaked the edge blocks for the
+    // session's lifetime (Dataset.unpersist can't find a checkpoint
+    // RDD; see Snapshots), and in a long-lived session those leaks
+    // compound into storage pressure that slows every later query.
+    val (sym, symRdd) = persistRound(
+      edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct(), None)
+    try {
+      var (labels, labelsRdd) = persistRound(
+        sym.select(col("a").as("node")).distinct()
+          .withColumn("label", col("node")), None)
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val nbrMin = sym
+          .join(labels.withColumnRenamed("node", "b_node"), col("b") === col("b_node"))
+          .groupBy(col("a").as("node2")).agg(min(col("label")).as("nbr_min"))
+        val (updated, updatedRdd) = persistRound(
+          labels.join(nbrMin, col("node") === col("node2"), "left")
+            .select(col("node"), col("label"),
+              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label")),
+          Some(labelsRdd))
+        labelsRdd = updatedRdd
+        changed = updated.filter(col("next_label") < col("label")).count()
+        labels = updated.select(col("node"), col("next_label").as("label"))
+        i += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds " +
+            "(graph diameter exceeds maxIter); raise maxIter")
+      // labels' lineage starts at its own (materialized) snapshot, so
+      // the edge blocks are no longer reachable from the result
+      labels.select(col("node").as("id"), col("label").as("component"))
+    } finally symRdd.unpersist(blocking = false)
   }
 
   /** Deduplicated corpus: one representative (min id) per component;
