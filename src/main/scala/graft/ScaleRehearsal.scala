@@ -115,8 +115,21 @@ object ScaleRehearsal {
     sb ++= s"on a fixed 32-core box means the plan has no super-linear shuffle.\n\n"
     sb ++= "| query | sf0.1 s | scale s | x | rows(scale) |\n|---|---|---|---|---|\n"
     val qs = SparkEntry.queries
-    // warmup on the tiny sf: codegen+JIT, untimed
-    heavy.foreach { n => try qs(n)(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () } }
+    // warmup on the SMALLEST available slice of the configured source
+    // (codegen+JIT, untimed): hardcoding /root/testdata/sf0.001 made
+    // warmup silently no-op on any box without that path, letting the
+    // first timed pass absorb JIT cost — fall back to the src itself
+    // and LOG a warmup failure instead of swallowing it
+    val warmDir = {
+      val tiny = new java.io.File("/root/testdata/sf0.001")
+      if (tiny.isDirectory) tiny.getAbsolutePath else src
+    }
+    heavy.foreach { n =>
+      try qs(n)(spark, warmDir).count()
+      catch { case e: Throwable =>
+        println(s"[scale] warmup $n failed (first timed pass will be cold): ${e.getMessage}")
+      }
+    }
     def time(n: String, d: String): (Double, Long) = {
       var rows = 0L
       val ts = (0 until 2).map { _ =>
@@ -162,6 +175,9 @@ object ScaleRehearsal {
 
     // --- shape check 2: AQE skew-join split ------------------------
     sb ++= skewCheck(spark, dir, factor)
+
+    // --- shape check 3: IVF build-once serving path ----------------
+    sb ++= ivfServeCheck(spark, dir)
 
     sb ++= planDump(spark, dir)
 
@@ -222,12 +238,45 @@ object ScaleRehearsal {
         sb ++= "\n```\n</details>\n"
       }
     } finally {
+      spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
       spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+    sb.toString
+  }
+
+  /** Build+save the cell-partitioned IVF index on the scaled corpus
+    * ONCE, then time topK probes against the loaded layout — the
+    * serving cost a user pays per query. The per-call `q_sim_ivf`
+    * body retrains every call (by design, for the DuckDB oracle), so
+    * its rehearsal row measures training, not serving — this section
+    * is the 100 TB-relevant number (VERDICT r3 next-round #2).
+    */
+  def ivfServeCheck(spark: SparkSession, dir: String): String = {
+    import graft.similarity.IvfIndex
+    val sb = new StringBuilder
+    sb ++= "\n## IVF serving path at scale (build-once / probe-many)\n\n"
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_scale")
+      .toAbsolutePath.toString
+    val t0 = System.nanoTime()
+    IvfIndex.save(
+      IvfIndex.build(emb, "vec_id", "embedding", nCentroids = 16, iters = 2), path)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>")).head().getSeq[Float](0)
+    val idx = IvfIndex.load(spark, path, "vec_id", "embedding")
+    val probes = (0 until 3).map { _ =>
+      val p0 = System.nanoTime()
+      IvfIndex.topK(idx, q, k = 10, nProbe = 4).count()
+      (System.nanoTime() - p0) / 1e9
+    }
+    sb ++= f"- build+save (amortized once per corpus): $buildSec%.1f s\n"
+    sb ++= f"- probe topK(k=10, nProbe=4/16) on the loaded cell-partitioned layout: ${probes.min}%.2f s (min of 3)\n"
+    println(f"[scale] ivf build=$buildSec%.1fs probe=${probes.min}%.2fs")
     sb.toString
   }
 

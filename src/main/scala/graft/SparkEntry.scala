@@ -32,6 +32,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracles ++ TrainingData.oracles ++ Extended.oracles ++ Analytics.oracles
 
+  /** The query set Bench times: `queries` plus bench-path overrides
+    * where the correctness body deliberately does MORE work than the
+    * operation a user pays for (q_sim_ivf runs IVF + exact scan +
+    * recall gate so the driver can hash-check it; the serving path is
+    * build-once / probe-many). Verify always runs `queries` — the
+    * overrides never weaken a correctness row.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ TrainingData.benchOverrides
+
   /** SPARK_GRAFT_ONLY=q_a,q_b restriction for Verify/Bench — one
     * parse, and a BLANK value means "no restriction" (a naive
     * split(",") would yield Set("") and silently filter out every

@@ -44,6 +44,7 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b"))
         .distinct(), None)
     try {
+      import graft.operators.Snapshots.persistRoundCounted
       var (labels, labelsRdd) = persistRound(
         sym.select(col("a").as("node")).distinct()
           .withColumn("label", col("node")), None)
@@ -53,14 +54,19 @@ object ConnectedComponents {
         val nbrMin = sym
           .join(labels.withColumnRenamed("node", "b_node"), col("b") === col("b_node"))
           .groupBy(col("a").as("node2")).agg(min(col("label")).as("nbr_min"))
-        val (updated, updatedRdd) = persistRound(
+        // convergence detection rides the SAME action that materializes
+        // the round snapshot (one job/round, not join-job + count-job):
+        // `_changed` is computed relationally and the snapshot's
+        // filtered count gates the loop — VERDICT r3 next-round #3
+        val (updated, updatedRdd, nChanged) = persistRoundCounted(
           labels.join(nbrMin, col("node") === col("node2"), "left")
-            .select(col("node"), col("label"),
-              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label")),
-          Some(labelsRdd))
+            .select(col("node"),
+              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+              (coalesce(col("nbr_min"), col("label")) < col("label")).as("_changed")),
+          Some(labelsRdd), r => !r.isNullAt(2) && r.getBoolean(2))
         labelsRdd = updatedRdd
-        changed = updated.filter(col("next_label") < col("label")).count()
-        labels = updated.select(col("node"), col("next_label").as("label"))
+        changed = nChanged
+        labels = updated.select(col("node"), col("label"))
         i += 1
       }
       if (changed > 0)

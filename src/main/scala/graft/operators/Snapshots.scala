@@ -33,4 +33,20 @@ object Snapshots {
     prev.foreach(_.unpersist(blocking = false))
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
+
+  /** [[persistRound]] fused with a convergence metric: the
+    * materializing action is `rdd.filter(pred).count()`, which fully
+    * computes (and therefore caches) every partition of the snapshot
+    * AND returns the matching-row count in the SAME job. Iterative
+    * dataflows that gate on a per-round count (ConnectedComponents'
+    * "labels changed this round") would otherwise pay rounds×2 driver
+    * actions — one to materialize, one to count.
+    */
+  def persistRoundCounted(df: DataFrame, prev: Option[RDD[Row]],
+      pred: Row => Boolean): (DataFrame, RDD[Row], Long) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val matched = rdd.filter(pred).count()
+    prev.foreach(_.unpersist(blocking = false))
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, matched)
+  }
 }

@@ -61,17 +61,20 @@ object TriangleCount {
       // big graph is hundreds of MB and 32 concurrent sorts starve
       // the execution-memory pool into a spill-retry spin (observed
       // live at 24M edges / 32 partitions: every task wedged in
-      // HeapMemoryAllocator). Scope the shuffle width to the edge
-      // volume (~250k edges/partition, capped) for the heavy jobs,
-      // and restore the session default after.
+      // HeapMemoryAllocator). Widen the array-carrying exchanges to
+      // ~250k edges/partition (capped) via EXPLICIT hash
+      // repartitioning on the join keys — repartition(n, key)
+      // satisfies the downstream join/agg's required distribution, so
+      // no second exchange is added; unlike mutating
+      // spark.sql.shuffle.partitions (the round-3 shape), this is
+      // invisible to concurrent queries on the same session and safe
+      // under concurrent stats() calls.
       val spark = edges.sparkSession
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      if (!broadcastable) {
-        val n = math.min(4096L,
-          math.max(prevShuffle.toLong, nEdges / 250_000L)).toInt
-        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      }
-      try {
+      val wideN = math.min(4096L, math.max(
+        spark.conf.get("spark.sql.shuffle.partitions").toLong,
+        nEdges / 250_000L)).toInt
+      def widen(df: DataFrame, key: String): DataFrame =
+        if (broadcastable) df else df.repartition(wideN, col(key))
       val deg = maybeB(e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node")
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg")))
@@ -86,12 +89,20 @@ object TriangleCount {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val adj = maybeB(oriented.groupBy(col("src"))
+        // the repartition feeds the partial agg NARROW (src,dst) rows
+        // and leaves the aggregate (whose buffers carry the arrays)
+        // already clustered at wideN — no array-carrying exchange
+        val adj = maybeB(widen(oriented, "src").groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
         // adjacency lists are sorted ASC ⇒ the native merge-count
         // kernel replaces array_intersect's per-row hash-set build
-        val counted = oriented
+        // adj's agg output is hash(src, wideN) and the alias-aware
+        // projection keeps that through the src→dst rename, so the
+        // only array-carrying exchange left is the unavoidable one:
+        // re-keying the (edge, nbrs_u) rows from src to dst — widened
+        val counted = widen(oriented, "src")
           .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), "src")
+          .transform(j => widen(j, "dst"))
           .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")),
             Seq("dst"), "left")
           .select(coalesce(
@@ -101,7 +112,6 @@ object TriangleCount {
           .agg(sum(col("tri"))).head()
         (nEdges, if (counted.isNullAt(0)) 0L else counted.getLong(0))
       } finally oriented.unpersist()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     } finally e.unpersist()
   }
 

@@ -26,30 +26,46 @@ object IvfIndex {
 
   /** centroids(i) = cell i's center; `corpus` carries (id, vec, cell).
     * `pruned` is true when `corpus` comes from a cell-partitioned
-    * on-disk layout (cell cuts become partition pruning).
+    * on-disk layout (cell cuts become partition pruning). `cached` is
+    * the upstream snapshot [[build]] pinned for its multi-pass
+    * training — [[save]] (or [[Index.unpersist]]) releases it.
     */
   final case class Index(centroids: Array[Array[Double]], corpus: DataFrame,
-      idCol: String, vecCol: String, pruned: Boolean)
+      idCol: String, vecCol: String, pruned: Boolean,
+      cached: Option[DataFrame] = None) {
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** Train centroids and assign cells in one distributed pass.
     * The returned corpus is NOT persisted to disk — call [[save]] for
     * the pruned layout.
+    *
+    * `work` is cached for the duration (mirroring
+    * [[Similarity.ivfTopK]]): training makes iters+1 passes and the
+    * assignment one more — uncached, each pass would recompute the
+    * upstream embedding pipeline, and a nondeterministic upstream
+    * would train and assign on INCONSISTENT snapshots. [[save]]
+    * releases the cache after the write; callers that never save must
+    * call [[Index.unpersist]] once the corpus is materialized.
     */
   def build(emb: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 16, iters: Int = 2): Index = {
-    val work = emb.select(col(idCol), col(vecCol))
+    val work = emb.select(col(idCol), col(vecCol)).cache()
     val centroids = Similarity.trainCentroids(work, idCol, vecCol, nCentroids, iters)
     val assignU = udf(Similarity.nearestCell(centroids) _)
     Index(centroids,
-      work.withColumn("cell", assignU(col(vecCol))), idCol, vecCol, pruned = false)
+      work.withColumn("cell", assignU(col(vecCol))), idCol, vecCol,
+      pruned = false, cached = Some(work))
   }
 
   /** Persist: corpus partitioned by cell (one directory per cell —
     * the unit of query-time pruning) + a (cell, centroid) table.
+    * Releases [[build]]'s training cache once the write completes.
     */
   def save(index: Index, path: String): Unit = {
-    index.corpus.write.mode("overwrite")
+    try index.corpus.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/corpus")
+    finally index.unpersist()
     val spark = index.corpus.sparkSession
     import spark.implicits._
     index.centroids.zipWithIndex

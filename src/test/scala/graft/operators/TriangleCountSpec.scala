@@ -15,14 +15,17 @@ class TriangleCountSpec extends SparkTestBase {
     assert(TriangleCount.count(pendant) == 4)
   }
 
-  test("stats restores spark.sql.shuffle.partitions (scale path scopes it)") {
-    // past the broadcast cutoff the operator widens the shuffle to
-    // ~250k edges/partition for the array-carrying joins; the session
-    // conf must come back no matter which branch ran
+  test("non-broadcast branch: same counts, session conf untouched") {
+    // force the shuffled fallback (the branch that widens the
+    // array-carrying exchanges): results must match the broadcast
+    // path and the widening must be invisible to the session conf —
+    // it is explicit repartitioning now, not a conf save/restore
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("u", "v")
-    assert(TriangleCount.stats(k4) == ((6L, 4L)))
+    spark.conf.set("spark.graft.triangles.broadcastMaxEdges", "1")
+    try assert(TriangleCount.stats(k4) == ((6L, 4L)))
+    finally spark.conf.unset("spark.graft.triangles.broadcastMaxEdges")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 

@@ -61,6 +61,7 @@ class IvfIndexSpec extends SparkTestBase {
     val idx = IvfIndex.build(emb, "vec_id", "embedding", nCentroids = 8, iters = 1)
     val got = IvfIndex.topK(idx, q, k = 10, nProbe = 8) // probe ALL cells
       .select("vec_id").as[Long].collect().toSeq
+    idx.unpersist() // never saved ⇒ caller releases the training cache
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
       .select("vec_id").as[Long].collect().toSeq
     assert(got == brute) // probing every cell ⇒ exact
