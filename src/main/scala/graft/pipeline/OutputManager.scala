@@ -50,3 +50,25 @@ final class ParquetOutputManager(dir: String) extends OutputManager {
   override def save(questions: Dataset[Question]): Unit =
     questions.write.mode("append").parquet(dir)
 }
+
+/** Idempotent per-topic JSON sink for the resumable pipeline
+  * ([[SyllabusPipeline.runResumable]]): DYNAMIC partition overwrite
+  * replaces exactly the topic partitions present in this save and
+  * leaves every other topic's files untouched. Re-saving a topic
+  * (the at-least-once window when a run dies between the sink write
+  * and its manifest commit) therefore converges to the same files a
+  * clean run writes — at-least-once execution + idempotent sink =
+  * exactly-once output, the same trick the streaming side's
+  * [[graft.streaming.IdempotentSink]] plays per epoch.
+  */
+final class ResumableJsonOutputManager(dir: String) extends OutputManager {
+  override def save(questions: Dataset[Question]): Unit =
+    questions
+      .withColumn("topic_dir", col("topic"))
+      .write.partitionBy("topic_dir")
+      // writer-local option — takes precedence over the session conf,
+      // so no session-global mutation (static default mode would wipe
+      // the whole directory on every group save)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").json(dir)
+}

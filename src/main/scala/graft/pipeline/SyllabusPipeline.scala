@@ -124,6 +124,76 @@ final class SyllabusPipeline(
     sink.foreach(_.save(questions))
     questions
   }
+
+  /** Crash-resumable run — the engine's analogue of the reference's
+    * `langgraph-checkpoint-sqlite` dependency (requirements.txt):
+    * LangGraph checkpoints per-topic graph state so a crashed run
+    * resumes where it died; here a per-topic COMPLETION MANIFEST
+    * (JSON lines of `{topic}` under `manifestDir`) plays that role.
+    *
+    * The checkpoint unit is the topic TITLE, not the (doc_id,
+    * topic_seq) occurrence: titles are the engine's actual
+    * independence boundary — the batch window partitions by title,
+    * the context join is keyed (title, subtopic), and the sink merges
+    * duplicate titles into one partition (the reference's own
+    * file-per-title semantic, SURVEY.md §7.5). An occurrence-level
+    * checkpoint would split a title across commit groups, and a
+    * per-title sink overwrite from group 2 would clobber group 1's
+    * rows for the shared title.
+    *
+    * Titles are processed in groups of `checkpointEvery` (1 =
+    * per-title commit); each group is extracted, planned, generated,
+    * saved through `sink`, and only THEN recorded in the manifest —
+    * on rerun, manifest titles are skipped entirely (the model is
+    * never re-invoked for them). Commit order (sink happens-before
+    * manifest) makes execution at-least-once; pair with an idempotent
+    * per-title sink ([[ResumableJsonOutputManager]]) and the OUTPUT
+    * is exactly-once: re-saving the one possibly-duplicated group
+    * replaces its title partitions rather than appending. Title
+    * independence makes group boundaries invisible: a resumed run's
+    * rows are identical to a clean run's AND to the one-pass
+    * [[run]]'s (spec-asserted).
+    *
+    * Only distinct titles are collected to the driver (bounded
+    * metadata — the reference's driver loop holds full topic state);
+    * the non-resumable [[run]] remains the single-pass path when
+    * checkpointing isn't needed.
+    */
+  def runResumable(spark: SparkSession, docxPath: String,
+      sink: OutputManager, manifestDir: String,
+      topicsNum: Option[Int] = None, checkpointEvery: Int = 1): Unit = {
+    require(checkpointEvery >= 1)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val allTopics = Topics.fromDocx(spark, docxPath, marker)
+    val topics = topicsNum match {
+      case None => allTopics
+      case Some(n) => allTopics.filter(col("topic_seq") <= n)
+    }
+    val done: Set[String] =
+      try spark.read.schema("topic STRING").json(manifestDir)
+        .collect().map(_.getString(0)).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+    val pending = topics.select(col("title")).distinct()
+      .collect().map(_.getString(0))
+      .filterNot(done).sorted // deterministic replay order across reruns
+    pending.grouped(checkpointEvery).foreach { group =>
+      // same persistRound pattern as the iterative operators: the
+      // snapshot's blocks actually free at group end (localCheckpoint
+      // here would leak them for the session per group — the round-3
+      // block-retention class)
+      val (subs, subsRdd) = graft.operators.Snapshots.persistRound(
+        extractSubtopics(topics.filter(col("title").isin(group: _*))).toDF(), None)
+      try {
+        val subsDs = subs.as[Subtopic]
+        val plan = Planner.plan(subsDs, perSubtopic, idsPerTopic = true)
+        sink.save(generate(plan, subsDs))
+        // commit point: the group is durable in the sink — record it
+        group.toSeq.toDF("topic")
+          .coalesce(1).write.mode("append").json(manifestDir)
+      } finally subsRdd.unpersist(blocking = false)
+    }
+  }
 }
 
 /** Row shape of the generation stage (top-level so the product

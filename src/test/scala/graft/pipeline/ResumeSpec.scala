@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkTestBase
+
+/** Counts model invocations per topic title and optionally throws on
+  * a designated title — the "kill after topic N" fault injector for
+  * the resume spec. State is JVM-static (executors share the test JVM
+  * in local mode).
+  */
+object CountingPoisonModel {
+  val extractCalls = new ConcurrentHashMap[String, AtomicInteger]()
+  @volatile var poisonTitle: Option[String] = None
+  def callsFor(title: String): Int =
+    Option(extractCalls.get(title)).map(_.get()).getOrElse(0)
+  def reset(): Unit = { extractCalls.clear(); poisonTitle = None }
+}
+
+final class CountingPoisonModel extends QuestionModel {
+  private val inner = new StubQuestionModel
+  override def extractSubtopics(topic: SyllabusTopic, subject: String,
+      academicClass: String): Seq[Subtopic] = {
+    CountingPoisonModel.extractCalls
+      .computeIfAbsent(topic.title, _ => new AtomicInteger())
+      .incrementAndGet()
+    if (CountingPoisonModel.poisonTitle.contains(topic.title))
+      throw new RuntimeException(s"injected crash at topic '${topic.title}'")
+    inner.extractSubtopics(topic, subject, academicClass)
+  }
+  override def generateQuestions(batch: Seq[PlannedQuestion],
+      context: Option[Subtopic]): Seq[Question] =
+    inner.generateQuestions(batch, context)
+}
+
+/** VERDICT r3 next-round #5: per-topic completion manifest (the
+  * `langgraph-checkpoint-sqlite` analogue). Kill at topic N, rerun:
+  * output identical to a clean run, topics before N never
+  * re-generated.
+  */
+class ResumeSpec extends SparkTestBase {
+
+  private val fixture = "/root/reference/chemistry_form_1_2.docx"
+  // the fixture's 6 distinct titles (13 marker occurrences), sorted =
+  // the pipeline's deterministic replay order (FIXTURES.md)
+  private val titles = Seq(
+    "Analytical skills in chemistry", "Chemical composition of matter",
+    "Chemical reactions", "Environmental chemistry",
+    "Inorganic compounds", "Organic chemistry")
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("crash at topic 4 of 6, rerun: completed topics skipped, output equals a clean run") {
+    CountingPoisonModel.reset()
+    val pipeline = new SyllabusPipeline(new CountingPoisonModel,
+      subject = "chemistry", academicClass = "Form 1-2")
+    val outDir = tmp("resume_out")
+    val manifest = tmp("resume_manifest") + "/manifest" // not yet existing
+    val sink = new ResumableJsonOutputManager(outDir)
+
+    // run 1: dies on the 4th title in replay order → titles 1..3
+    // committed (checkpointEvery=1), 4..6 never reach the sink
+    CountingPoisonModel.poisonTitle = Some(titles(3))
+    intercept[Exception] {
+      pipeline.runResumable(spark, fixture, sink, manifest)
+    }
+    val committed = spark.read.schema("topic STRING").json(manifest)
+      .collect().map(_.getString(0)).sorted
+    assert(committed.toSeq == titles.take(3),
+      "manifest must hold exactly the pre-crash topics")
+    val callsAfterCrash = titles.take(3).map(CountingPoisonModel.callsFor)
+    assert(callsAfterCrash.forall(_ > 0))
+
+    // run 2: fault cleared → resumes at title 4 and completes
+    CountingPoisonModel.poisonTitle = None
+    pipeline.runResumable(spark, fixture, sink, manifest)
+    val committed2 = spark.read.schema("topic STRING").json(manifest)
+      .collect().map(_.getString(0)).sorted
+    assert(committed2.toSeq == titles, "all six topics committed after resume")
+
+    // topics before the crash were NOT re-extracted on resume
+    titles.take(3).zip(callsAfterCrash).foreach { case (t, before) =>
+      assert(CountingPoisonModel.callsFor(t) == before,
+        s"topic '$t' was re-extracted on resume")
+    }
+    // ...and the post-crash topics were processed
+    titles.drop(4).foreach(t => assert(CountingPoisonModel.callsFor(t) > 0))
+
+    // output identical to a clean (never-crashed) resumable run
+    val cleanDir = tmp("resume_clean")
+    new SyllabusPipeline(new StubQuestionModel, "chemistry", "Form 1-2")
+      .runResumable(spark, fixture, new ResumableJsonOutputManager(cleanDir),
+        tmp("resume_clean_m") + "/manifest")
+    val resumed = spark.read.json(outDir)
+    val clean = spark.read.json(cleanDir)
+    assert(resumed.count() == clean.count() && clean.count() > 0)
+    assert(resumed.exceptAll(clean).isEmpty && clean.exceptAll(resumed).isEmpty)
+
+    // ...and row-identical to the one-pass (non-resumable) path: title
+    // commit groups must be invisible in the output
+    val onePass = new SyllabusPipeline(new StubQuestionModel, "chemistry", "Form 1-2")
+      .run(spark, fixture, sink = None)
+    assert(onePass.count() == clean.count())
+    assert(resumed.select("question_id", "topic").exceptAll(
+      onePass.toDF().select("question_id", "topic")).isEmpty)
+  }
+}
