@@ -552,6 +552,72 @@ object TrainingData {
       |WHERE t.doc_id < 50
       |ORDER BY doc_id, pos""".stripMargin
 
+  // ------------------------------------- generated-embedding search
+  /** The north-star composition: ingest → EMBED → SEARCH as one query.
+    * [[graft.ml.Embeddings.tfidfEmbeddings]] generates `array<float>`
+    * vectors from the raw documents, and the SAME DataFrame feeds
+    * [[Similarity.bruteForceTopK]] — nothing reads the pre-computed
+    * `embeddings` table. The query vector is the generated embedding
+    * of doc 0 (one bounded head()); the corpus DF is cached for the
+    * duration because the TF-IDF DAG would otherwise be recomputed for
+    * both the query-vector read and the scan (at real scale the
+    * generated vectors would be written once and served many times —
+    * see [[graft.similarity.IvfIndex]] for that shape).
+    *
+    * Oracle: the q_embed_generate TF-IDF restatement densified to
+    * 256-dim lists in pos order, then the exact list-fold cosine of
+    * q_sim_brute — weights pass through REAL (the float32 embedding
+    * contract) and both engines fold products in position order, so
+    * the match is exact at 6 decimals.
+    */
+  private val qEmbedSearch: Q = (s, d) => {
+    val emb = graft.ml.Embeddings.tfidfEmbeddings(
+      Tables.documents(s, d), "doc_id", "text", 256).cache()
+    val qv = emb.filter(col("doc_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val res = Similarity.bruteForceTopK(emb, "doc_id", "embedding", qv, k = 10)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .localCheckpoint() // materialize before dropping the cache
+    emb.unpersist()
+    res
+  }
+
+  private val qEmbedSearchSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tfrel AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfrel AS (SELECT term, count(*) AS df FROM tfrel GROUP BY term),
+      |m AS (SELECT count(*) AS m FROM documents),
+      |vocab AS (
+      |  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) - 1 AS pos
+      |  FROM (SELECT * FROM dfrel ORDER BY df DESC, term LIMIT 256)),
+      |w AS (
+      |  SELECT t.doc_id, v.pos,
+      |    CAST(CAST(t.tf * ln((m.m + 1.0) / (v.df + 1.0)) AS REAL) AS DOUBLE) AS w
+      |  FROM tfrel t JOIN vocab v USING (term) CROSS JOIN m),
+      |grid AS (
+      |  SELECT d.doc_id, p.pos
+      |  FROM (SELECT doc_id FROM documents) d,
+      |       (SELECT unnest(range(0, 256)) AS pos) p),
+      |dense AS (
+      |  SELECT g.doc_id, list(coalesce(w.w, 0.0) ORDER BY g.pos) AS vec
+      |  FROM grid g LEFT JOIN w ON w.doc_id = g.doc_id AND w.pos = g.pos
+      |  GROUP BY g.doc_id),
+      |q AS (SELECT vec AS qv FROM dense WHERE doc_id = 0),
+      |sims AS (
+      |  SELECT doc_id,
+      |    CASE WHEN sqrt(list_sum(list_transform(vec, x -> x * x))) *
+      |              sqrt(list_sum(list_transform((SELECT qv FROM q), x -> x * x))) = 0
+      |         THEN NULL
+      |         ELSE list_sum(list_transform(list_zip(vec, (SELECT qv FROM q)),
+      |                p -> p[1] * p[2])) /
+      |              (sqrt(list_sum(list_transform(vec, x -> x * x))) *
+      |               sqrt(list_sum(list_transform((SELECT qv FROM q), x -> x * x))))
+      |    END AS cos_raw
+      |  FROM dense)
+      |SELECT doc_id, round(cos_raw, 6) AS cosine FROM sims
+      |ORDER BY cos_raw DESC, doc_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------ text analysis
   private val qTextTokens: Q = (s, d) =>
     Tables.documents(s, d)
@@ -708,6 +774,33 @@ object TrainingData {
       |       CAST(sum(v & 255) AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  /** Oracle-checked REAL audio decode: `javax.sound.sampled` over the
+    * synthetic WAVs, integer-exact sample sums (see
+    * [[Multimodal.decodeSampleSums]]). The oracle recomputes the sums
+    * from the synthesis formula — sample i of doc d is
+    * ((d*131 + i*7919) mod 65536) - 32768 over 160 + d mod 640 samples
+    * — proving the WAV header parse + PCM decode are byte-faithful end
+    * to end (the audio twin of q_image_decode).
+    */
+  private val qAudioDecode: Q = (s, d) =>
+    Multimodal.decodeSampleSums(s,
+      Multimodal.asMedia(Tables.documents(s, d)).filter(col("kind") === "audio"))
+      .toDF().orderBy("doc_id")
+
+  private val qAudioDecodeSql =
+    """WITH aud AS (
+      |  SELECT doc_id, 160 + doc_id % 640 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |idx AS (SELECT unnest(range(0, 800)) AS i),
+      |sm AS (
+      |  SELECT doc_id, n, ((doc_id * 131 + i * 7919) % 65536) - 32768 AS s
+      |  FROM aud, idx WHERE i < n)
+      |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |       CAST(n AS BIGINT) AS n_samples,
+      |       CAST(sum(s) AS BIGINT) AS sum_samples,
+      |       CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+      |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- approx aggregates
   /** Sketch aggregates — the only sane cardinality/quantile path at
     * 100 TB (exact distinct shuffles every key; HLL/KLL ship constant-
@@ -824,6 +917,7 @@ object TrainingData {
     "q_embed_neardup" -> qEmbedNear,
     "q_embed_pairs" -> qEmbedPairs,
     "q_embed_generate" -> qEmbedGenerate,
+    "q_embed_search" -> qEmbedSearch,
     "q_dedup_groups" -> qDedupGroups,
     "q_dedup_keepbest" -> qDedupKeepbest,
     "q_sample_stratified" -> qSampleStratified,
@@ -838,6 +932,7 @@ object TrainingData {
     "q_fingerprint" -> qFingerprint,
     "q_multimodal" -> qMultimodal,
     "q_image_decode" -> qImageDecode,
+    "q_audio_decode" -> qAudioDecode,
     "q_approx" -> qApprox,
     "q_stream_window" -> qStream,
     "q_stream_seg" -> qStreamSeg,
@@ -858,6 +953,7 @@ object TrainingData {
     "q_embed_pairs" -> qEmbedPairsSql,
     "q_embed_neardup" -> qEmbedNearSql,
     "q_embed_generate" -> qEmbedGenerateSql,
+    "q_embed_search" -> qEmbedSearchSql,
     "q_langid" -> qLangIdSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_minhash" -> qMinhashSql,
@@ -872,6 +968,7 @@ object TrainingData {
     "q_text_quality" -> qTextQualitySql,
     "q_fingerprint" -> qFingerprintSql,
     "q_image_decode" -> qImageDecodeSql,
+    "q_audio_decode" -> qAudioDecodeSql,
     "q_stream_window" -> qStreamSql,
     "q_stream_seg" -> qStreamSegSql,
     "q_stream_dedup" -> qStreamDedupSql,

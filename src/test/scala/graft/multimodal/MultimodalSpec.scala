@@ -18,6 +18,12 @@ class MultimodalSpec extends SparkTestBase {
         val (w, h) = Multimodal.ImageIoCodec.synthDims(r.doc_id)
         assert(r.width == w && r.height == h && r.n_frames == 1,
           s"doc ${r.doc_id}: decoded ${r.width}x${r.height}, synthesized ${w}x$h")
+      } else if (r.kind == "audio") {
+        // REAL decode: javax.sound.sampled header fields equal the
+        // synthesized rate/channels/sample-count
+        assert(r.width == 8000 && r.height == 1 &&
+          r.n_frames == Multimodal.WavCodec.synthNumSamples(r.doc_id),
+          s"doc ${r.doc_id}: decoded rate=${r.width} ch=${r.height} n=${r.n_frames}")
       } else {
         assert(r.width >= 64 && r.height >= 64 && r.n_frames >= 1)
       }
@@ -60,10 +66,12 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("null text rows survive the media path (regression: codec NPE)") {
-    val docs = Seq((1L, null: String), (2L, "real text")).toDF("doc_id", "text")
+    // video ids (doc_id % 3 == 2): the one kind whose payload is still
+    // text-derived — image/audio synthesize their blobs from doc_id
+    val docs = Seq((2L, null: String), (5L, "real text")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs)).collect()
     assert(feats.length == 2)
-    assert(feats.find(_.doc_id == 1L).get.n_bytes == 0)
+    assert(feats.find(_.doc_id == 2L).get.n_bytes == 0)
   }
 
   test("null payload rows survive resize and frame sampling too") {
@@ -144,6 +152,66 @@ class MultimodalSpec extends SparkTestBase {
       .toDF("doc_id", "kind", "payload")
     val z = Multimodal.decodePixelSums(spark, bad).collect()
     assert(z.head.width == 0 && z.head.sum_r == 0)
+  }
+
+  test("audio rows decode through javax.sound.sampled with exact samples") {
+    val wavBytes = Multimodal.WavCodec.synthesize(43L)
+    val (rate, samples) = Multimodal.WavCodec.decode(wavBytes).get
+    assert(rate == 8000f)
+    assert(samples.length == Multimodal.WavCodec.synthNumSamples(43L))
+    // PCM is lossless: every decoded sample equals the synthesis formula
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s == Multimodal.WavCodec.synthSample(43L, i),
+        s"sample $i: decoded $s != formula ${Multimodal.WavCodec.synthSample(43L, i)}")
+    }
+    val feats = Multimodal.WavCodec.features(samples)
+    assert(feats.length == 8)
+    assert(feats.forall(f => f >= 0f && f <= 1f)) // normalized amplitudes
+    // corrupt payload degrades to None, not an exception
+    assert(Multimodal.WavCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.WavCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("audio resize REALLY clips: output WAV decodes to the target sample count") {
+    val media = Multimodal.asMedia(graft.Tables.documents(spark, sf))
+      .filter($"kind" === "audio").limit(10)
+    val resized = Multimodal.resize(spark, media, maxSide = 100).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val (rate, back) = Multimodal.WavCodec.decode(r.payload).get // valid WAV out
+      assert(rate == 8000f)
+      val n0 = Multimodal.WavCodec.synthNumSamples(r.doc_id)
+      assert(r.width == math.min(n0, 100) && r.height == 1)
+      assert(back.length == r.width,
+        s"doc ${r.doc_id}: payload decodes ${back.length} samples, row claims ${r.width}")
+      // clipped content is the PREFIX of the source samples
+      back.zipWithIndex.foreach { case (s, i) =>
+        assert(s == Multimodal.WavCodec.synthSample(r.doc_id, i))
+      }
+    }
+  }
+
+  test("decodeSampleSums: real audio decode matches the synthesis formula exactly") {
+    val media = Multimodal.asMedia(graft.Tables.documents(spark, sf))
+      .filter($"kind" === "audio").limit(25)
+    val sums = Multimodal.decodeSampleSums(spark, media).collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      val n = Multimodal.WavCodec.synthNumSamples(r.doc_id)
+      assert(r.sample_rate == 8000L && r.n_samples == n)
+      var s = 0L; var a = 0L
+      for (i <- 0 until n) {
+        val v = Multimodal.WavCodec.synthSample(r.doc_id, i).toLong
+        s += v; a += math.abs(v)
+      }
+      assert(r.sum_samples == s && r.sum_abs == a,
+        s"doc ${r.doc_id}: decoded sums (${r.sum_samples},${r.sum_abs}) != formula ($s,$a)")
+    }
+    // corrupt payload degrades to zero sums, not a task failure
+    val bad = Seq((7L, "audio", Array[Byte](9, 9, 9)))
+      .toDF("doc_id", "kind", "payload")
+    val z = Multimodal.decodeSampleSums(spark, bad).collect()
+    assert(z.head.sample_rate == 0 && z.head.sum_abs == 0)
   }
 
   test("fake codec varies frames by kind") {
