@@ -262,21 +262,37 @@ object ScaleRehearsal {
     val emb = Tables.embeddings(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_scale")
       .toAbsolutePath.toString
-    val t0 = System.nanoTime()
-    IvfIndex.save(
-      IvfIndex.build(emb, "vec_id", "embedding", nCentroids = 16, iters = 2), path)
-    val buildSec = (System.nanoTime() - t0) / 1e9
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<float>")).head().getSeq[Float](0)
-    val idx = IvfIndex.load(spark, path, "vec_id", "embedding")
-    val probes = (0 until 3).map { _ =>
-      val p0 = System.nanoTime()
-      IvfIndex.topK(idx, q, k = 10, nProbe = 4).count()
-      (System.nanoTime() - p0) / 1e9
+    try {
+      val t0 = System.nanoTime()
+      IvfIndex.save(
+        IvfIndex.build(emb, "vec_id", "embedding", nCentroids = 16, iters = 2), path)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      // headOption, not head(): a scaled corpus without vec_id 0 must
+      // degrade to a logged row, not abort the whole rehearsal report
+      // (ADVICE r4 low)
+      emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<float>"))
+        .limit(1).collect().headOption.map(_.getSeq[Float](0)) match {
+        case None =>
+          sb ++= f"- build+save (amortized once per corpus): $buildSec%.1f s\n"
+          sb ++= "- probe: SKIPPED — no query vector (vec_id 0 absent from scaled corpus)\n"
+        case Some(q) =>
+          val idx = IvfIndex.load(spark, path, "vec_id", "embedding")
+          val probes = (0 until 3).map { _ =>
+            val p0 = System.nanoTime()
+            IvfIndex.topK(idx, q, k = 10, nProbe = 4).count()
+            (System.nanoTime() - p0) / 1e9
+          }
+          sb ++= f"- build+save (amortized once per corpus): $buildSec%.1f s\n"
+          sb ++= f"- probe topK(k=10, nProbe=4/16) on the loaded cell-partitioned layout: ${probes.min}%.2f s (min of 3)\n"
+          println(f"[scale] ivf build=$buildSec%.1fs probe=${probes.min}%.2fs")
+      }
+    } finally { // the index is rehearsal scratch — never leave it behind
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
     }
-    sb ++= f"- build+save (amortized once per corpus): $buildSec%.1f s\n"
-    sb ++= f"- probe topK(k=10, nProbe=4/16) on the loaded cell-partitioned layout: ${probes.min}%.2f s (min of 3)\n"
-    println(f"[scale] ivf build=$buildSec%.1fs probe=${probes.min}%.2fs")
     sb.toString
   }
 

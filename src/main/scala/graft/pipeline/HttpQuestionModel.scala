@@ -75,13 +75,19 @@ final class HttpQuestionModel(
   }
 
   /** Models wrap JSON in ``` fences; LangChain's parser strips them
-    * before parsing (the reference relies on that) — so do we.
+    * before parsing (the reference relies on that) — so do we. A reply
+    * that OPENS a fence but never closes it keeps its content: only a
+    * present closing fence is stripped (an unguarded reverse-drop
+    * would empty the whole reply).
     */
   private def stripFences(s: String): String = {
     val t = s.trim
     if (!t.startsWith("```")) t
-    else t.stripPrefix("```json").stripPrefix("```")
-      .reverse.dropWhile(_ != '`').dropWhile(_ == '`').reverse.trim
+    else {
+      val body = t.stripPrefix("```json").stripPrefix("```")
+      val close = body.lastIndexOf("```")
+      (if (close >= 0) body.substring(0, close) else body).trim
+    }
   }
 
   private def strSeq(n: JsonNode): Seq[String] =

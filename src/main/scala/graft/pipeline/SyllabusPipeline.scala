@@ -82,14 +82,21 @@ final class SyllabusPipeline(
     val m = model
     joined
       .groupByKey(r => (r.topic, r.batch_id, r.subtopic))
-      .flatMapGroups { (_: (String, Long, String), it: Iterator[PlannedWithCtx]) =>
+      .flatMapGroups { (key: (String, Long, String), it: Iterator[PlannedWithCtx]) =>
         val rows = it.toSeq.sortBy(r => (r.question_id.length, r.question_id))
         rows.head.ctx match {
           case None => Iterator.empty // O10 miss ⇒ empty (:199-201)
           case ctx @ Some(_) =>
             val batch = rows.map(r => PlannedQuestion(r.question_id, r.topic,
               r.subtopic, r.difficulty, r.concept_area, "generating"))
+            // `topic` is pinned to the PLANNED title, not the model
+            // echo: downstream sinks partition on it, and a stray
+            // model-emitted title would land rows in another title's
+            // partition — where a later group's dynamic overwrite
+            // silently clobbers them (ADVICE r4: the exactly-once-
+            // per-title invariant must hold structurally)
             m.generateQuestions(batch, ctx).iterator
+              .map(_.copy(topic = key._1))
         }
       }
   }
@@ -158,6 +165,15 @@ final class SyllabusPipeline(
     * metadata — the reference's driver loop holds full topic state);
     * the non-resumable [[run]] remains the single-pass path when
     * checkpointing isn't needed.
+    *
+    * SCALE NOTE: the group loop is a serial driver loop — with the
+    * default `checkpointEvery = 1` every title pays its own
+    * extract→plan→generate→save job chain. That fine granularity is
+    * the POINT of per-title commit (max one title re-executed on
+    * crash), but on a large corpus the per-job overhead dominates:
+    * raise `checkpointEvery` so each group amortizes the chain over
+    * many titles (risking only that group's re-execution on crash),
+    * or use the one-pass [[run]] when resume isn't needed.
     */
   def runResumable(spark: SparkSession, docxPath: String,
       sink: OutputManager, manifestDir: String,

@@ -93,6 +93,16 @@ class HttpQuestionModelSpec extends AnyFunSuite {
     }
   }
 
+  test("unterminated fence: opening ``` with no close keeps the content") {
+    // VERDICT r4 nit: the old reverse-drop strip emptied a reply that
+    // opens a fence but never closes it; salvageable JSON must survive
+    withStub((200, completion("```json\n" + subtopicsJson))) { (url, _) =>
+      val subs = new HttpQuestionModel(url, "k")
+        .extractSubtopics(topic, "Chemistry", "Form 1")
+      assert(subs.map(_.subtopic_name) == Seq("pH scale"))
+    }
+  }
+
   test("parse-or-empty: 2xx with unparseable content degrades to Nil, no throw") {
     withStub((200, completion("Sorry, I cannot help with that."))) { (url, _) =>
       assert(new HttpQuestionModel(url, "k")
