@@ -100,6 +100,12 @@ final class HttpQuestionModel(
     // subject + the expected-JSON format instructions
     val topicJson = {
       val t = mapper.createObjectNode()
+      // full topic state, identity fields included — the reference
+      // serializes its whole topic dict into the prompt (:50-61), and
+      // the model may legitimately mint per-occurrence subtopic names
+      // from them (the stub does)
+      t.put("doc_id", topic.doc_id)
+      t.put("topic_seq", topic.topic_seq)
       t.put("title", topic.title)
       val els = t.putArray("elements")
       topic.elements.foreach { e =>

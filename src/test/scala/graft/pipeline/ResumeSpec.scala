@@ -109,4 +109,72 @@ class ResumeSpec extends SparkTestBase {
     assert(resumed.select("question_id", "topic").exceptAll(
       onePass.toDF().select("question_id", "topic")).isEmpty)
   }
+
+  test("checkpointEvery=3, crash inside group 2: whole group re-executes, dynamic overwrite converges") {
+    // VERDICT r4 #5: the group path's at-least-once window. 6 titles /
+    // checkpointEvery=3 → group 1 = titles 0-2, group 2 = titles 3-5.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    CountingPoisonModel.reset()
+    val pipeline = new SyllabusPipeline(new CountingPoisonModel,
+      subject = "chemistry", academicClass = "Form 1-2")
+    val outDir = tmp("resume3_out")
+    val manifest = tmp("resume3_m") + "/manifest"
+    val sink = new ResumableJsonOutputManager(outDir)
+
+    // run 1: poison on group 2's SECOND title → group 1 commits, group 2
+    // dies mid-extract (nothing of it reaches sink or manifest)
+    CountingPoisonModel.poisonTitle = Some(titles(4))
+    intercept[Exception] {
+      pipeline.runResumable(spark, fixture, sink, manifest, checkpointEvery = 3)
+    }
+    val committed = spark.read.schema("topic STRING").json(manifest)
+      .collect().map(_.getString(0)).sorted
+    assert(committed.toSeq == titles.take(3),
+      "manifest must hold exactly the committed FIRST group")
+    val callsG1 = titles.take(3).map(CountingPoisonModel.callsFor)
+    // group 2's first title MAY have been extracted before the poison
+    // hit (partition order decides) — record whatever happened; the
+    // invariant under test is that rerun re-executes it either way
+    val callsT3 = CountingPoisonModel.callsFor(titles(3))
+
+    // run 2: group 1 skipped wholesale; the WHOLE of group 2 re-executes
+    // (including its already-extracted first title — the documented
+    // group-granularity re-execution cost)
+    CountingPoisonModel.poisonTitle = None
+    pipeline.runResumable(spark, fixture, sink, manifest, checkpointEvery = 3)
+    titles.take(3).zip(callsG1).foreach { case (t, n) =>
+      assert(CountingPoisonModel.callsFor(t) == n, s"committed topic '$t' re-extracted")
+    }
+    assert(CountingPoisonModel.callsFor(titles(3)) > callsT3,
+      "group 2's first title must re-execute with its group")
+    assert(spark.read.schema("topic STRING").json(manifest)
+      .collect().map(_.getString(0)).sorted.toSeq == titles)
+
+    // the OTHER at-least-once window: group 2's sink write is durable
+    // but its manifest commit is lost (crash between the two). Simulate
+    // by dropping group 2 from the manifest and rerunning: the dynamic
+    // overwrite replaces group 2's title partitions in place — output
+    // converges instead of duplicating
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(manifest))
+    titles.take(3).toDF("topic").coalesce(1).write.mode("overwrite").json(manifest)
+    pipeline.runResumable(spark, fixture, sink, manifest, checkpointEvery = 3)
+
+    // output identical to a clean (never-crashed) checkpointEvery=3 run
+    val cleanDir = tmp("resume3_clean")
+    new SyllabusPipeline(new StubQuestionModel, "chemistry", "Form 1-2")
+      .runResumable(spark, fixture, new ResumableJsonOutputManager(cleanDir),
+        tmp("resume3_cm") + "/manifest", checkpointEvery = 3)
+    val resumed = spark.read.json(outDir)
+    val clean = spark.read.json(cleanDir)
+    assert(resumed.count() == clean.count() && clean.count() > 0)
+    assert(resumed.exceptAll(clean).isEmpty && clean.exceptAll(resumed).isEmpty)
+    // group-1 partitions were never touched by the replay
+    titles.take(3).zip(callsG1).foreach { case (t, n) =>
+      assert(CountingPoisonModel.callsFor(t) == n)
+    }
+  }
 }
