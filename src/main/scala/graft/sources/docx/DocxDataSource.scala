@@ -116,12 +116,18 @@ private[docx] final class DocxScanBuilder(paths: Seq[String])
 
   /** Accept `element_type = '…'` / IN filters (SURVEY.md §4.2's
     * candidate pushdown): a paragraph-only scan then never builds
-    * table-cell arrays. Everything else stays post-scan.
+    * table-cell arrays. `doc_id` equality/IN filters are accepted too
+    * and prune whole FILES at planning time — doc_id IS the file name,
+    * so a one-document lookup over a corpus of thousands of docx files
+    * opens exactly one zip instead of every one (the docx analogue of
+    * parquet partition pruning). Everything else stays post-scan.
     */
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     val (accepted, rest) = filters.partition {
       case sources.EqualTo("element_type", _: String) => true
       case sources.In("element_type", vs) => vs.forall(_.isInstanceOf[String])
+      case sources.EqualTo("doc_id", _: String) => true
+      case sources.In("doc_id", vs) => vs.forall(_.isInstanceOf[String])
       case _ => false
     }
     pushed = accepted
@@ -129,24 +135,28 @@ private[docx] final class DocxScanBuilder(paths: Seq[String])
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan = {
-    val types: Option[Set[String]] = {
-      val sets = pushed.collect {
-        case sources.EqualTo("element_type", v: String) => Set(v)
-        case sources.In("element_type", vs) => vs.collect { case s: String => s }.toSet
-      }
-      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  private def pushedSet(column: String): Option[Set[String]] = {
+    val sets = pushed.collect {
+      case sources.EqualTo(`column`, v: String) => Set(v)
+      case sources.In(`column`, vs) => vs.collect { case s: String => s }.toSet
     }
-    new DocxScan(paths, required, types)
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
+
+  override def build(): Scan =
+    new DocxScan(paths, required, pushedSet("element_type"), pushedSet("doc_id"))
 }
 
 private[docx] final class DocxScan(paths: Seq[String], required: StructType,
-    elementTypes: Option[Set[String]]) extends Scan with Batch {
+    elementTypes: Option[Set[String]], docIds: Option[Set[String]]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** doc_id pushdown lands HERE, not in the reader: non-matching files
+    * produce no partition at all — never opened, never even scheduled.
+    */
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => DocxInputPartition(p): InputPartition).toArray
+    paths.filter(p => docIds.forall(_.contains(new Path(p).getName)))
+      .map(p => DocxInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     // capture the session conf on the DRIVER and ship it serialized —
     // executors have no active session to rebuild it from
@@ -155,7 +165,8 @@ private[docx] final class DocxScan(paths: Seq[String], required: StructType,
     new DocxReaderFactory(required, elementTypes, conf)
   }
   override def description(): String =
-    s"DocxScan(types=${elementTypes.map(_.mkString("|")).getOrElse("*")})"
+    s"DocxScan(types=${elementTypes.map(_.mkString("|")).getOrElse("*")}," +
+      s" docs=${docIds.map(_.mkString("|")).getOrElse("*")})"
 }
 
 private[docx] final case class DocxInputPartition(path: String) extends InputPartition

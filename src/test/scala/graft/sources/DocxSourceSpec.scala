@@ -63,6 +63,28 @@ class DocxSourceSpec extends SparkTestBase {
     assert(df.filter(col("text").contains("Core element")).count() == 13)
   }
 
+  test("doc_id filter prunes whole files at planning time") {
+    // two copies of the fixture under different names: a doc_id filter
+    // must plan ONE input partition (the other file is never opened)
+    val dir = java.nio.file.Files.createTempDirectory("graft_docx_prune")
+    for (n <- Seq("a.docx", "b.docx"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), dir.resolve(n))
+    val all = spark.read.format("docx").load(dir.toString)
+    assert(all.rdd.getNumPartitions == 2 && all.count() == 2 * 67)
+    val one = spark.read.format("docx").load(dir.toString)
+      .filter(col("doc_id") === "a.docx")
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("docs=a.docx"), scan.take(400))
+    assert(one.rdd.getNumPartitions == 1, "non-matching file must not even be planned")
+    assert(one.count() == 67)
+    // composes with the element_type pushdown
+    val both = spark.read.format("docx").load(dir.toString)
+      .filter(col("doc_id") === "b.docx" && col("element_type") === "table")
+    val scan2 = both.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan2.contains("types=table") && scan2.contains("docs=b.docx"), scan2.take(400))
+    assert(both.count() == 18)
+  }
+
   test("column pruning pushes into the scan") {
     val df = spark.read.format("docx").load(fixture).select("doc_id", "text")
     val scanSchema = df.queryExecution.executedPlan.collectLeaves()
