@@ -10,7 +10,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Between-pass session scrub — run OUTSIDE the timed window.
+  /** Between-pass session scrub — run OUTSIDE the timed window. Shared
+    * with [[ScaleRehearsal]] (round 5): the rehearsal is the same
+    * many-plans-one-JVM shape and suffered the same state accumulation
+    * (its round-3 artifact records q_simhash_near at 36 s in-session
+    * vs 1.44 s solo; the round-5 re-run reproduced the class on
+    * different queries until scrubbed).
     *
     * Round-3 evidence (VERDICT r3 "what's wrong" #1): every query
     * alphabetically ≥ q_seg ran 2–9× its round-2 number while
@@ -25,7 +30,7 @@ object Bench {
     * triggers. Scrub all three between passes so pass N+1 starts from
     * the same session state as pass 1.
     */
-  private def scrub(spark: SparkSession): Unit = {
+  private[graft] def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     // covers every persisted RDD regardless of origin: Dataset.cache,
     // raw RDD persists, and localCheckpoint snapshots

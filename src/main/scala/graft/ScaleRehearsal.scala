@@ -41,6 +41,7 @@ object ScaleRehearsal {
     if (mode == "gen" || mode == "all") gen(spark, src, dir, factor)
     if (mode == "run" || mode == "all") run(spark, src, dir, factor)
     if (mode == "skew") println(skewCheck(spark, dir, factor))
+    if (mode == "ivf") println(ivfServeCheck(spark, dir))
     spark.stop()
   }
 
@@ -129,13 +130,21 @@ object ScaleRehearsal {
       catch { case e: Throwable =>
         println(s"[scale] warmup $n failed (first timed pass will be cold): ${e.getMessage}")
       }
+      Bench.scrub(spark)
     }
+    // between-pass scrub, same as Bench (round 5): ~100 plans execute
+    // in this one JVM, and without it leaked persisted blocks /
+    // state-store providers compound into 10-100x slowdowns on LATER
+    // queries (the round-3/-4 contamination class) — the rehearsal
+    // must measure plan shape, not harness debris
     def time(n: String, d: String): (Double, Long) = {
       var rows = 0L
       val ts = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         rows = qs(n)(spark, d).count()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        Bench.scrub(spark)
+        t
       }
       (ts.min, rows)
     }
@@ -145,6 +154,7 @@ object ScaleRehearsal {
       val x = if (base > 0) scaled / base else Double.NaN
       sb ++= f"| $n | $base%.2f | $scaled%.2f | $x%.1f | $rows |\n"
       println(f"[scale] $n base=$base%.2fs scaled=$scaled%.2fs x=$x%.1f rows=$rows")
+      System.gc() // drain ContextCleaner debris between queries
     }
 
     // --- shape check 1: triangle broadcast cutoff ------------------
@@ -158,7 +168,9 @@ object ScaleRehearsal {
     def timedTri(): (Double, Long, Long) = {
       val t0 = System.nanoTime()
       val r = qs("q_triangles")(spark, dir).collect()(0)
-      ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+      val out = ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+      Bench.scrub(spark)
+      out
     }
     val (tB, seB, stB) = timedTri() // default cutoff: broadcast path
     spark.conf.set("spark.graft.triangles.broadcastMaxEdges", "1000000")
@@ -257,6 +269,11 @@ object ScaleRehearsal {
     */
   def ivfServeCheck(spark: SparkSession, dir: String): String = {
     import graft.similarity.IvfIndex
+    // the build is a timed section and runs right after skewCheck's
+    // ~200 s shuffle storm in a full rehearsal — start from a clean
+    // session or its number measures harness debris (first r5 run:
+    // 581 s contaminated vs ~40 s scrubbed)
+    Bench.scrub(spark)
     val sb = new StringBuilder
     sb ++= "\n## IVF serving path at scale (build-once / probe-many)\n\n"
     val emb = Tables.embeddings(spark, dir)
