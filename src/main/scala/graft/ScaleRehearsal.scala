@@ -205,6 +205,12 @@ object ScaleRehearsal {
     * rows. Returns the markdown section (also printed by mode=skew).
     */
   def skewCheck(spark: SparkSession, dir: String, factor: Int): String = {
+    // same measurement contract as the heavy table: scrub first (in a
+    // full rehearsal this runs right after the triangle section's
+    // shuffled-path storm) and report min of 2 scrubbed passes — the
+    // first r5 run published a single unscrubbed 198 s pass for a
+    // join whose clean floor is ~8 s
+    Bench.scrub(spark)
     val sb = new StringBuilder
     sb ++= "\n## AQE skew-join check\n\n"
     // thresholds scaled to LOCAL data: skew detection reads COMPRESSED
@@ -230,15 +236,20 @@ object ScaleRehearsal {
       val dim = Tables.part(spark, dir)
         .select(col("p_partkey").as("k"), col("p_retailprice"))
         .union(spark.range(1).select(lit(42L).as("k"), lit(0.0).as("p_retailprice")))
-      val j = skewed.join(dim, "k").select(col("x"))
       // drive THIS DataFrame's own adaptive plan: df.count() builds a
       // separate QueryExecution, leaving j's plan isFinalPlan=false —
       // executing the AdaptiveSparkPlanExec's RDD is what finalizes it
-      val qe = j.queryExecution
-      val t0 = System.nanoTime()
-      val n = qe.executedPlan.execute().count()
-      val skewSec = (System.nanoTime() - t0) / 1e9
-      val plan = qe.executedPlan.toString
+      def pass(): (Double, Long, String) = {
+        val qe = skewed.join(dim, "k").select(col("x")).queryExecution
+        val t0 = System.nanoTime()
+        val n = qe.executedPlan.execute().count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val p = qe.executedPlan.toString
+        Bench.scrub(spark)
+        (t, n, p)
+      }
+      val passes = Seq(pass(), pass())
+      val (skewSec, n, plan) = passes.minBy(_._1)
       val split = plan.contains("skew=true")
       val aqeRead = plan.contains("AQEShuffleRead")
       sb ++= f"- 40%% of ${factor * 600000} probe rows on one key, sort-merge forced: $skewSec%.2f s, $n joined rows\n"

@@ -75,18 +75,18 @@ final class HttpQuestionModel(
   }
 
   /** Models wrap JSON in ``` fences; LangChain's parser strips them
-    * before parsing (the reference relies on that) — so do we. A reply
-    * that OPENS a fence but never closes it keeps its content: only a
-    * present closing fence is stripped (an unguarded reverse-drop
-    * would empty the whole reply).
+    * before parsing (the reference relies on that) — so do we. Only a
+    * closing fence at the very END of the reply is stripped: a reply
+    * that opens a fence but never closes it keeps ALL its content,
+    * including any interior ``` (e.g. a markdown code block inside a
+    * generated solution) — a lastIndexOf cut would truncate mid-JSON.
     */
   private def stripFences(s: String): String = {
     val t = s.trim
     if (!t.startsWith("```")) t
     else {
-      val body = t.stripPrefix("```json").stripPrefix("```")
-      val close = body.lastIndexOf("```")
-      (if (close >= 0) body.substring(0, close) else body).trim
+      val body = t.stripPrefix("```json").stripPrefix("```").trim
+      (if (body.endsWith("```")) body.dropRight(3) else body).trim
     }
   }
 

@@ -89,14 +89,14 @@ final class SyllabusPipeline(
           case ctx @ Some(_) =>
             val batch = rows.map(r => PlannedQuestion(r.question_id, r.topic,
               r.subtopic, r.difficulty, r.concept_area, "generating"))
-            // `topic` is pinned to the PLANNED title, not the model
-            // echo: downstream sinks partition on it, and a stray
-            // model-emitted title would land rows in another title's
-            // partition — where a later group's dynamic overwrite
-            // silently clobbers them (ADVICE r4: the exactly-once-
-            // per-title invariant must hold structurally)
+            // `topic` and `sub_topic` are pinned to the PLANNED group
+            // key, not the model echo: sinks partition on topic (a
+            // stray title would land rows where a later group's
+            // dynamic overwrite clobbers them — ADVICE r4) and
+            // downstream grouping joins on sub_topic; the exactly-
+            // once-per-title invariant must hold structurally for both
             m.generateQuestions(batch, ctx).iterator
-              .map(_.copy(topic = key._1))
+              .map(_.copy(topic = key._1, sub_topic = key._3))
         }
       }
   }

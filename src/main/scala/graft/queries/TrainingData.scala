@@ -573,13 +573,21 @@ object TrainingData {
   private val qEmbedSearch: Q = (s, d) => {
     val emb = graft.ml.Embeddings.tfidfEmbeddings(
       Tables.documents(s, d), "doc_id", "text", 256).cache()
-    val qv = emb.filter(col("doc_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
-    val res = Similarity.bruteForceTopK(emb, "doc_id", "embedding", qv, k = 10)
-      .withColumn("cosine", round(col("cosine"), 6))
-      .localCheckpoint() // materialize before dropping the cache
-    emb.unpersist()
-    res
+    // finally-scoped unpersist: a throw anywhere past cache() (missing
+    // query doc, task failure) must not leave the TF-IDF snapshot
+    // persisted for the session (the block-retention class PERF_NOTES
+    // bans); the missing-doc case still aborts — a search query cannot
+    // degrade to a DIFFERENT answer — but with a diagnosable message
+    try {
+      val qv = emb.filter(col("doc_id") === 0).select(col("embedding"))
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          "q_embed_search: query doc_id 0 absent from corpus"))
+        .getSeq[Float](0)
+      Similarity.bruteForceTopK(emb, "doc_id", "embedding", qv, k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .localCheckpoint() // materialize before dropping the cache
+    } finally emb.unpersist()
   }
 
   private val qEmbedSearchSql =

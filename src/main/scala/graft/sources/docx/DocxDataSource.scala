@@ -131,7 +131,13 @@ private[docx] final class DocxScanBuilder(paths: Seq[String])
       case _ => false
     }
     pushed = accepted
-    rest // Spark still re-applies accepted filters; returning rest is the contract minimum
+    // DSv2 contract: filters NOT returned here are REMOVED from the
+    // query plan — Spark does not re-apply them post-scan. Accepting a
+    // filter is a promise of exact enforcement: element_type is
+    // filtered row-by-row in the reader, doc_id by whole-file pruning
+    // (exact because every row's doc_id IS its file's name). Any
+    // future approximate pruning must return its filter in `rest`.
+    rest
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 

@@ -103,6 +103,19 @@ class HttpQuestionModelSpec extends AnyFunSuite {
     }
   }
 
+  test("unterminated fence with an INTERIOR ``` keeps content past it") {
+    // only an END-of-reply fence closes; a ``` inside the JSON (e.g. a
+    // markdown block in a field) must not truncate the reply mid-JSON
+    val withInterior = subtopicsJson.replace(
+      "\"suggested_activities\": [\"lab\"]",
+      "\"suggested_activities\": [\"lab ``` titration demo\"]")
+    withStub((200, completion("```json\n" + withInterior))) { (url, _) =>
+      val subs = new HttpQuestionModel(url, "k")
+        .extractSubtopics(topic, "Chemistry", "Form 1")
+      assert(subs.map(_.suggested_activities) == Seq(Seq("lab ``` titration demo")))
+    }
+  }
+
   test("parse-or-empty: 2xx with unparseable content degrades to Nil, no throw") {
     withStub((200, completion("Sorry, I cannot help with that."))) { (url, _) =>
       assert(new HttpQuestionModel(url, "k")
