@@ -43,10 +43,16 @@ object Dedup {
     * transitive closure; one representative (min id) per cluster
     * survives. THE production shape — deduping pairs alone leaves
     * A~B, B~C triples half-deduped.
+    *
+    * `bands`×`rowsPerBand` set the LSH recall/cost point exactly as in
+    * [[minhashNearDups]] (16×2 makes candidate recall effectively
+    * complete at threshold 0.5 — the q_dedup_minhash analysis).
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleK: Int = 3, maxIter: Int = 20): DataFrame = {
-    val pairs = minhashNearDups(docs, idCol, textCol, threshold, shingleK)
+      threshold: Double, shingleK: Int = 3, maxIter: Int = 20,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold, shingleK,
+      bands, rowsPerBand)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     ConnectedComponents.representatives(docs, idCol, pairs, maxIter)
   }

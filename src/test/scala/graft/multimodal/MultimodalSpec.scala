@@ -214,6 +214,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(z.head.sample_rate == 0 && z.head.sum_abs == 0)
   }
 
+  test("WAV decode handles stereo (channel 0) and big-endian sample layouts") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    def wav(fmt: AudioFormat, data: Array[Byte], frames: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // stereo little-endian: decode must read channel 0 of each frame
+    val stereo = new AudioFormat(8000f, 16, 2, true, false)
+    val samples = Array[Short](100, -200, 300)
+    val data = new Array[Byte](samples.length * 4)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(4 * i) = (s & 0xff).toByte            // ch0 lo
+      data(4 * i + 1) = ((s >> 8) & 0xff).toByte // ch0 hi
+      data(4 * i + 2) = 0x11; data(4 * i + 3) = 0x22 // ch1 junk
+    }
+    val (rate, ch0) = Multimodal.WavCodec.decode(wav(stereo, data, samples.length.toLong)).get
+    assert(rate == 8000f && ch0.toSeq == samples.toSeq)
+    // big-endian mono: byte order must follow the header, not assumption
+    val be = new AudioFormat(16000f, 16, 1, true, true)
+    val beData = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      beData(2 * i) = ((s >> 8) & 0xff).toByte
+      beData(2 * i + 1) = (s & 0xff).toByte
+    }
+    val (rate2, got) = Multimodal.WavCodec.decode(wav(be, beData, samples.length.toLong)).get
+    assert(rate2 == 16000f && got.toSeq == samples.toSeq)
+    // 8-bit payloads are rejected (None), not misparsed
+    val fmt8 = new AudioFormat(8000f, 8, 1, true, false)
+    assert(Multimodal.WavCodec.decode(wav(fmt8, Array[Byte](1, 2, 3), 3L)).isEmpty)
+  }
+
   test("fake codec varies frames by kind") {
     val payload = "hello world".getBytes("UTF-8")
     val (w1, h1, f1) = Multimodal.FakeCodec.decode("image", payload)
