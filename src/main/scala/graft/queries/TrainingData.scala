@@ -754,6 +754,31 @@ object TrainingData {
     } finally emb.unpersist()
   }
 
+  /** The sparse-vector serving shape over the generated embeddings:
+    * [[Similarity.postingsTopK]] — inverted postings on nonzero
+    * positions, the structure the [[qEmbedSearchIvf]] scaladoc names
+    * as what production SPARSE search actually uses (IVF cells
+    * cluster sparse TF-IDF poorly; postings work scales with matching
+    * entries, not corpus size, and needs no recall gate because it is
+    * EXACT). Bit-identical to the brute-force scan by the fold-order
+    * argument on [[Similarity.postingsTopK]], so it shares
+    * q_embed_search's oracle verbatim.
+    */
+  private val qEmbedSearchPostings: Q = (s, d) => {
+    val emb = graft.ml.Embeddings.tfidfEmbeddings(
+      Tables.documents(s, d), "doc_id", "text", 256).cache()
+    try {
+      val qv = emb.filter(col("doc_id") === 0).select(col("embedding"))
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          "q_embed_search_postings: query doc_id 0 absent from corpus"))
+        .getSeq[Float](0)
+      Similarity.postingsTopK(emb, "doc_id", "embedding", qv, k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .localCheckpoint() // materialize before dropping the cache
+    } finally emb.unpersist()
+  }
+
   /** qEmbedSearchSql's exact scan with rank added (same dense TF-IDF
     * restatement).
     */
@@ -1096,6 +1121,7 @@ object TrainingData {
     "q_embed_generate" -> qEmbedGenerate,
     "q_embed_search" -> qEmbedSearch,
     "q_embed_search_ivf" -> qEmbedSearchIvf,
+    "q_embed_search_postings" -> qEmbedSearchPostings,
     "q_dedup_drop" -> qDedupDrop,
     "q_dedup_groups" -> qDedupGroups,
     "q_dedup_keepbest" -> qDedupKeepbest,
@@ -1134,6 +1160,7 @@ object TrainingData {
     "q_embed_generate" -> qEmbedGenerateSql,
     "q_embed_search" -> qEmbedSearchSql,
     "q_embed_search_ivf" -> qEmbedSearchIvfSql,
+    "q_embed_search_postings" -> qEmbedSearchSql,
     "q_dedup_drop" -> qDedupDropSql,
     "q_langid" -> qLangIdSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

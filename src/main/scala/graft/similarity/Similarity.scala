@@ -36,6 +36,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact sparse top-k via an inverted postings layout — the
+    * production shape for SPARSE vectors (the TF-IDF/BM25 class),
+    * where IVF cells cluster poorly: each vector's nonzero
+    * (pos, weight) entries become postings rows, and a query touches
+    * ONLY the postings of its own nonzero positions. Work scales with
+    * matching postings, not corpus size — at real scale the postings
+    * table is written once partitioned by `pos`, turning the cut into
+    * a partition prune, and the per-doc norms are a stored serving
+    * artifact (both recomputed here because the API takes a raw
+    * embedding column).
+    *
+    * EXACT, not approximate — and bit-identical to
+    * [[bruteForceTopK]]: the per-doc partial products are re-folded
+    * in position order (`sort_array` over the ≤ query-nnz collected
+    * entries), reproducing [[VectorOps.cosine]]'s sequential fold
+    * exactly, because the terms that fold skips here are all exact
+    * +0.0 contributions. The group-side state per doc is bounded by
+    * the query's nonzero count, so the aggregation never holds a
+    * corpus-sized vector.
+    */
+  def postingsTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val qnz = query.zipWithIndex.collect { case (w, p) if w != 0f => (p, w) }
+    val qnorm = math.sqrt(
+      query.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(qnz.toDF("pos", "qw"))
+    val norms = emb.select(col(idCol),
+      VectorOps.normFor(emb, vecCol)(col(vecCol)).as("norm"))
+    val postings = emb
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "w")))
+      .filter(col("w") =!= 0f)
+    val dots = postings.join(qdf, "pos")
+      .select(col(idCol), struct(col("pos"),
+        (col("w").cast("double") * col("qw").cast("double")).as("p")).as("pp"))
+      .groupBy(idCol)
+      .agg(aggregate(sort_array(collect_list(col("pp"))), lit(0.0),
+        (acc, x) => acc + x.getField("p")).as("dot"))
+    // left join: docs with no overlapping nonzero position have dot 0;
+    // zero-norm vectors get null cosine (the VectorOps.cosine contract)
+    norms.join(dots, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("norm") * qnorm === 0.0, lit(null).cast("double"))
+          .otherwise(coalesce(col("dot"), lit(0.0)) / (col("norm") * lit(qnorm)))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: compare only vectors whose
     * sign-bit bucket is within `probeHamming` bit flips of the query
     * bucket. With signBits=b and probeHamming=1, scans ~(1+b)/2^b of

@@ -23,6 +23,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("postings top-k is bit-identical to brute force, incl zero and no-overlap vectors") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val inv = Similarity.postingsTopK(emb, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(inv == brute) // EXACT doubles — the fold-order argument, not an epsilon
+    // sparse edge cases: zero vector (null cosine, sorts last) and a
+    // nonzero vector sharing NO nonzero position with the query
+    // (left-join miss: dot exactly 0.0, not absent)
+    val q2 = Seq(1f, 0f, 2f, 0f)
+    val sparse = Seq(
+      (0L, q2),
+      (1L, Seq(0f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 3f, 0f, 4f)),
+      (3L, Seq(0.5f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val b2 = Similarity.bruteForceTopK(sparse, "vec_id", "embedding", q2, 4)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    val i2 = Similarity.postingsTopK(sparse, "vec_id", "embedding", q2, 4)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(i2 == b2)
+    assert(i2.map(_._1) == Seq(0L, 3L, 2L, 1L)) // colinear ties by id, 0-cos, null last
+    assert(i2(2)._2.contains(0.0)) // no-overlap doc: cosine exactly 0.0
+    assert(i2.last._2.isEmpty) // zero vector: null cosine, last
+  }
+
   test("bucketed top-k returns the query vector itself first (same bucket by construction)") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 0).select("embedding")
