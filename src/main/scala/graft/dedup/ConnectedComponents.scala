@@ -79,6 +79,86 @@ object ConnectedComponents {
     } finally symRdd.unpersist(blocking = false)
   }
 
+  /** Alternating large-star/small-star connected components — the
+    * two-phase algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC'14): O(log n) rounds vs [[components]]'s
+    * O(diameter). HashMin is the right default for near-dup graphs
+    * (star-ish clusters, tiny diameter, one join per round); THIS is
+    * the scale path when pairwise edges chain — A~B~C~… chains across
+    * a 100 TB corpus can have diameter in the thousands, where HashMin
+    * pays one round per hop but the star operations halve tree depth
+    * every round (the path-64 case in the spec converges in 4 rounds
+    * where HashMin needs 63).
+    *
+    * large-star: every node connects its LARGER neighbors to the min
+    * of its closed neighborhood. small-star: every node connects its
+    * smaller neighbors and itself to that min. Both preserve
+    * connectivity; the fixpoint is a depth-1 star forest rooted at
+    * component minima, detected as edge-set stability (new-edge count
+    * rides the round-materializing action; set equality = no new
+    * edges + equal cardinality, since both rounds are canonical
+    * big→small distinct edge sets).
+    *
+    * Same contract as [[components]]: (id, component = min node id)
+    * for every node appearing in `edges`; throws IllegalStateException
+    * if maxIter rounds pass without a fixpoint.
+    */
+  def componentsAlternating(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import graft.operators.Snapshots.persistRoundCounted
+    var (cur, curRdd, curCount) = persistRoundCounted(
+      edges.select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(), None, _ => true)
+    var converged = curCount == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetrized current graph
+      val sym = cur.select(col("u"), col("v"))
+        .union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u")
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over large-star's output (already big→small:
+      // ls rows are (v, m) with m < v by construction)
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // fixpoint detection on the round snapshot's own action:
+      // `_present` marks edges carried over from the previous round;
+      // all present (ss ⊆ cur) + equal cardinality ⟺ identical sets
+      val annotated = ss
+        .join(cur.withColumn("_present", lit(true)), Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("_present"), lit(false)).as("_present"))
+      val (snap, snapRdd, presentCount) = persistRoundCounted(
+        annotated, Some(curRdd), r => r.getBoolean(2))
+      val total = snapRdd.count() // cheap: counts the materialized blocks
+      converged = presentCount == total && total == curCount
+      cur = snap.select(col("u"), col("v"))
+      curRdd = snapRdd
+      curCount = total
+      i += 1
+    }
+    if (!converged) {
+      curRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"alternating connected components did not converge in $maxIter rounds")
+    }
+    // fixpoint edges are (node, component-min); sources are exactly
+    // the non-roots, targets exactly the roots. The final snapshot
+    // backs the returned labels (the PERF_NOTES retention rule: blocks
+    // may be retained only for data the operator RETURNS).
+    cur.select(col("u").as("id"), col("v").as("component"))
+      .union(cur.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
   /** Deduplicated corpus: one representative (min id) per component;
     * nodes without edges keep themselves. Output schema = `docs`
     * schema, whatever the caller's column names (internal columns are

@@ -331,9 +331,13 @@ object TrainingData {
     */
   /** (doc_id, component) for the blocking-graph clusters — shared by
     * q_dedup_groups (the raw labeling) and q_dedup_keepbest (the
-    * resolution step on top).
+    * resolution step on top). `cc` picks the label-propagation engine:
+    * HashMin by default; q_dedup_groups2 passes the alternating
+    * large-star/small-star variant over the SAME edges so the two
+    * algorithms are oracle-checked against one SQL restatement.
     */
-  private def docComponents(s: SparkSession, d: String): DataFrame = {
+  private def docComponents(s: SparkSession, d: String,
+      cc: DataFrame => DataFrame = ConnectedComponents.components(_)): DataFrame = {
     val docs = Tables.documents(s, d)
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), expr("n_chars div 100"))
@@ -342,7 +346,7 @@ object TrainingData {
     val stars = docs.select(col("doc_id").as("a"), min(col("doc_id")).over(w1).as("b"))
       .union(docs.select(col("doc_id").as("a"), min(col("doc_id")).over(w2).as("b")))
       .filter(col("a") =!= col("b")).distinct()
-    val comp = ConnectedComponents.components(stars)
+    val comp = cc(stars)
     docs.join(comp, docs("doc_id") === comp("id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
@@ -350,6 +354,14 @@ object TrainingData {
 
   private val qDedupGroups: Q = (s, d) =>
     docComponents(s, d).orderBy("doc_id")
+
+  /** Same clustering through [[ConnectedComponents.componentsAlternating]]
+    * (large-star/small-star, O(log n) rounds) — the long-chain scale
+    * path, held to the identical DuckDB oracle as q_dedup_groups.
+    */
+  private val qDedupGroups2: Q = (s, d) =>
+    docComponents(s, d, ConnectedComponents.componentsAlternating(_))
+      .orderBy("doc_id")
 
   // ------------------------------------------------- cluster resolution
   /** Duplicate-cluster RESOLUTION: within each component keep the
@@ -1124,6 +1136,7 @@ object TrainingData {
     "q_embed_search_postings" -> qEmbedSearchPostings,
     "q_dedup_drop" -> qDedupDrop,
     "q_dedup_groups" -> qDedupGroups,
+    "q_dedup_groups2" -> qDedupGroups2,
     "q_dedup_keepbest" -> qDedupKeepbest,
     "q_sample_stratified" -> qSampleStratified,
     "q_sim_brute" -> qSimBrute,
@@ -1153,6 +1166,7 @@ object TrainingData {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_groups" -> qDedupGroupsSql,
+    "q_dedup_groups2" -> qDedupGroupsSql,
     "q_dedup_keepbest" -> qDedupKeepbestSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_embed_pairs" -> qEmbedPairsSql,

@@ -48,4 +48,39 @@ class ConnectedComponentsSpec extends SparkTestBase {
       .as[(Long, Long)].collect()
     assert(comp.forall(_._2 == 1L))
   }
+
+  test("alternating CC: path-64 converges where HashMin's round budget cannot") {
+    // diameter 63: HashMin needs one round per hop and throws at
+    // maxIter=20; large-star/small-star halves tree depth per round
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(edges, maxIter = 20).collect()
+    }
+    val comp = ConnectedComponents.componentsAlternating(edges, maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(comp.length == 64 && comp.forall(_._2 == 1L))
+  }
+
+  test("alternating CC labels match HashMin on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    // ~3 clusters worth of random edges over 200 nodes + isolated pair
+    val edges = (Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)) ++
+      Seq((500L, 501L))).toDF("a", "b")
+    val hashMin = ConnectedComponents.components(edges, maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    val alt = ConnectedComponents.componentsAlternating(edges, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(alt == hashMin)
+  }
+
+  test("alternating CC: triangles, self-loops and empty edge sets") {
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 10L), (7L, 7L)).toDF("a", "b")
+    val comp = ConnectedComponents.componentsAlternating(edges)
+      .as[(Long, Long)].collect().toMap
+    // self-loop-only node 7 drops out (no real edge), triangle labels to min
+    assert(comp == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val empty = ConnectedComponents.componentsAlternating(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(empty.count() == 0L)
+  }
 }
