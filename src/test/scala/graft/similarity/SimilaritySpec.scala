@@ -50,6 +50,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(i2.last._2.isEmpty) // zero vector: null cosine, last
   }
 
+  test("postings top-k broadcasts the query positions and heaps the top-k") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+    val p = Similarity.postingsTopK(emb, "vec_id", "embedding", q, 10)
+      .queryExecution.executedPlan.toString
+    // the ≤query-nnz position table must broadcast into the postings
+    // stream — a shuffled join here repartitions the whole postings
+    // relation by pos at corpus scale
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    // final ranking is a per-partition heap + k-row merge, never a
+    // global sort of all docs
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
   test("bucketed top-k returns the query vector itself first (same bucket by construction)") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 0).select("embedding")
