@@ -106,7 +106,12 @@ object ScaleRehearsal {
     "q_join_broadcast", "q_join_salted", "q_join_semi", "q_agg", "q_window",
     "q_dedup_minhash", "q_dedup_near", "q_ngram_jaccard", "q_simhash_near",
     "q_embed_neardup", "q_knn_join", "q_sim_ivf", "q_decontaminate",
-    "q_dedup_groups", "q_topk_grouped", "q_pagerank", "q_triangles")
+    "q_dedup_groups", "q_dedup_groups2", "q_dedup_drop", "q_topk_grouped",
+    "q_pagerank", "q_triangles",
+    // round-5 compositions: generation + search over 1M docs (brute
+    // fused scan vs postings explode+join — the sparse crossover), and
+    // the full LSH→verify→CC→survivors dedup pipeline
+    "q_embed_search", "q_embed_search_postings")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
@@ -192,6 +197,10 @@ object ScaleRehearsal {
 
     // --- shape check 3: IVF build-once serving path ----------------
     sb ++= ivfServeCheck(spark, dir)
+
+    // --- shape check 4: long-chain CC (alternating star ops) -------
+    sb ++= chainCcCheck(spark,
+      sys.env.getOrElse("SPARK_GRAFT_CHAIN_N", "1000000").toLong)
 
     sb ++= planDump(spark, dir)
 
