@@ -164,10 +164,16 @@ object ConnectedComponents {
     * schema, whatever the caller's column names (internal columns are
     * uniquely prefixed — an `idCol` named "id" or a pre-existing
     * "component" column is safe).
+    *
+    * `alternating = true` swaps HashMin for
+    * [[componentsAlternating]] — use it when duplicate edges can form
+    * long chains (diameter past maxIter), where HashMin correctly
+    * refuses to return rather than under-dedup.
     */
   def representatives(docs: DataFrame, idCol: String, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    val comp = components(edges, maxIter)
+      maxIter: Int = 20, alternating: Boolean = false): DataFrame = {
+    val comp = (if (alternating) componentsAlternating(edges, maxIter)
+                else components(edges, maxIter))
       .select(col("id").as("_cc_id"), col("component").as("_cc_comp"))
     docs.join(comp, docs(idCol) === col("_cc_id"), "left")
       .filter(docs(idCol) === coalesce(col("_cc_comp"), docs(idCol)))

@@ -47,14 +47,19 @@ object Dedup {
     * `bands`×`rowsPerBand` set the LSH recall/cost point exactly as in
     * [[minhashNearDups]] (16×2 makes candidate recall effectively
     * complete at threshold 0.5 — the q_dedup_minhash analysis).
+    * `alternating` selects the long-chain CC engine (see
+    * [[ConnectedComponents.representatives]]) — near-dup edges CAN
+    * chain (A~B~C with A̸~C), and past-maxIter diameters make HashMin
+    * throw rather than under-dedup.
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 3, maxIter: Int = 20,
-      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 4,
+      alternating: Boolean = false): DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, threshold, shingleK,
       bands, rowsPerBand)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    ConnectedComponents.representatives(docs, idCol, pairs, maxIter)
+    ConnectedComponents.representatives(docs, idCol, pairs, maxIter, alternating)
   }
 
   // -------------------------------------------------------------- MinHash

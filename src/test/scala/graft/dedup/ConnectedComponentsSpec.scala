@@ -73,6 +73,20 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(alt == hashMin)
   }
 
+  test("representatives(alternating=true) survives a chain past HashMin's budget") {
+    // 40-doc chain: diameter 39 > maxIter 20 — HashMin throws (correctly,
+    // rather than under-dedup); the alternating engine resolves it
+    val docs = (1L to 40L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.representatives(docs, "doc_id", edges).collect()
+    }
+    val kept = ConnectedComponents
+      .representatives(docs, "doc_id", edges, alternating = true)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("alternating CC: triangles, self-loops and empty edge sets") {
     val edges = Seq((10L, 11L), (11L, 12L), (12L, 10L), (7L, 7L)).toDF("a", "b")
     val comp = ConnectedComponents.componentsAlternating(edges)
