@@ -30,8 +30,25 @@ object ConnectedComponents {
     * reached its fixpoint within `maxIter` rounds — returning
     * unconverged labels would silently split clusters (under-dedup).
     * Size maxIter to the worst-case graph diameter.
+    *
+    * The result is BACKED by a node-sized persisted snapshot (the
+    * PERF_NOTES retention rule: the one block generation an operator
+    * may keep is the one backing what it returns). Long-lived sessions
+    * that call this repeatedly should use [[componentsReleasable]] and
+    * invoke the handle once the labels are consumed — otherwise the
+    * snapshots accumulate until a full persistent-RDD scrub
+    * (ADVICE r5).
     */
-  def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    componentsReleasable(edges, maxIter)._1
+
+  /** [[components]] plus an unpersist callback freeing the snapshot
+    * blocks that back the returned labels. Call it only after the
+    * labels have been fully consumed (materialized or written) — the
+    * DataFrame recomputes from a leaf afterwards.
+    */
+  def componentsReleasable(edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, () => Unit) = {
     import graft.operators.Snapshots.persistRound
     // sym goes through the SAME persistRound pattern as the label
     // rounds — localCheckpoint here leaked the edge blocks for the
@@ -75,7 +92,9 @@ object ConnectedComponents {
             "(graph diameter exceeds maxIter); raise maxIter")
       // labels' lineage starts at its own (materialized) snapshot, so
       // the edge blocks are no longer reachable from the result
-      labels.select(col("node").as("id"), col("label").as("component"))
+      val finalRdd = labelsRdd
+      (labels.select(col("node").as("id"), col("label").as("component")),
+        () => finalRdd.unpersist(blocking = false))
     } finally symRdd.unpersist(blocking = false)
   }
 
@@ -101,9 +120,19 @@ object ConnectedComponents {
     *
     * Same contract as [[components]]: (id, component = min node id)
     * for every node appearing in `edges`; throws IllegalStateException
-    * if maxIter rounds pass without a fixpoint.
+    * if maxIter rounds pass without a fixpoint. Same retention
+    * contract too — the result is backed by an edge-set-sized snapshot;
+    * long-lived repeat callers should use
+    * [[componentsAlternatingReleasable]].
     */
-  def componentsAlternating(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def componentsAlternating(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    componentsAlternatingReleasable(edges, maxIter)._1
+
+  /** [[componentsAlternating]] plus an unpersist callback for the
+    * snapshot backing the result; call after the labels are consumed.
+    */
+  def componentsAlternatingReleasable(edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, () => Unit) = {
     import graft.operators.Snapshots.persistRoundCounted
     var (cur, curRdd, curCount) = persistRoundCounted(
       edges.select(greatest(col("a"), col("b")).as("u"),
@@ -154,9 +183,11 @@ object ConnectedComponents {
     // the non-roots, targets exactly the roots. The final snapshot
     // backs the returned labels (the PERF_NOTES retention rule: blocks
     // may be retained only for data the operator RETURNS).
-    cur.select(col("u").as("id"), col("v").as("component"))
+    val finalRdd = curRdd
+    (cur.select(col("u").as("id"), col("v").as("component"))
       .union(cur.select(col("v").as("id"), col("v").as("component")))
-      .distinct()
+      .distinct(),
+      () => finalRdd.unpersist(blocking = false))
   }
 
   /** Deduplicated corpus: one representative (min id) per component;
@@ -169,6 +200,12 @@ object ConnectedComponents {
     * [[componentsAlternating]] — use it when duplicate edges can form
     * long chains (diameter past maxIter), where HashMin correctly
     * refuses to return rather than under-dedup.
+    *
+    * Retention: the result joins the (lazily-consumed) component
+    * labels, so their backing snapshot cannot be freed here; repeat
+    * callers in one long session should compose the `Releasable`
+    * component variants with their own join and free after
+    * materializing.
     */
   def representatives(docs: DataFrame, idCol: String, edges: DataFrame,
       maxIter: Int = 20, alternating: Boolean = false): DataFrame = {

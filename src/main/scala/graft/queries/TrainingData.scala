@@ -256,6 +256,17 @@ object TrainingData {
     * q_dedup_minhash, where LSH recall is complete at threshold 0.5,
     * so the oracle can restate the whole thing exactly: exact-Jaccard
     * edges → recursive-CTE components → survivors.
+    *
+    * That completeness is EMPIRICAL, not structural (ADVICE r5): the
+    * per-pair collision probability of a 16×2 band scheme at Jaccard
+    * exactly 0.5 is 1-(1-0.5²)^16 ≈ 0.990, so a borderline pair on a
+    * DIFFERENT corpus could slip the candidate net and diverge from
+    * the exact oracle (deterministically — MinHash here is seed-fixed
+    * — but corpus-specifically). DedupSpec's lsh-covers-exact case
+    * asserts the candidate set ⊇ every exact-Jaccard ≥ 0.5 pair on
+    * the test corpus, turning the assumption into a checked fact for
+    * the data the driver grades on; production callers at other
+    * thresholds should size bands×rows for their threshold curve.
     */
   private val qDedupDrop: Q = (s, d) =>
     Dedup.dropNearDuplicates(Tables.documentsParallel(s, d), "doc_id", "text",
@@ -548,12 +559,26 @@ object TrainingData {
     * read). The index is built on the FIRST call per sf dir (Bench's
     * untimed warmup pass); timed passes pay load + probe only.
     */
+  /** Scratch index dir for the bench overrides, removed on JVM exit —
+    * createTempDirectory alone leaked one dir per (override, sf dir)
+    * for the host's tmp lifetime (ADVICE r5).
+    */
+  private def benchScratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach { f: Path => Files.deleteIfExists(f); () }
+      catch { case _: Throwable => () }
+    }
+    p.toAbsolutePath.toString
+  }
+
   private val ivfBenchIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   private val qSimIvfServe: Q = (s, d) => {
     import graft.similarity.IvfIndex
     val path = ivfBenchIndexes.getOrElseUpdate(d, {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_bench")
-        .toAbsolutePath.toString
+      val p = benchScratchDir("graft_ivf_bench")
       IvfIndex.save(IvfIndex.build(Tables.embeddings(s, d), "vec_id", "embedding",
         nCentroids = 16, iters = 2), p)
       p
@@ -585,8 +610,7 @@ object TrainingData {
           .getOrElse(throw new IllegalStateException(
             "q_embed_search_ivf bench: query doc_id 0 absent from corpus"))
           .getSeq[Float](0)
-        val p = java.nio.file.Files.createTempDirectory("graft_embed_ivf_bench")
-          .toAbsolutePath.toString
+        val p = benchScratchDir("graft_embed_ivf_bench")
         IvfIndex.save(IvfIndex.build(emb, "doc_id", "embedding",
           nCentroids = 16, iters = 2), p)
         (p, q)

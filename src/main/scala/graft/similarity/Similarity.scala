@@ -55,6 +55,12 @@ object Similarity {
     * +0.0 contributions. The group-side state per doc is bounded by
     * the query's nonzero count, so the aggregation never holds a
     * corpus-sized vector.
+    *
+    * Malformed rows agree with the kernel too (ADVICE r5): a corpus
+    * vector whose length differs from the query's, or that contains
+    * null elements, gets null cosine — the same answer
+    * [[graft.functions.VectorOps.cosine]] gives — instead of a value
+    * silently computed from the overlapping nonzero positions.
     */
   def postingsTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
@@ -64,8 +70,16 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val qdf = broadcast(qnz.toDF("pos", "qw"))
+    // rows the native kernel would null out (length mismatch, null
+    // element, null vector) must null out here too, not silently score
+    // on the overlapping positions
+    val conforms = coalesce(
+      size(col(vecCol)) === query.length &&
+        !exists(col(vecCol), x => x.isNull),
+      lit(false))
     val norms = emb.select(col(idCol),
-      VectorOps.normFor(emb, vecCol)(col(vecCol)).as("norm"))
+      VectorOps.normFor(emb, vecCol)(col(vecCol)).as("norm"),
+      conforms.as("_conforms"))
     val postings = emb
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "w")))
       .filter(col("w") =!= 0f)
@@ -79,7 +93,8 @@ object Similarity {
     // zero-norm vectors get null cosine (the VectorOps.cosine contract)
     norms.join(dots, Seq(idCol), "left")
       .select(col(idCol),
-        when(col("norm") * qnorm === 0.0, lit(null).cast("double"))
+        when(!col("_conforms") || col("norm") * qnorm === 0.0,
+          lit(null).cast("double"))
           .otherwise(coalesce(col("dot"), lit(0.0)) / (col("norm") * lit(qnorm)))
           .as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))

@@ -97,4 +97,21 @@ class ConnectedComponentsSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("a", "b"))
     assert(empty.count() == 0L)
   }
+
+  test("releasable variants free the result-backing snapshot blocks (ADVICE r5)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    def persistedCount: Int = spark.sparkContext.getPersistentRDDs.size
+    for (releasable <- Seq(
+        ConnectedComponents.componentsReleasable(edges),
+        ConnectedComponents.componentsAlternatingReleasable(edges))) {
+      val (labels, free) = releasable
+      val got = labels.as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+      val before = persistedCount
+      assert(before > 0, "result should be snapshot-backed before release")
+      free()
+      assert(persistedCount < before,
+        "the unpersist handle must actually free the backing snapshot")
+    }
+  }
 }

@@ -48,6 +48,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(i2.map(_._1) == Seq(0L, 3L, 2L, 1L)) // colinear ties by id, 0-cos, null last
     assert(i2(2)._2.contains(0.0)) // no-overlap doc: cosine exactly 0.0
     assert(i2.last._2.isEmpty) // zero vector: null cosine, last
+    // malformed rows (ADVICE r5): a length-mismatched vector and one
+    // containing a null element must get null cosine on BOTH paths —
+    // the postings layout would otherwise silently score them on the
+    // overlapping nonzero positions
+    val malformed = Seq(
+      (0L, Seq[java.lang.Float](1f, 0f, 2f, 0f)),
+      (1L, Seq[java.lang.Float](1f, 0f, 2f)), // shorter than the query
+      (2L, Seq[java.lang.Float](1f, null, 2f, 0f)), // null element
+      (3L, Seq[java.lang.Float](0.5f, 0f, 1f, 0f, 0f))) // longer
+      .toDF("vec_id", "embedding")
+    val b3 = Similarity.bruteForceTopK(malformed, "vec_id", "embedding", q2, 4)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    val i3 = Similarity.postingsTopK(malformed, "vec_id", "embedding", q2, 4)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(i3 == b3)
+    assert(i3.count(_._2.isEmpty) == 3) // all three malformed rows null out
   }
 
   test("postings top-k broadcasts the query positions and heaps the top-k") {
