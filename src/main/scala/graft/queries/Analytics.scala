@@ -318,11 +318,17 @@ object Analytics {
       |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------- Q-MULTIMODAL2
-  /** The remaining multimodal plumbing ops (resize + frame sampling
-    * over the stub codec) surfaced as one driver-checkable query:
-    * per-document resized dims joined to the sampled frame count.
-    * Deterministic (stub codec is a pure function of the payload) but
-    * not SQL-expressible → rows-only check + MultimodalSpec.
+  /** The remaining multimodal plumbing ops (resize + frame sampling)
+    * surfaced as one driver-checkable query: per-document resized
+    * dims joined to the sampled frame count. Since round 6 all three
+    * codecs are real (PNG / WAV / AVI+PNG frames, all JDK-only) and
+    * every output column is a pure integer function of doc_id, so the
+    * formerly rows-only check is now a full DuckDB oracle: image dims
+    * = fit(16+d%48 × 16+(d/7)%48, 64), audio width = clip(160+d%640,
+    * 64) samples × 1 channel, video dims = 16+d%32 × 16+(d/5)%32, and
+    * sampled frames = ceil((2+d%6)/4) for video rows only — each
+    * recomputed by the oracle from the synthesis formulas while Spark
+    * actually decodes, resamples and re-encodes the payloads.
     */
   private val qMultimodal2: Q = (s, d) => {
     val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, d))
@@ -336,6 +342,20 @@ object Analytics {
         coalesce(col("n_frames"), lit(0L)).as("n_frames"))
       .orderBy("doc_id")
   }
+
+  private val qMultimodal2Sql =
+    """SELECT doc_id,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN 16 + doc_id % 48
+      |    WHEN 1 THEN least(160 + doc_id % 640, 64)
+      |    ELSE 16 + doc_id % 32 END AS BIGINT) AS width,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN 16 + (doc_id // 7) % 48
+      |    WHEN 1 THEN 1
+      |    ELSE 16 + (doc_id // 5) % 32 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 2
+      |    THEN ((2 + doc_id % 6) + 3) // 4 ELSE 0 END AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------- Q-WINDOW-RANGE
   /** RANGE-frame window with a calendar interval: per-customer
@@ -1551,6 +1571,7 @@ object Analytics {
     "q_array" -> qArraySql,
     "q_agg3" -> qAgg3Sql,
     "q_partition_prune" -> qPartitionPruneSql,
+    "q_multimodal2" -> qMultimodal2Sql,
     "q_window_range" -> qWindowRangeText,
     "q_upsert" -> qUpsertSql,
     "q_gapfill" -> qGapfillSql,

@@ -546,6 +546,50 @@ object TrainingData {
       |       vec_id, round(cos_raw, 6) AS cosine
       |FROM top ORDER BY rank""".stripMargin
 
+  /** PQ ANN over the embeddings table, same contract as q_sim_ivf:
+    * the query RUNS the full PQ pipeline — per-subspace codebook
+    * training (m=8 × k=32 over the 64-dim vectors: 8 codes/vector vs
+    * 64 floats, a 16–32× memory compression), ADC candidate cut over
+    * codes alone, exact re-rank — gates recall@10 ≥ 0.8 against the
+    * exact scan in-query, then emits the exact ranking so the driver
+    * can hash-check it (shares q_sim_ivf's oracle SQL verbatim — one
+    * restatement, two ANN engines). The candidate budget scales with
+    * the corpus (max(200, n/10); measured recall@10 = 1.0 / 1.0 / 0.9
+    * at sf0.001/0.01/0.1) — a FIXED C dilutes recall as n grows,
+    * which is exactly the honest ANN trade this query exists to
+    * surface; at real scale C rides an IVF pre-filter instead of
+    * growing linearly.
+    */
+  private val qSimPq: Q = (s, d) => {
+    import graft.similarity.PqIndex
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      val qv = queryVec(s, d)
+      // train + encode make many passes — emb stays cached throughout
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32, iters = 2)
+      val codes = PqIndex.encode(cb, emb, "vec_id", "embedding")
+      val cBudget = math.max(200L, emb.count() / 10).toInt
+      val pqIds = PqIndex.topK(cb, codes, emb, "vec_id", "embedding", qv,
+        k = 10, c = cBudget)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+      val exactIds = exact.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val recall = pqIds.intersect(exactIds).size / 10.0
+      require(recall >= 0.8,
+        s"PQ recall@10 = $recall < 0.8 (m=8,k=32,C=$cBudget) — codebook quality regressed")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosine").desc, col("vec_id"))
+      exact
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cosine", round(col("cosine"), 6))
+        .select(col("rank"), col("vec_id"), col("cosine"))
+        .orderBy("rank")
+      // no snapshot needed: after the cache drops the plan recomputes
+      // from the deterministic parquet scan (same rows, zero retention)
+    } finally emb.unpersist()
+  }
+
   /** Bench-path override for q_sim_ivf (VERDICT r3 next-round #2).
     *
     * The correctness body above deliberately runs IVF + the exact scan
@@ -1039,6 +1083,41 @@ object TrainingData {
       |       CAST(sum(abs(s)) AS BIGINT) AS sum_abs
       |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** Oracle-checked REAL video decode, completing the trio: RIFF/AVI
+    * demux (fps read from the actual strh stream header) +
+    * `javax.imageio` decode of each lossless PNG frame, integer-exact
+    * channel sums over all frames (see [[Multimodal.decodeFrameSums]]).
+    * The oracle recomputes the sums from the synthesis formula —
+    * pixel (x,y) of frame f of doc d is
+    * (d*31 + f*17 + x*7 + y*13) & 0xffffff, dims
+    * (16 + d%32, 16 + (d/5)%32), 2 + d%6 frames at 10 + d%20 fps —
+    * proving demux, per-frame decode and pixel access are
+    * byte-faithful end to end.
+    */
+  private val qVideoDecode: Q = (s, d) =>
+    Multimodal.decodeFrameSums(s,
+      Multimodal.asMedia(Tables.documents(s, d)).filter(col("kind") === "video"))
+      .toDF().orderBy("doc_id")
+
+  private val qVideoDecodeSql =
+    """WITH vid AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id // 5) % 32 AS h,
+      |         2 + doc_id % 6 AS nf, 10 + doc_id % 20 AS fps
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fs AS (SELECT unnest(range(0, 8)) AS f),
+      |xs AS (SELECT unnest(range(0, 48)) AS x),
+      |ys AS (SELECT unnest(range(0, 48)) AS y),
+      |px AS (
+      |  SELECT doc_id, w, h, nf, fps,
+      |         ((doc_id * 31 + f * 17 + x * 7 + y * 13) & 16777215) AS v
+      |  FROM vid, fs, xs, ys WHERE f < nf AND x < w AND y < h)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(nf AS BIGINT) AS n_frames, CAST(fps AS BIGINT) AS fps,
+      |       CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
+      |       CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
+      |       CAST(sum(v & 255) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, w, h, nf, fps ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- approx aggregates
   /** Sketch aggregates — the only sane cardinality/quantile path at
     * 100 TB (exact distinct shuffles every key; HLL/KLL ship constant-
@@ -1166,6 +1245,7 @@ object TrainingData {
     "q_sim_brute" -> qSimBrute,
     "q_sim_bucketed" -> qSimBucketed,
     "q_sim_ivf" -> qSimIvf,
+    "q_sim_pq" -> qSimPq,
     "q_text_tokens" -> qTextTokens,
     "q_text_bpe" -> qTextBpe,
     "q_text_topterms" -> qTextTopTerms,
@@ -1175,6 +1255,7 @@ object TrainingData {
     "q_multimodal" -> qMultimodal,
     "q_image_decode" -> qImageDecode,
     "q_audio_decode" -> qAudioDecode,
+    "q_video_decode" -> qVideoDecode,
     "q_approx" -> qApprox,
     "q_stream_window" -> qStream,
     "q_stream_seg" -> qStreamSeg,
@@ -1208,6 +1289,7 @@ object TrainingData {
     "q_sim_bucketed" -> qSimBucketedSql,
     "q_sim_brute" -> qSimBruteSql,
     "q_sim_ivf" -> qSimIvfSql,
+    "q_sim_pq" -> qSimIvfSql, // exact-restatement shared verbatim (same output contract)
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,
     "q_text_topterms" -> qTextTopTermsSql,
@@ -1215,6 +1297,7 @@ object TrainingData {
     "q_fingerprint" -> qFingerprintSql,
     "q_image_decode" -> qImageDecodeSql,
     "q_audio_decode" -> qAudioDecodeSql,
+    "q_video_decode" -> qVideoDecodeSql,
     "q_stream_window" -> qStreamSql,
     "q_stream_seg" -> qStreamSegSql,
     "q_stream_dedup" -> qStreamDedupSql,

@@ -1,0 +1,137 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Product quantization (PQ) ANN — the memory-compression scale path
+  * complementing [[IvfIndex]]'s scan reduction: each corpus vector is
+  * stored as M small codes (one per subspace) instead of dim floats,
+  * so a 64-dim float corpus compresses 32× (256 B → 8 B per vector) —
+  * at 100 TB the difference between a serving index that fits in
+  * cluster memory and one that doesn't. (Jégou/Douze/Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+  * literature; the reference engine has no ANN surface, this is part
+  * of the training-data-pipeline mandate.)
+  *
+  * Query-time scoring is ADC (asymmetric distance computation): the
+  * query stays full-precision and dot(q, x) ≈ Σ_s LUT_s[code_s(x)],
+  * where LUT_s[c] = dot(q_s, centroid_{s,c}) is an M×K table computed
+  * once per query on the driver and shipped in the scoring closure
+  * (M×K doubles — nothing like a broadcast relation). The candidate
+  * scan reads ONLY (id, codes) — never a vector — and a top-C heap
+  * (TakeOrderedAndProject, no global sort) followed by an exact
+  * re-rank of the C survivors against their true vectors restores
+  * exact cosines for the final ranking: the standard PQ serving
+  * shape. The re-rank side is a C-row broadcast semi join — the
+  * corpus is never shuffled.
+  *
+  * Codebook training reuses [[Similarity.trainCentroids]] per
+  * subspace (deterministic hash-ordered init, fixed Lloyd rounds,
+  * decimal-exact means), so codes, candidates and final ranks are
+  * deterministic end to end — which is what lets q_sim_pq put a
+  * recall gate + exact-restatement oracle on the whole pipeline.
+  */
+object PqIndex {
+
+  /** centroids(s)(c)(j): subspace s, code c, component j. */
+  final case class Codebook(subDim: Int,
+      centroids: Array[Array[Array[Double]]]) {
+    def m: Int = centroids.length
+    def k: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  }
+
+  /** Train M per-subspace codebooks of K centroids each. `emb` is
+    * scanned M×(iters+1) times — cache it unless it is a raw scan.
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2): Codebook = {
+    require(m >= 1 && k >= 2 && iters >= 0)
+    val dim = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0,
+      s"vector dim $dim does not split into m=$m equal subspaces")
+    val subDim = dim / m
+    Codebook(subDim, Array.tabulate(m) { s =>
+      Similarity.trainCentroids(
+        emb.select(col(idCol),
+          slice(col(vecCol), s * subDim + 1, subDim).as(vecCol)),
+        idCol, vecCol, k, iters)
+    })
+  }
+
+  /** (id, codes): every vector quantized to its per-subspace nearest
+    * centroid (L2, ties by code — the same assignment rule training
+    * used). This is the stored index representation: M ints per
+    * vector; at scale it is written once and the vectors themselves
+    * stay cold until re-rank.
+    */
+  def encode(cb: Codebook, emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val codeU = udf { v: Seq[Float] =>
+      Array.tabulate(cb.m)(s =>
+        Similarity.nearestCell(cb.centroids(s))(
+          v.slice(s * cb.subDim, (s + 1) * cb.subDim)))
+    }
+    emb.select(col(idCol), codeU(col(vecCol)).as("codes"))
+  }
+
+  /** ADC approximate cosine per code row: Σ_s dot(q_s, c_{s,code}) /
+    * (|q| · sqrt(Σ_s |c_{s,code}|²)). Numerator AND the corpus-norm
+    * approximation both come from per-query M×K tables — the scan
+    * never touches a vector. Null score on a zero denominator (zero
+    * query or all-zero reconstruction), mirroring the cosine kernel.
+    */
+  def adcScores(cb: Codebook, codes: DataFrame, idCol: String,
+      query: Seq[Float]): DataFrame = {
+    require(query.length == cb.m * cb.subDim,
+      s"query dim ${query.length} != codebook dim ${cb.m * cb.subDim}")
+    val dotLut = Array.tabulate(cb.m, cb.k) { (s, c) =>
+      var d = 0.0; var j = 0
+      while (j < cb.subDim) {
+        d += query(s * cb.subDim + j).toDouble * cb.centroids(s)(c)(j)
+        j += 1
+      }
+      d
+    }
+    val nrmSqLut = Array.tabulate(cb.m, cb.k) { (s, c) =>
+      var n = 0.0; var j = 0
+      while (j < cb.subDim) {
+        val x = cb.centroids(s)(c)(j); n += x * x; j += 1
+      }
+      n
+    }
+    val qn = math.sqrt(
+      query.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val scoreU = udf { cs: Seq[Int] =>
+      var d = 0.0; var n = 0.0; var s = 0
+      while (s < cs.length) {
+        d += dotLut(s)(cs(s)); n += nrmSqLut(s)(cs(s)); s += 1
+      }
+      val denom = qn * math.sqrt(n)
+      if (denom == 0.0) None else Some(d / denom)
+    }
+    codes.select(col(idCol), scoreU(col("codes")).as("adc"))
+  }
+
+  /** End-to-end PQ top-k: ADC top-C candidate cut over the codes
+    * (per-partition heap, merge of C rows), then exact cosine re-rank
+    * of the C survivors against their true vectors via a broadcast
+    * semi join. Output schema matches [[Similarity.bruteForceTopK]]:
+    * (id, exact cosine), ties by id.
+    */
+  def topK(cb: Codebook, codes: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, query: Seq[Float], k: Int, c: Int = 50): DataFrame = {
+    require(c >= k)
+    val cand = adcScores(cb, codes, idCol, query)
+      .orderBy(col("adc").desc, col(idCol)).limit(c)
+      .select(col(idCol))
+    val q = typedlit(query)
+    val cos = VectorOps.cosineFor(emb, vecCol)
+    emb.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol), cos(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -25,7 +25,12 @@ class MultimodalSpec extends SparkTestBase {
           r.n_frames == Multimodal.WavCodec.synthNumSamples(r.doc_id),
           s"doc ${r.doc_id}: decoded rate=${r.width} ch=${r.height} n=${r.n_frames}")
       } else {
-        assert(r.width >= 64 && r.height >= 64 && r.n_frames >= 1)
+        // REAL decode: AVI demux + per-frame imageio geometry equals
+        // the synthesized one
+        val (w, h) = Multimodal.AviCodec.synthDims(r.doc_id)
+        assert(r.width == w && r.height == h &&
+          r.n_frames == Multimodal.AviCodec.synthNumFrames(r.doc_id),
+          s"doc ${r.doc_id}: decoded ${r.width}x${r.height}x${r.n_frames}")
       }
       assert(r.feature.length == 8)
     }
@@ -65,31 +70,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(gotCounts == expectedCounts)
   }
 
-  test("null text rows survive the media path (regression: codec NPE)") {
-    // video ids (doc_id % 3 == 2): the one kind whose payload is still
-    // text-derived — image/audio synthesize their blobs from doc_id
+  test("null text rows survive the media path (payloads derive from doc_id alone)") {
+    // since round 6 all three kinds synthesize their blobs from
+    // doc_id — the text column no longer feeds any payload, so null
+    // text cannot reach a codec (the old NPE class is structural now)
     val docs = Seq((2L, null: String), (5L, "real text")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs)).collect()
     assert(feats.length == 2)
-    assert(feats.find(_.doc_id == 2L).get.n_bytes == 0)
+    assert(feats.forall(f => f.kind == "video" && f.n_bytes > 0)) // 2,5 ≡ 2 (mod 3)
+    assert(feats.forall(f => f.n_frames ==
+      Multimodal.AviCodec.synthNumFrames(f.doc_id)))
   }
 
-  test("null payload rows survive resize and frame sampling too") {
-    // bypass asMedia (which coalesces text) — feed genuinely-null
-    // binary payloads straight to each operator, covering all three
-    // codec-touching paths, not just extractFeatures
+  test("null/corrupt payload rows degrade instead of failing any operator") {
+    // feed genuinely-null and non-AVI binary payloads straight to each
+    // operator, covering all three codec-touching paths, not just
+    // extractFeatures — corrupt blobs degrade to zero dims / no rows
     val media = Seq[(Long, String, Array[Byte])](
       (1L, "image", null), (2L, "video", null),
-      (3L, "video", "clip bytes".getBytes("UTF-8")))
+      (3L, "video", "clip bytes".getBytes("UTF-8")),
+      (4L, "video", Multimodal.AviCodec.synthesize(4L)))
       .toDF("doc_id", "kind", "payload")
     val resized = Multimodal.resize(spark, media, maxSide = 128).collect()
-    assert(resized.length == 3)
-    assert(resized.forall(r => r.width >= 1 && r.height >= 1))
+    assert(resized.length == 4)
+    // undecodable rows: zero dims + empty payload; the valid AVI resizes
+    assert(resized.filter(_.doc_id != 4L)
+      .forall(r => r.width == 0 && r.height == 0 && r.payload.isEmpty))
+    val ok = resized.find(_.doc_id == 4L).get
+    assert(ok.width == Multimodal.AviCodec.synthDims(4L)._1 && ok.payload.nonEmpty)
+    // frame sampling: only the valid container contributes rows
     val frames = Multimodal.sampleFrames(spark, media, stride = 10).collect()
-    assert(frames.map(_.doc_id).toSet.subsetOf(Set(2L, 3L)))
-    assert(frames.filter(_.doc_id == 2L).forall(_.payload.isEmpty))
+    assert(frames.map(_.doc_id).toSet == Set(4L))
     val feats = Multimodal.extractFeatures(spark, media).collect()
-    assert(feats.count(_.n_bytes == 0) == 2)
+    assert(feats.count(_.n_bytes == 0) == 2) // the two null payloads
+    assert(feats.filter(f => f.doc_id != 4L).forall(_.n_frames == 0)) // degraded
   }
 
   test("image rows decode through javax.imageio with true pixel geometry and pixel features") {
@@ -248,12 +262,94 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.WavCodec.decode(wav(fmt8, Array[Byte](1, 2, 3), 3L)).isEmpty)
   }
 
-  test("fake codec varies frames by kind") {
-    val payload = "hello world".getBytes("UTF-8")
-    val (w1, h1, f1) = Multimodal.FakeCodec.decode("image", payload)
-    val (_, _, fv) = Multimodal.FakeCodec.decode("video", payload)
-    assert(f1 == 1)
-    assert(w1 >= 64 && h1 >= 64)
-    assert(fv >= 1)
+  test("video rows demux through a real AVI container with per-frame imageio decode") {
+    val avi = Multimodal.AviCodec.synthesize(44L)
+    // the container is a genuine RIFF AVI: signature bytes are real
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val (fps, frames) = Multimodal.AviCodec.decodeFrames(avi).get
+    // fps comes from the REAL strh header (dwRate/dwScale), not a formula re-run
+    assert(fps == Multimodal.AviCodec.synthFps(44L))
+    assert(frames.length == Multimodal.AviCodec.synthNumFrames(44L))
+    val (w, h) = Multimodal.AviCodec.synthDims(44L)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth == w && img.getHeight == h)
+      // PNG frames are lossless: pixels round-trip the synthesis formula
+      assert((img.getRGB(3, 5) & 0xffffff) ==
+        Multimodal.AviCodec.synthPixel(44L, f, 3, 5))
+    }
+    val feats = Multimodal.AviCodec.features(frames)
+    assert(feats.length == 8)
+    assert(feats(7) == w.toFloat / h) // aspect channel, frame-constant
+    // corrupt payloads degrade to None, not an exception
+    assert(Multimodal.AviCodec.parse("not an avi".getBytes).isEmpty)
+    assert(Multimodal.AviCodec.parse(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.AviCodec.parse(avi.take(40)).isEmpty) // truncated
+  }
+
+  test("decodeFrameSums: real video decode matches the synthesis formula exactly") {
+    val media = Multimodal.asMedia(graft.Tables.documents(spark, sf))
+      .filter($"kind" === "video").limit(25)
+    val sums = Multimodal.decodeFrameSums(spark, media).collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      val (w, h) = Multimodal.AviCodec.synthDims(r.doc_id)
+      val nf = Multimodal.AviCodec.synthNumFrames(r.doc_id)
+      assert(r.width == w && r.height == h && r.n_frames == nf &&
+        r.fps == Multimodal.AviCodec.synthFps(r.doc_id))
+      // recompute the channel sums straight from the pixel formula —
+      // equality proves AVI demux → PNG decode is byte-faithful
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.AviCodec.synthPixel(r.doc_id, f, x, y)
+        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      }
+      assert(r.sum_r == sr && r.sum_g == sg && r.sum_b == sb,
+        s"doc ${r.doc_id}: decoded sums (${r.sum_r},${r.sum_g},${r.sum_b}) " +
+          s"!= formula ($sr,$sg,$sb)")
+    }
+    // corrupt payload degrades to zero sums, not a task failure
+    val bad = Seq((7L, "video", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "kind", "payload")
+    val z = Multimodal.decodeFrameSums(spark, bad).collect()
+    assert(z.head.width == 0 && z.head.n_frames == 0 && z.head.sum_r == 0)
+  }
+
+  test("video resize REALLY resamples: output AVI demuxes + decodes to the target geometry") {
+    val media = Multimodal.asMedia(graft.Tables.documents(spark, sf))
+      .filter($"kind" === "video").limit(10)
+    val resized = Multimodal.resize(spark, media, maxSide = 16).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val (fps, back) = Multimodal.AviCodec.decodeFrames(r.payload).get // valid AVI out
+      assert(fps == Multimodal.AviCodec.synthFps(r.doc_id)) // fps preserved
+      assert(back.length == Multimodal.AviCodec.synthNumFrames(r.doc_id))
+      back.foreach { img =>
+        assert(img.getWidth == r.width && img.getHeight == r.height)
+        assert(math.max(img.getWidth, img.getHeight) <= 16)
+      }
+      val (w0, h0) = Multimodal.AviCodec.synthDims(r.doc_id)
+      val scale = math.min(1.0, 16.0 / math.max(w0, h0))
+      assert(r.width == math.max(1, (w0 * scale).toInt))
+      assert(r.height == math.max(1, (h0 * scale).toInt))
+      // nearest-neighbor: corner pixel of frame 0 is source pixel (0,0)
+      assert((back(0).getRGB(0, 0) & 0xffffff) ==
+        Multimodal.AviCodec.synthPixel(r.doc_id, 0, 0, 0))
+    }
+  }
+
+  test("sampled frames are standalone decodable PNGs of the right frame") {
+    val media = Multimodal.asMedia(graft.Tables.documents(spark, sf))
+      .filter($"kind" === "video").limit(10)
+    val frames = Multimodal.sampleFrames(spark, media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { fr =>
+      val img = Multimodal.ImageIoCodec.decode(fr.payload).get // real PNG payload
+      val (w, h) = Multimodal.AviCodec.synthDims(fr.doc_id)
+      assert(img.getWidth == w && img.getHeight == h)
+      // the payload is the FRAME AT THAT INDEX, not just any frame
+      assert((img.getRGB(1, 1) & 0xffffff) ==
+        Multimodal.AviCodec.synthPixel(fr.doc_id, fr.frame_idx, 1, 1))
+    }
   }
 }

@@ -1,0 +1,67 @@
+package graft.similarity
+
+import graft.SparkTestBase
+
+class PqIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding")
+
+  test("codebook training is deterministic; codes are m ints in [0, k)") {
+    val cb1 = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val cb2 = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    assert(cb1.m == 8 && cb1.k == 16 && cb1.subDim == 8) // 64-dim corpus
+    assert(cb1.centroids.flatten.flatten.toSeq == cb2.centroids.flatten.flatten.toSeq)
+    val codes = PqIndex.encode(cb1, emb, "vec_id", "embedding")
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // quantization actually discriminates: not every vector on one code word
+    assert(codes.map(_.toList).distinct.length > 1)
+  }
+
+  test("ADC + exact re-rank: final cosines are EXACT and recall@10 >= 0.8") {
+    val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val codes = PqIndex.encode(cb, emb, "vec_id", "embedding")
+    val pq = PqIndex.topK(cb, codes, emb, "vec_id", "embedding", q, k = 10, c = 50)
+      .as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val bruteMap = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 1000)
+      .as[(Long, Double)].collect().toMap
+    // every returned cosine is the EXACT cosine (re-rank, not ADC estimate)
+    pq.foreach { case (id, cos) => assert(cos == bruteMap(id)) }
+    val recall = pq.map(_._1).toSet.intersect(brute.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.8, s"recall@10 = $recall")
+    // the query vector itself survives quantization to rank 1
+    assert(pq.head._1 == 0L)
+  }
+
+  test("plan shape: candidate cut heaps over codes; re-rank is a broadcast semi join") {
+    val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 0)
+    val codes = PqIndex.encode(cb, emb, "vec_id", "embedding")
+    val plan = PqIndex.topK(cb, codes, emb, "vec_id", "embedding", q, k = 10, c = 50)
+      .queryExecution.executedPlan.toString
+    // candidate selection + final ranking are per-partition heaps —
+    // a global Sort of the corpus would be the scale bug
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // C-row candidate list broadcasts into the corpus scan
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("guards: dim must split into m subspaces; query dim must match codebook") {
+    intercept[IllegalArgumentException] {
+      PqIndex.train(emb, "vec_id", "embedding", m = 7) // 64 % 7 != 0
+    }
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 0)
+    val codes = PqIndex.encode(cb, emb, "vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      PqIndex.adcScores(cb, codes, "vec_id", Seq(1f, 2f, 3f))
+    }
+  }
+}
