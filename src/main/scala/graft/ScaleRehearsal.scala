@@ -42,6 +42,7 @@ object ScaleRehearsal {
     if (mode == "run" || mode == "all") run(spark, src, dir, factor)
     if (mode == "skew") println(skewCheck(spark, dir, factor))
     if (mode == "ivf") println(ivfServeCheck(spark, dir))
+    if (mode == "pq") println(pqServeCheck(spark, dir))
     if (mode == "chaincc") println(chainCcCheck(spark,
       sys.env.getOrElse("SPARK_GRAFT_CHAIN_N", "1000000").toLong))
     spark.stop()
@@ -198,6 +199,9 @@ object ScaleRehearsal {
     // --- shape check 3: IVF build-once serving path ----------------
     sb ++= ivfServeCheck(spark, dir)
 
+    // --- shape check 3b: PQ encode-once serving path ---------------
+    sb ++= pqServeCheck(spark, dir)
+
     // --- shape check 4: long-chain CC (alternating star ops) -------
     sb ++= chainCcCheck(spark,
       sys.env.getOrElse("SPARK_GRAFT_CHAIN_N", "1000000").toLong)
@@ -327,6 +331,59 @@ object ScaleRehearsal {
           println(f"[scale] ivf build=$buildSec%.1fs probe=${probes.min}%.2fs")
       }
     } finally { // the index is rehearsal scratch — never leave it behind
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+    sb.toString
+  }
+
+  /** PQ serving path at scale — the memory-compression twin of
+    * [[ivfServeCheck]]: codebook training + corpus encoding happen
+    * ONCE (the codes table is the serving artifact, M ints per vector
+    * instead of dim floats), then each query is an ADC scan over the
+    * codes + a C-row exact re-rank. The per-call `q_sim_pq` body
+    * retrains every call (by design, for the recall-gated oracle);
+    * this is the number a serving user pays.
+    */
+  def pqServeCheck(spark: SparkSession, dir: String): String = {
+    import graft.similarity.PqIndex
+    Bench.scrub(spark) // same clean-session argument as ivfServeCheck
+    val sb = new StringBuilder
+    sb ++= "\n## PQ serving path at scale (encode-once / ADC probe-many)\n\n"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).cache()
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_scale")
+      .toAbsolutePath.toString
+    try {
+      val t0 = System.nanoTime()
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32, iters = 2)
+      PqIndex.encode(cb, emb, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$path/codes")
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val n = emb.count()
+      emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<float>"))
+        .limit(1).collect().headOption.map(_.getSeq[Float](0)) match {
+        case None =>
+          sb ++= f"- train+encode (amortized once per corpus): $buildSec%.1f s\n"
+          sb ++= "- probe: SKIPPED — no query vector (vec_id 0 absent from scaled corpus)\n"
+        case Some(q) =>
+          val codes = spark.read.parquet(s"$path/codes")
+          val cBudget = math.max(200L, n / 10).toInt
+          val probes = (0 until 3).map { _ =>
+            val p0 = System.nanoTime()
+            PqIndex.topK(cb, codes, emb, "vec_id", "embedding", q,
+              k = 10, c = cBudget).count()
+            (System.nanoTime() - p0) / 1e9
+          }
+          sb ++= f"- train+encode (amortized once per corpus, $n vectors → 8 codes each): $buildSec%.1f s\n"
+          sb ++= f"- ADC probe topK(k=10, C=$cBudget) over the stored codes + exact re-rank: ${probes.min}%.2f s (min of 3)\n"
+          println(f"[scale] pq build=$buildSec%.1fs probe=${probes.min}%.2fs")
+      }
+    } finally {
+      emb.unpersist()
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }

@@ -331,7 +331,7 @@ object Analytics {
     * actually decodes, resamples and re-encodes the payloads.
     */
   private val qMultimodal2: Q = (s, d) => {
-    val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, d))
+    val media = graft.multimodal.Multimodal.asMedia(Tables.documentsParallel(s, d))
     val resized = graft.multimodal.Multimodal.resize(s, media, maxSide = 64)
       .toDF().select(col("doc_id"), col("width"), col("height"))
     val frames = graft.multimodal.Multimodal.sampleFrames(s, media, stride = 4)
