@@ -159,8 +159,14 @@ object Dedup {
     * Pairs sharing ONLY capped shingles are missed — the standard
     * recall/scale trade; raise the cap for exactness on small data.
     */
-  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleK: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
+  /** Shared inverted-index candidate machinery for the n-gram overlap
+    * family: distinct-shingle explode, df-capped self-join, per-pair
+    * shared-shingle counts joined back to each side's shingle-set
+    * size. Returns (id_a, id_b, shared, n_a, n_b) with id_a < id_b —
+    * the sufficient statistics for jaccard AND containment.
+    */
+  private def shingleOverlap(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, maxDocFreq: Long): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(graft.functions.HashExprs.shingles(col(textCol), shingleK)).as("sh"))
     val nShingles = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
@@ -182,11 +188,34 @@ object Dedup {
     shared
       .join(nShingles.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(nShingles.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+  }
+
+  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3, maxDocFreq: Long = 1000): DataFrame =
+    shingleOverlap(docs, idCol, textCol, shingleK, maxDocFreq)
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
+
+  /** Asymmetric near-dup: containment C(A in B) = |sh(A) ∩ sh(B)| /
+    * |sh(A)| — catches SUB-document duplication (a document quoted or
+    * embedded inside a larger one) that symmetric Jaccard dilutes: a
+    * 50-shingle doc fully contained in a 5000-shingle doc scores
+    * jaccard ≈ 0.01 but containment 1.0. Standard companion signal in
+    * web-scale dedup (Broder's resemblance vs containment). Same
+    * df-capped inverted-index candidates as [[ngramJaccardNearDups]];
+    * emits both directions per unordered pair, kept when either
+    * direction reaches `threshold`. Integer-over-integer doubles —
+    * bit-identical across engines, no rounding.
+    */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3, maxDocFreq: Long = 1000): DataFrame =
+    shingleOverlap(docs, idCol, textCol, shingleK, maxDocFreq)
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") / col("n_a")).as("cont_a_in_b"),
+        (col("shared").cast("double") / col("n_b")).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
 
   // -------------------------------------------------------------- SimHash
   /** 64-bit SimHash per document via the native

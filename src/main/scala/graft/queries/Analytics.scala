@@ -1442,6 +1442,49 @@ object Analytics {
       |       count(*) AS n_distinct_terms
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM cross-entropy quality signal — the shape of
+    * perplexity filtering (a standard LLM training-data gate: docs
+    * whose tokens are improbable under a corpus LM are noise; docs
+    * too probable are boilerplate). The LM here is the corpus's own
+    * unigram distribution (a production pipeline would load frozen LM
+    * scores; the dataflow — score every token occurrence against a
+    * broadcast-joined vocabulary — is identical): per-doc
+    * cross-entropy = -Σ c_w · ln(cw_corpus / N) / Σ c_w. One token
+    * explode feeding both the per-doc and corpus counts, one scalar
+    * N, integer-ratio logs summed in doubles and rounded to 6 (sum
+    * magnitude ~10³, fold-order drift ~1e-10 — far inside the
+    * rounding, same argument as q_entropy).
+    */
+  private val qPerplexity: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val docTerm = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val corpus = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    // one bounded scalar to the driver (total corpus tokens), the
+    // same two-pass shape q_histogram uses for global min/max
+    val total = corpus.agg(sum(col("cw"))).first().getLong(0).toDouble
+    docTerm.join(corpus, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        round(-sum(col("c") * log(col("cw") / lit(total))) / sum(col("c")), 6)
+          .as("cross_entropy"),
+        sum(col("c")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val qPerplexitySql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dt AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+      |cw AS (SELECT w, count(*) AS cw FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM cw)
+      |SELECT doc_id,
+      |  round(-sum(c * ln(cw / (SELECT n FROM tot))) / sum(c), 6)
+      |    AS cross_entropy,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens
+      |FROM dt JOIN cw USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- Q-CDC
   /** Change-data-capture apply / latest-state compaction: the event
     * stream is a changelog per user (signup=insert, view/click/
@@ -1559,6 +1602,7 @@ object Analytics {
     "q_profile" -> qProfile,
     "q_markov" -> qMarkov,
     "q_entropy" -> qEntropy,
+    "q_perplexity" -> qPerplexity,
     "q_cdc" -> qCdc,
     "q_mad" -> qMad)
 
@@ -1602,6 +1646,7 @@ object Analytics {
     "q_profile" -> qProfileSql,
     "q_markov" -> qMarkovSql,
     "q_entropy" -> qEntropySql,
+    "q_perplexity" -> qPerplexitySql,
     "q_cdc" -> qCdcSql,
     "q_mad" -> qMadSql)
 }

@@ -182,6 +182,42 @@ object TrainingData {
       |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Asymmetric containment near-dup (see
+    * [[Dedup.ngramContainment]]): the sub-document-duplication signal
+    * symmetric Jaccard dilutes. Threshold 0.6 on either direction;
+    * same 5-shingle df-capped candidates as q_ngram_jaccard, so the
+    * oracle restates the same inverted index with the two asymmetric
+    * ratios instead of the symmetric one.
+    */
+  private val qContainment: Q = (s, d) =>
+    Dedup.ngramContainment(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.6, shingleK = 5, maxDocFreq = 100).orderBy("id_a", "id_b")
+
+  private val qContainmentSql =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 3, 1)),
+      |    i -> array_to_string(t[i:i+4], ' ')))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |n_sh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+      |  WHERE df BETWEEN 2 AND 100),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(shared AS DOUBLE) / na.n AS cont_a_in_b,
+      |  CAST(shared AS DOUBLE) / nb.n AS cont_b_in_a
+      |FROM shared
+      |JOIN n_sh na ON na.doc_id = id_a
+      |JOIN n_sh nb ON nb.doc_id = id_b
+      |WHERE greatest(CAST(shared AS DOUBLE) / na.n,
+      |               CAST(shared AS DOUBLE) / nb.n) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** threshold/signBits tuned to the synthetic corpus: its max
     * pairwise cosine is ~0.51 (no true near-dups exist), so the
     * round-1 0.9 threshold provably returned 0 rows — no evidence the
@@ -1276,6 +1312,7 @@ object TrainingData {
     "q_sim_bucketed" -> qSimBucketed,
     "q_sim_ivf" -> qSimIvf,
     "q_sim_pq" -> qSimPq,
+    "q_containment" -> qContainment,
     "q_text_tokens" -> qTextTokens,
     "q_text_bpe" -> qTextBpe,
     "q_text_topterms" -> qTextTopTerms,
@@ -1320,6 +1357,7 @@ object TrainingData {
     "q_sim_brute" -> qSimBruteSql,
     "q_sim_ivf" -> qSimIvfSql,
     "q_sim_pq" -> qSimIvfSql, // exact-restatement shared verbatim (same output contract)
+    "q_containment" -> qContainmentSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,
     "q_text_topterms" -> qTextTopTermsSql,

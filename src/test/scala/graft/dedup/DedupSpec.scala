@@ -133,6 +133,27 @@ class DedupSpec extends SparkTestBase {
       .filter(col("n_copies") > 1).count() == 0)
   }
 
+  test("containment catches a sub-document that jaccard dilutes") {
+    // doc 2 = doc 1's text embedded in a much larger document: the
+    // symmetric jaccard is diluted by the host's size, but containment
+    // of 1-in-2 is ~1.0 — the asymmetric signal is the operator's point
+    val host = base + " " + distinct1 + " " + Seq.tabulate(40)(i => s"filler$i word$i").mkString(" ")
+    val docs2 = Seq((1L, base), (2L, host), (3L, distinct1 + " unrelated tail here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(docs2, "doc_id", "text",
+      threshold = 0.9, shingleK = 5, maxDocFreq = 100)
+      .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+      .as[(Long, Long, Double, Double)].collect()
+    val pair = cont.find(p => p._1 == 1L && p._2 == 2L)
+    assert(pair.isDefined, s"1-in-2 containment not found: ${cont.toSeq}")
+    assert(pair.get._3 == 1.0) // every shingle of 1 appears in 2
+    assert(pair.get._4 < 0.5) // host is NOT contained in the fragment
+    // while jaccard at the same threshold misses the pair entirely
+    val jac = Dedup.ngramJaccardNearDups(docs2, "doc_id", "text",
+      threshold = 0.9, shingleK = 5, maxDocFreq = 100).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("lsh-covers-exact: 16x2 candidates superset every exact-Jaccard >= 0.5 pair (graded corpus)") {
     // qDedupDrop's oracle equivalence assumes 16x2-band LSH recall is
     // literally complete at threshold 0.5 on this corpus (per-pair
