@@ -1198,7 +1198,12 @@ object Analytics {
     * scoring is narrow arithmetic post-join. Scores round to 6dp for
     * cross-engine float parity (ln differs in the last ulps).
     */
-  private val qBm25: Q = (s, d) => {
+  /** (doc_id, bm25, n_terms_hit) for the fixed 3-term query, unordered
+    * and uncut — shared by q_bm25 (top-100 cut here) and
+    * q_hybrid_search (rank-fused with the vector ranking in
+    * TrainingData).
+    */
+  private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("join", "hash", "stream")
     val docs = Tables.documents(s, d)
     val n = docs.count()
@@ -1216,9 +1221,12 @@ object Analytics {
     tf.join(dfreq, "tok")
       .groupBy(col("doc_id")).agg(round(sum(score), 6).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  private val qBm25: Q = (s, d) =>
+    bm25Scored(s, d)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(100)
-  }
 
   private val qBm25Sql =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1560,8 +1568,77 @@ object Analytics {
       |FROM documents JOIN mad USING (source)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------- Q-ZORDER
+  /** Z-order (Morton-curve) layout audit over `orders` on the two
+    * dimensions a warehouse actually filters by — customer and date
+    * ([[graft.layout.ZOrder]]): 8-bit grid buckets per dimension
+    * (exact right-shift coarsening from a bounded min/max scalar
+    * pass, the q_histogram shape), bits interleaved into a z-value,
+    * file = top 6 z-bits (64 contiguous curve blocks — an
+    * engine-checkable stand-in for `repartitionByRange(zv)`), then
+    * per-file min/max/count of BOTH dimensions — the file-statistics
+    * table a scan planner would prune against. The point the spec
+    * asserts: every file bounds both `o_custkey` AND order day to a
+    * narrow band (≈ sqrt-of-linear span), so min/max skipping works
+    * for predicates on either dimension, where a single-column sort
+    * serves only its own. All-integer shift arithmetic — codegen'd,
+    * exact, and restated verbatim by the DuckDB oracle (bit width via
+    * `printf('%b', …)` — no float log2 whose rounding could flip a
+    * shift).
+    */
+  private val qZorder: Q = (s, d) => {
+    import graft.layout.ZOrder
+    val o = Tables.orders(s, d)
+    val r = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(to_date(col("o_orderdate"))), max(to_date(col("o_orderdate")))).head()
+    val (minCk, maxCk) = (r.getLong(0), r.getLong(1))
+    val (minD, maxD) = (r.getDate(2), r.getDate(3))
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(
+      minD.toLocalDate, maxD.toLocalDate)
+    val day = datediff(to_date(col("o_orderdate")), lit(minD)).cast("long")
+    o.withColumn("day", day)
+      .withColumn("z", ZOrder.zValue(col("o_custkey"), minCk, maxCk,
+        col("day"), 0L, nDays, bits = 8))
+      .withColumn("file_id", ZOrder.fileId(col("z"), bits = 8, fileBits = 6)
+        .cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("file_id")
+  }
+
+  private val qZorderSql =
+    """WITH r AS (
+      |  SELECT min(o_custkey) AS minck, max(o_custkey) AS maxck,
+      |         min(CAST(o_orderdate AS DATE)) AS mind,
+      |         max(CAST(o_orderdate AS DATE)) AS maxd
+      |  FROM orders),
+      |sh AS (
+      |  SELECT greatest(0, length(printf('%b', maxck - minck)) - 8) AS xs,
+      |         greatest(0, length(printf('%b',
+      |           date_diff('day', mind, maxd))) - 8) AS ys
+      |  FROM r),
+      |b AS (
+      |  SELECT o_custkey,
+      |         CAST(date_diff('day', r.mind, CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |         (o_custkey - r.minck) >> sh.xs AS xb,
+      |         date_diff('day', r.mind, CAST(o_orderdate AS DATE)) >> sh.ys AS yb
+      |  FROM orders, r, sh),
+      |z AS (
+      |  SELECT o_custkey, day,
+      |    CAST(list_sum(list_transform(range(0, 8), i ->
+      |      (((xb >> i) & 1) << (2 * i + 1)) + (((yb >> i) & 1) << (2 * i))))
+      |      AS BIGINT) AS zv
+      |  FROM b)
+      |SELECT CAST(zv >> 10 AS BIGINT) AS file_id, count(*) AS n_rows,
+      |       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+      |       min(day) AS min_day, max(day) AS max_day
+      |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
+    "q_zorder" -> qZorder,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_pii" -> qPii,
@@ -1607,6 +1684,7 @@ object Analytics {
     "q_mad" -> qMad)
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" -> qZorderSql,
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_pii" -> qPiiSql,

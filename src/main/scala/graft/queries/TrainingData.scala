@@ -1289,8 +1289,171 @@ object TrainingData {
     """SELECT DISTINCT event_id, ts, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------- hybrid search (RRF)
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al.
+    * SIGIR'09, k=60) of the lexical BM25 ranking
+    * ([[Analytics.bm25Scored]], fixed 3-term query) and the dense
+    * cosine ranking ([[Similarity.bruteForceTopK]], the corpus query
+    * vector): score = Σ 1/(60+rank) over the lists that contain the
+    * doc. The production serving shape for RAG-class retrieval —
+    * each leg is an independent top-100 (lexical: sparse aggregation;
+    * dense: TakeOrderedAndProject scan), fused by a 200-row-max
+    * full-outer join. The rank windows are single-partition but run
+    * AFTER each leg's top-100 cut, so the windowed input is bounded
+    * at k, never corpus-sized. RRF arithmetic is a two-term sum of
+    * exactly-rounded reciprocals of integers — deterministic across
+    * engines bit for bit; rounding to 6dp is cosmetic.
+    */
+  private val qHybridSearch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Analytics.bm25Scored(s, d)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("r_lex"))
+    val sem = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryVec(s, d), k = 100)
+      .withColumn("r_sem", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("id"), col("r_sem"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)))
+      .orderBy(col("rrf_raw").desc, col("id")).limit(20)
+      .select(col("id"), round(col("rrf_raw"), 6).as("rrf"),
+        col("r_lex"), col("r_sem"))
+  }
+
+  private val qHybridSearchSql =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |n AS (SELECT count(*) AS n FROM docs),
+      |avgdl AS (SELECT avg(len(t)) AS avgdl FROM docs),
+      |toks AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok FROM docs),
+      |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM toks
+      |       WHERE tok IN ('join', 'hash', 'stream') GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |bm AS (
+      |  SELECT doc_id,
+      |    round(sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl.avgdl))), 6) AS bm25
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n CROSS JOIN avgdl
+      |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 100),
+      |lex AS (
+      |  SELECT doc_id AS id,
+      |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+      |  FROM bm),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT vec_id,
+      |    list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM embeddings),
+      |semtop AS (SELECT vec_id, cos_raw FROM sims
+      |           ORDER BY cos_raw DESC, vec_id LIMIT 100),
+      |sem AS (
+      |  SELECT vec_id AS id,
+      |    CAST(row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS r_sem
+      |  FROM semtop),
+      |fused AS (
+      |  SELECT coalesce(lex.id, sem.id) AS id,
+      |    coalesce(1e0 / (60 + r_lex), 0e0) + coalesce(1e0 / (60 + r_sem), 0e0)
+      |      AS rrf_raw,
+      |    r_lex, r_sem
+      |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+      |SELECT id, round(rrf_raw, 6) AS rrf, r_lex, r_sem
+      |FROM fused ORDER BY rrf_raw DESC, id LIMIT 20""".stripMargin
+
+  // --------------------------------------------- model-based quality gate
+  /** Hashed-feature linear quality classifier — the fastText-style
+    * model-based filter shape (hashing trick: no vocabulary table,
+    * no join; each token's weight is a pure function of its hash, so
+    * scoring is one codegen'd pass + one aggregation, embarrassingly
+    * parallel at any corpus size). Weights here are md5-derived
+    * integers in [-1000, 1000] standing in for trained parameters
+    * (the dataflow — hash → weight lookup → mean-pool → sigmoid — is
+    * exactly what a trained model ships; a production run would swap
+    * the weight formula for a broadcast array). Cross-engine
+    * exactness by construction: the per-doc weight SUM is integer
+    * (fold-order-proof), the logit is ONE double division of exact
+    * integers, and the keep flag compares the integer sum — only
+    * sigmoid's exp sits in float-land, rounded to 6dp.
+    */
+  private val qQualityModel: Q = (s, d) => {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val w = conv(substring(md5(col("tok")), 1, 15), 16, 10)
+      .cast("long") % 2001 - 1000
+    toks.groupBy(col("doc_id"))
+      .agg(sum(w).as("w_sum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("w_sum").cast("double") /
+            (col("n_tokens") * 1000).cast("double")))), 6).as("score"),
+        (col("w_sum") > 0).as("keep"),
+        col("w_sum"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val qQualityModelSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+      |  FROM toks)
+      |SELECT doc_id,
+      |  round(1e0 / (1e0 + exp(-(CAST(sum(w) AS DOUBLE)
+      |    / CAST(count(*) * 1000 AS DOUBLE)))), 6) AS score,
+      |  sum(w) > 0 AS keep,
+      |  CAST(sum(w) AS BIGINT) AS w_sum, count(*) AS n_tokens
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ token-budget selection
+  /** Data selection under a token budget — the mixture-building step
+    * of a training run: per source, take documents in quality order
+    * (here: length-desc, a standing proxy — any scoring column drops
+    * in) until the source's cumulative token count exceeds the
+    * budget. One window cumsum partitioned by source (shuffle keyed
+    * on source — each source's scan is independent, no global sort),
+    * all-integer arithmetic. At 100 TB the budget cut happens
+    * map-side after the per-source shuffle; skew in source sizes is
+    * AQE's standard split case.
+    */
+  private val qTokenBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      col("n_chars"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 500)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val qTokenBudgetSql =
+    """WITH t AS (
+      |  SELECT source, doc_id, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS cum_tokens
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 500 ORDER BY source, doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
+    "q_hybrid_search" -> qHybridSearch,
+    "q_quality_model" -> qQualityModel,
+    "q_token_budget" -> qTokenBudget,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_near" -> qDedupNear,
     "q_dedup_minhash" -> qMinhash,
@@ -1335,6 +1498,9 @@ object TrainingData {
     * driver's rows-only check.
     */
   val oracles: Map[String, String] = Map(
+    "q_hybrid_search" -> qHybridSearchSql,
+    "q_quality_model" -> qQualityModelSql,
+    "q_token_budget" -> qTokenBudgetSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
     "q_dedup_groups" -> qDedupGroupsSql,
