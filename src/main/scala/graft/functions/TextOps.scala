@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for a training-data pipeline: tokenizing,
@@ -79,5 +79,36 @@ object TextOps {
       array_distinct(transform(sequence(lit(0), n - k), i =>
         array_join(slice(toks, i + 1, lit(k)), " "))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact phrase match over a positional inverted index: documents
+    * containing `phrase` as consecutive tokens, with occurrence count
+    * and first (1-based) position. Each phrase term's postings are
+    * pruned BEFORE the join (`tok isin phrase` pushes into the scan),
+    * then chained on `(doc, pos + offset)` equality — work scales
+    * with the phrase terms' posting lists, never the corpus token
+    * count. At real scale the postings table is written once
+    * partitioned by token, making the term prune a partition prune —
+    * the same serving layout as
+    * [[graft.similarity.Similarity.postingsTopK]] uses for sparse
+    * vectors.
+    */
+  def phraseOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val pos = docs.select(col(idCol),
+      posexplode(tokenize(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    val head = pos.filter(col("tok") === phrase.head)
+      .select(col(idCol), (col("pos") + 1).cast("long").as("first_pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(head) { case (acc, (term, i)) =>
+      val nxt = pos.filter(col("tok") === term)
+        .select(col(idCol).as("id_n"), col("pos").cast("long").as("pos_n"))
+      acc.join(nxt, col(idCol) === col("id_n") &&
+        col("pos_n") === col("first_pos") - 1 + i)
+        .drop("id_n", "pos_n")
+    }
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("first_pos")).as("first_pos"))
   }
 }

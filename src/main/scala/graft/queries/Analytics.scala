@@ -1568,6 +1568,29 @@ object Analytics {
       |FROM documents JOIN mad USING (source)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------ Q-QUANTILE-NORM
+  /** Per-source quantile normalization of a quality signal — the
+    * calibration step before cross-source selection: raw scores
+    * (n_chars here) aren't comparable across heterogeneous sources,
+    * their within-source percentile is. One window per source
+    * (shuffle keyed on source, no global sort); percent_rank is an
+    * exact integer ratio, identical across engines.
+    */
+  private val qQuantileNorm: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("pctl", round(percent_rank().over(w), 6))
+      .orderBy("source", "doc_id")
+  }
+
+  private val qQuantileNormSql =
+    """SELECT source, doc_id, n_chars,
+      |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+      |    AS pctl
+      |FROM documents ORDER BY source, doc_id""".stripMargin
+
   // ------------------------------------------------------------- Q-ZORDER
   /** Z-order (Morton-curve) layout audit over `orders` on the two
     * dimensions a warehouse actually filters by — customer and date
@@ -1639,6 +1662,7 @@ object Analytics {
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
     "q_zorder" -> qZorder,
+    "q_quantile_norm" -> qQuantileNorm,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_pii" -> qPii,
@@ -1685,6 +1709,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q_zorder" -> qZorderSql,
+    "q_quantile_norm" -> qQuantileNormSql,
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_pii" -> qPiiSql,

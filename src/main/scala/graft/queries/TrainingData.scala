@@ -1449,8 +1449,66 @@ object TrainingData {
       |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       |FROM c WHERE cum_tokens <= 500 ORDER BY source, doc_id""".stripMargin
 
+  // ------------------------------------------------------- phrase search
+  /** Exact phrase retrieval ("hash join") over a positional inverted
+    * index ([[TextOps.phraseOccurrences]]): per-term postings pruned
+    * at the scan, chained on (doc, pos+offset) equality — the lexical
+    * sibling of postings-based vector search; work scales with the
+    * phrase terms' posting lists, not corpus tokens.
+    */
+  private val qPhrase: Q = (s, d) =>
+    TextOps.phraseOccurrences(Tables.documents(s, d), "doc_id", "text",
+      Seq("hash", "join"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+
+  private val qPhraseSql =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, unnest(t) AS tok,
+      |               CAST(generate_subscripts(t, 1) AS BIGINT) AS i FROM docs)
+      |SELECT a.doc_id AS doc_id, count(*) AS n_occurrences, min(a.i) AS first_pos
+      |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |WHERE a.tok = 'hash' AND b.tok = 'join'
+      |GROUP BY a.doc_id ORDER BY n_occurrences DESC, a.doc_id""".stripMargin
+
+  // --------------------------------------------- source-balanced ordering
+  /** Epoch-balanced global training order — the shard-shuffle step of
+    * a training run: each source's docs get a deterministic in-source
+    * shuffle position (md5 key — no rand(), growth-stable), and the
+    * global order is (round, key): round r holds every source's r-th
+    * doc, so any prefix of the order is source-balanced. The query
+    * emits the first 200 rows via TakeOrdered (no global sort
+    * materialized); the production write is
+    * `repartitionByRange(round, key).sortWithinPartitions(...)` —
+    * one range shuffle producing shard files that interleave sources
+    * at every offset.
+    */
+  private val qInterleave: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+    Tables.documents(s, d).select(col("source"), col("doc_id"))
+      .withColumn("shuffle_key", key)
+      .withColumn("round", (row_number().over(w) - 1).cast("long"))
+      .orderBy(col("round"), col("shuffle_key"), col("doc_id")).limit(200)
+      .select(col("round"), col("source"), col("doc_id"), col("shuffle_key"))
+  }
+
+  private val qInterleaveSql =
+    """WITH t AS (
+      |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, shuffle_key,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS round
+      |  FROM t)
+      |SELECT round, source, doc_id, shuffle_key FROM r
+      |ORDER BY round, shuffle_key, doc_id LIMIT 200""".stripMargin
+
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(
+    "q_phrase" -> qPhrase,
+    "q_interleave" -> qInterleave,
     "q_hybrid_search" -> qHybridSearch,
     "q_quality_model" -> qQualityModel,
     "q_token_budget" -> qTokenBudget,
@@ -1498,6 +1556,8 @@ object TrainingData {
     * driver's rows-only check.
     */
   val oracles: Map[String, String] = Map(
+    "q_phrase" -> qPhraseSql,
+    "q_interleave" -> qInterleaveSql,
     "q_hybrid_search" -> qHybridSearchSql,
     "q_quality_model" -> qQualityModelSql,
     "q_token_budget" -> qTokenBudgetSql,

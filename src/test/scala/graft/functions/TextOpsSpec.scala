@@ -51,4 +51,31 @@ class TextOpsSpec extends SparkTestBase {
       .select(TextOps.tokenizeRegex(col("t"))).as[Seq[String]].head()
     assert(got == Seq("don", "'", "t", "stop", ",", "believing", "!"))
   }
+
+  test("phraseOccurrences finds planted phrases with counts and 1-based first position") {
+    val docs = Seq(
+      (1L, "hash join is fast and hash join wins"), // two occurrences, first at 1
+      (2L, "a hash join b"),                        // one, at 2
+      (3L, "join hash"),                            // reversed — no match
+      (4L, "hash only join apart"),                 // non-adjacent — no match
+      (5L, "hash hash join")                        // overlap guard: one match at 2
+    ).toDF("doc_id", "text")
+    val got = TextOps.phraseOccurrences(docs, "doc_id", "text", Seq("hash", "join"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 1L, 2L), (5L, 1L, 2L)))
+  }
+
+  test("phraseOccurrences chains 3-term phrases and repeated terms") {
+    val docs = Seq(
+      (1L, "fast hash join now"),     // 3-term match at 2
+      (2L, "fast hash miss join"),    // broken chain
+      (3L, "go go go")                // repeated-term phrase below
+    ).toDF("doc_id", "text")
+    val three = TextOps.phraseOccurrences(docs, "doc_id", "text",
+      Seq("fast", "hash", "join")).as[(Long, Long, Long)].collect().toSeq
+    assert(three == Seq((1L, 1L, 1L)))
+    val rep = TextOps.phraseOccurrences(docs, "doc_id", "text", Seq("go", "go"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep == Seq((3L, 2L, 1L))) // positions 1-2 and 2-3
+  }
 }

@@ -49,6 +49,47 @@ class RetrievalSpec extends SparkTestBase {
     assert(scores == scores.sorted, "sigmoid not monotone in the logit")
   }
 
+  test("q_interleave: every emitted round is source-balanced (one doc per source per full round)") {
+    val rows = SparkEntry.queries("q_interleave")(spark, sf)
+      .select("round", "source", "doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(rows.length > 0)
+    val nSources = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    val byRound = rows.groupBy(_._1)
+    // complete rounds (all but possibly the cut-off last one) contain
+    // each source exactly once — any prefix of the order is balanced
+    val full = byRound.filter(_._2.length == nSources)
+    assert(full.nonEmpty, "no complete round in the first 200 rows")
+    full.foreach { case (r, docs) =>
+      assert(docs.map(_._2).distinct.length == nSources,
+        s"round $r repeats a source")
+    }
+    // rounds are a prefix 0..k with only the last possibly partial
+    val sizes = byRound.toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.init.forall(_ == nSources.toInt),
+      s"non-final round incomplete: $sizes")
+  }
+
+  test("q_quantile_norm: percentiles are per-source calibrated to [0,1] and monotone in the raw score") {
+    val rows = SparkEntry.queries("q_quantile_norm")(spark, sf)
+      .select("source", "doc_id", "n_chars", "pctl")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.length > 0)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      assert(docs.forall(d => d._4 >= 0.0 && d._4 <= 1.0), s"$src pctl out of range")
+      assert(docs.minBy(_._3)._4 == 0.0, s"$src min raw score not at pctl 0")
+      // percent_rank assigns a tie GROUP its first rank, so the top
+      // value reaches exactly 1.0 only when it is unique
+      val maxRaw = docs.map(_._3).max
+      if (docs.length > 1 && docs.count(_._3 == maxRaw) == 1)
+        assert(docs.maxBy(_._3)._4 == 1.0, s"$src unique max raw not at pctl 1")
+      // monotone: sorting by raw score sorts pctl
+      val byRaw = docs.sortBy(_._3).map(_._4).toSeq
+      assert(byRaw == byRaw.sorted, s"$src pctl not monotone in n_chars")
+    }
+  }
+
   test("q_token_budget: kept docs are a maximal in-order prefix per source") {
     val kept = SparkEntry.queries("q_token_budget")(spark, sf)
       .select("source", "doc_id", "n_tokens", "cum_tokens")
