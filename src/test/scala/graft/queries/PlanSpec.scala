@@ -119,4 +119,53 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p.take(1500))
     assert(!p.contains("Join"), p.take(1500)) // no semi-join of the token stream
   }
+
+  test("q_zorder computes z-values inline (no UDF, no join) with one partial-agg shuffle") {
+    val p = plan("q_zorder")
+    assert(p.contains("shiftright"), p.take(800)) // interleave is column arithmetic
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("UDF"), p.take(800))
+    assert(p.contains("partial_min"), p.take(800)) // map-side stats combine
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("q_quality_model scores without any vocabulary join (hashing trick)") {
+    val p = plan("q_quality_model")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("partial_sum"), p.take(800)) // weight sum combines map-side
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("q_phrase prunes postings to the phrase terms before an equi-join (never cartesian)") {
+    val p = plan("q_phrase")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the term prune sits under the join, not after it
+    assert(p.contains("IN (hash,join)"), p.take(1500))
+  }
+
+  test("q_hybrid_search rank windows read only the top-100 leg cuts") {
+    val p = plan("q_hybrid_search")
+    // each leg is a bounded TakeOrdered heap, then the final fusion cut
+    assert("TakeOrderedAndProject\\(limit=100".r.findAllIn(p).size == 2, p.take(1500))
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(800))
+    // windows sit ABOVE the leg cuts: bounded input, no corpus-wide
+    // single-partition window anywhere
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject(limit=100"), p.take(1500))
+  }
+
+  test("q_interleave emits the training order via a top-k heap, not a global sort") {
+    val p = plan("q_interleave")
+    assert(p.contains("TakeOrderedAndProject(limit=200"), p.take(800))
+    assert(!p.contains("rangepartitioning"), p.take(800)) // no materialized global sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("q_token_budget and q_quantile_norm shuffle once on source for their windows") {
+    for (q <- Seq("q_token_budget", "q_quantile_norm")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: ${p.take(600)}")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q: ${p.take(1200)}")
+    }
+  }
 }
