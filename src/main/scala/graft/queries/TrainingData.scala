@@ -254,6 +254,52 @@ object TrainingData {
       |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM pairs
       |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): embedding
+    * near-dup EDGES (sign-bucket blocking + exact cosine ≥ τ, the
+    * q_embed_neardup machinery) resolved into duplicate CLUSTERS via
+    * connected components, keeping the min-id representative per
+    * cluster — pairs alone leave A~B, B~C triples half-deduped, the
+    * same argument as q_dedup_drop on the text side. Output is the
+    * surviving corpus (ids + labels; the vectors ride along in the
+    * library call, dropped here to keep the dump narrow). At scale
+    * every stage is the already-rehearsed shape: bucket join,
+    * per-pair cosine, HashMin rounds with persisted-snapshot frees.
+    */
+  private val qSemdedup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val edges = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.35, signBits = 6)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    ConnectedComponents.representatives(emb, "vec_id", edges)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  private val qSemdedupSql =
+    """WITH RECURSIVE b AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(embedding[1:6],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
+      |      AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |edges0 AS (
+      |  SELECT a.vec_id AS a, c.vec_id AS b
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.embedding, c.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    >= 0.35),
+      |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+      |walk(node, lbl) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.node = e.a),
+      |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+      |SELECT vec_id, label
+      |FROM embeddings LEFT JOIN comp ON vec_id = node
+      |WHERE vec_id = coalesce(component, vec_id) ORDER BY vec_id""".stripMargin
+
   /** Exact all-pairs twin of q_embed_neardup — SQL-expressible, so it
     * carries a full DuckDB oracle (the LSH variant is approximate and
     * stays rows-only + spec recall check). The probe set is bounded to
@@ -1519,6 +1565,7 @@ object TrainingData {
     "q_simhash_near" -> qSimhashNear,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_embed_neardup" -> qEmbedNear,
+    "q_semdedup" -> qSemdedup,
     "q_embed_pairs" -> qEmbedPairs,
     "q_embed_generate" -> qEmbedGenerate,
     "q_embed_search" -> qEmbedSearch,
@@ -1569,6 +1616,7 @@ object TrainingData {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_embed_pairs" -> qEmbedPairsSql,
     "q_embed_neardup" -> qEmbedNearSql,
+    "q_semdedup" -> qSemdedupSql,
     "q_embed_generate" -> qEmbedGenerateSql,
     "q_embed_search" -> qEmbedSearchSql,
     "q_embed_search_ivf" -> qEmbedSearchIvfSql,

@@ -154,6 +154,25 @@ class DedupSpec extends SparkTestBase {
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("semantic dedup resolves transitive embedding chains to one representative") {
+    // v1~v2 (cos .8) and v2~v3 (cos .68) but v1!~v3 (cos .1): pairwise
+    // pruning alone would keep v3; components must collapse the chain
+    // to min-id v1. v4 shares the sign bucket but matches nothing.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 10),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f, 0f, 0f, 0f, 0f), 20),
+      (3L, Seq(0.1f, 0.995f, 0f, 0f, 0f, 0f, 0f, 0f), 30),
+      (4L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 0f), 40)
+    ).toDF("vec_id", "embedding", "label")
+    val edges = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.35, signBits = 6)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val survivors = graft.dedup.ConnectedComponents
+      .representatives(emb, "vec_id", edges)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L), s"got $survivors")
+  }
+
   test("lsh-covers-exact: 16x2 candidates superset every exact-Jaccard >= 0.5 pair (graded corpus)") {
     // qDedupDrop's oracle equivalence assumes 16x2-band LSH recall is
     // literally complete at threshold 0.5 on this corpus (per-pair
