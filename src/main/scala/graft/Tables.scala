@@ -24,19 +24,37 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** `events.ts` is a nanosecond parquet timestamp, which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a
-    * raw long (legacy nanosAsLong) and floor-convert to the engine's
-    * microsecond TimestampType — integer `div`, NOT double division:
-    * epoch-nanos (~1.7e18) exceeds double's 53-bit mantissa, so a
-    * float path would corrupt microseconds. DuckDB truncates ns→µs the
-    * same way, keeping oracle parity.
+  /** Normalize `events.ts` to the engine's session-zone
+    * TimestampType whatever the physical parquet encoding — the
+    * driver has shipped two generations of test data:
+    *
+    *  - nanosecond timestamps, which Spark's vectorized reader
+    *    rejects ([PARQUET_TYPE_ILLEGAL]) and the legacy nanosAsLong
+    *    conf surfaces as raw LONG epoch-nanos: floor-convert with
+    *    integer `div` (NOT double division — epoch-nanos ~1.7e18
+    *    exceeds double's 53-bit mantissa and a float path would
+    *    corrupt microseconds). DuckDB truncates ns→µs the same way.
+    *  - native microsecond timestamps without UTC adjustment, which
+    *    Spark infers as TIMESTAMP_NTZ: cast to TimestampType, an
+    *    identity wall-time mapping under the UTC session — exactly
+    *    how DuckDB's naive TIMESTAMP treats the same values.
+    *
+    * Works on batch and streaming DataFrames alike (schema-driven,
+    * no action).
     */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -31,7 +31,7 @@ object EventStream {
     // dir and select the single events file with pathGlobFilter
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
     val agg = src
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
@@ -68,7 +68,7 @@ object EventStream {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .withColumn("_dup", explode(array(lit(1), lit(2)))).drop("_dup")
       .withWatermark("ts", watermark)
@@ -129,7 +129,7 @@ object EventStream {
     val nCust = customers.count()
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .withColumn("c_custkey", pmod(col("user_id"), lit(nCust)) + 1)
       .join(broadcast(customers), "c_custkey")
@@ -164,7 +164,7 @@ object EventStream {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
     val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("signup_ts"),
         col("event_id").as("signup_event"))
@@ -205,7 +205,7 @@ object EventStream {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
     val sess = src
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap))

@@ -89,7 +89,7 @@ object StreamingSegmentation {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .withWatermark("ts", watermarkDelay)
       .as[SegEvent]

@@ -51,7 +51,7 @@ class RoundTripSpec extends SparkTestBase {
     val ckpt = tmp("graft_stream_ckpt")
     val q = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .select("event_id", "ts", "event_type", "value")
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)

@@ -30,7 +30,7 @@ class IntervalJoinStreamSpec extends SparkTestBase {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
     val lhs = src.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
       .withWatermark("signup_ts", "1 hour")
