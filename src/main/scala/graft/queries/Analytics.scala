@@ -479,8 +479,16 @@ object Analytics {
     * 0.15000000000000002, not decimal 0.15).
     */
   private val qPageRank: Q = (s, d) => {
+    // the test corpus is one single-row-group parquet file → one scan
+    // partition, so the edge projection's partial-distinct would run
+    // on a single core. Hash-repartitioning on exactly the distinct
+    // key satisfies the downstream Aggregate's required distribution
+    // (one exchange total, now with a parallel aggregate side) — on a
+    // real multi-file corpus the scan is already parallel and this
+    // exchange replaces the one distinct() would insert anyway.
     val edges = Tables.lineitem(s, d).select(
       col("l_suppkey").as("src"), pmod(col("l_partkey"), lit(100)).as("dst"))
+      .repartition(s.sparkContext.defaultParallelism, col("src"), col("dst"))
     graft.operators.PageRank.run(edges, "src", "dst", iters = 3)
       .select(col("node"), round(col("rank"), 8).as("rank"))
       .orderBy("node")
@@ -985,6 +993,10 @@ object Analytics {
     // Within-order sets are small (a handful of parts), so the pair
     // explosion is bounded per row.
     val edges = Tables.lineitem(s, d)
+      // single-row-group test file → serial scan; key the exchange on
+      // the groupBy column so the collect_set aggregate (and the pair
+      // explosion above it) runs wide — same rationale as qPageRank
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(expr(
