@@ -217,6 +217,80 @@ object Dedup {
         (col("shared").cast("double") / col("n_b")).as("cont_b_in_a"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
 
+  // ----------------------------------------------------- substring dedup
+  /** Exact substring deduplication — the rolling-window flavour of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., ACL 2022): every k-token window whose text occurs
+    * in ≥ 2 DISTINCT documents marks all k of its token positions as
+    * duplicated, and the cleaned document keeps the uncovered tokens
+    * in their original order. Two properties distinguish this from
+    * C4-style boilerplate removal ([[graft.queries.Analytics]]
+    * q_boilerplate's disjoint 16-word chunks):
+    *
+    *  - the window ROLLS over every start offset, so a shared passage
+    *    is caught at any alignment — chunk-grid duplication that
+    *    straddles chunk boundaries is invisible to the disjoint form;
+    *  - coverage is the positional UNION of overlapping hits, so a
+    *    long shared passage removes exactly its own tokens, not a
+    *    chunk-rounded approximation of them.
+    *
+    * Output: (doc_id, n_tokens, n_dup_tokens, clean_hash) per input
+    * document — `clean_hash` is md5 of the kept tokens re-joined with
+    * single spaces, NULL when every token is covered (the document
+    * is pure duplicated text). Documents shorter than k tokens carry
+    * no windows and survive whole.
+    *
+    * Scale shape: the window explode is O(tokens) narrow rows; the
+    * cross-document frequency test is ONE shuffle keyed on the md5 of
+    * the window text (fixed 32-byte key — the window text itself
+    * never shuffles); coverage union and reassembly group by doc_id.
+    * No all-pairs join and no suffix-array build: the fixed-k
+    * restatement trades the paper's arbitrary-length match discovery
+    * for a fully relational two-shuffle plan (any duplicated run
+    * ≥ k tokens is still found in full — only duplicates shorter
+    * than k escape, which is the standard production tuning knob).
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1, s"window must be at least 1 token, got $k")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("t"))
+    // (doc, start, md5(window)) for every start; 1-based starts keep
+    // slice()/oracle-slice parity
+    val grams = base.select(col("doc_id"),
+      explode(when(size(col("t")) >= k,
+        sequence(lit(1), size(col("t")) - lit(k - 1)))
+        .otherwise(array().cast("array<int>"))).as("start"),
+      col("t"))
+      .select(col("doc_id"), col("start"),
+        md5(array_join(slice(col("t"), col("start"), lit(k)), " ")).as("g"))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("g")
+    val flagged = grams.join(dupGrams, "g").select(col("doc_id"), col("start"))
+    // union of covered positions — overlapping windows collapse here
+    val covered = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+    val dupCounts = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    val toks = base.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x("tok")), " ")).as("clean_hash"))
+    base.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        col("clean_hash"))
+  }
+
   // -------------------------------------------------------------- SimHash
   /** 64-bit SimHash per document via the native
     * [[graft.functions.SimHash64Expr]] kernel: per-row scalar over the

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.VectorOps
+import graft.similarity.Similarity
+
+/** Round-7 training-data curation queries: exact substring dedup
+  * (rolling-window), retrieval-quality evaluation metrics, and the
+  * oracle-parity k-means census. Same driver contract as the other
+  * query modules: every entry has a DuckDB oracle.
+  */
+object Curation {
+  import Core.Q
+
+  // -------------------------------------------------- Q-SUBSTR-DEDUP
+  /** Exact substring dedup ([[Dedup.substringDedup]], the rolling
+    * 16-token-window form of Lee et al. ACL 2022): windows duplicated
+    * across ≥2 documents mark their positional union; per-doc output
+    * is the dup accounting + md5 of the cleaned text. Reads the
+    * parallelized scan — the window md5s are the CPU-heavy part and
+    * the test corpus is a single-file scan partition.
+    */
+  private val qSubstrDedup: Q = (s, d) =>
+    Dedup.substringDedup(Tables.documentsParallel(s, d), "doc_id", "text",
+      k = 16)
+      .orderBy("doc_id")
+
+  private val qSubstrDedupSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.s AS start, u.g AS g
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(t) - 14),
+      |            i -> {'s': i, 'g': md5(array_to_string(t[i:i+15], ' '))})) AS u
+      |        FROM t WHERE len(t) >= 16)),
+      |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |f AS (SELECT doc_id, start FROM g JOIN dup USING (g)),
+      |cov AS (SELECT DISTINCT doc_id, pos
+      |        FROM (SELECT doc_id, unnest(range(start, start + 16)) AS pos FROM f)),
+      |dc AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id),
+      |toks AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+      |         FROM t),
+      |kept AS (
+      |  SELECT k.doc_id, md5(string_agg(k.tok, ' ' ORDER BY k.pos)) AS clean_hash
+      |  FROM toks k
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |                    WHERE c.doc_id = k.doc_id AND c.pos = k.pos)
+      |  GROUP BY k.doc_id)
+      |SELECT t.doc_id, len(t.t) AS n_tokens,
+      |       coalesce(dc.n_dup_tokens, 0) AS n_dup_tokens, kept.clean_hash
+      |FROM t LEFT JOIN dc USING (doc_id) LEFT JOIN kept USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ Q-EVAL-RETRIEVAL
+  /** Retrieval-quality evaluation — the metrics layer every ANN
+    * variant in this engine is judged by, as a first-class query:
+    * per probe (the 20 lowest vec_ids), compare the sign-LSH
+    * bucketed top-10 ([[Similarity.bucketedTopK]]'s probe shape,
+    * Hamming ≤ 1 over the 8 leading sign bits) against the exact
+    * cosine top-10, and emit recall@10, MRR and binary-relevance
+    * nDCG@10. Probes are broadcast; the candidate cut runs BEFORE
+    * any ranking window, so windowed input is bounded by the bucket
+    * population, never the corpus.
+    */
+  private val qEvalRetrieval: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def signBucket(v: Column): Column =
+      (1 to 8).map(i => when(element_at(v, i) >= 0f,
+        lit(1L << (8 - i))).otherwise(lit(0L))).reduce(_ + _)
+    val cos = VectorOps.cosineFor(emb, "embedding")
+    // exact ground truth: per-probe top-10 of the full corpus scan
+    val allSims = emb.crossJoin(broadcast(probes))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("embedding"), col("qv")).as("cosine"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val truth = allSims.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"), lit(1).as("rel"))
+    // system under test: bucketed candidates, then the same ranking
+    val sys = emb
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding")).as("bucket"))
+      .crossJoin(broadcast(probes
+        .select(col("query_id"), col("qv"), signBucket(col("qv")).as("qb"))))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qb"))) <= 1)
+      .select(col("query_id"), col("vec_id"),
+        cos(col("embedding"), col("qv")).as("cosine"))
+      .withColumn("srank", row_number().over(wq))
+      .filter(col("srank") <= 10)
+    // idcg via the engine's own log2 (the oracle recomputes it with
+    // DuckDB's — both sides round to 6dp so last-ulp log differences
+    // can't surface)
+    val idcg = (1 to 10).map(i => lit(1.0) / log2(lit(i + 1.0))).reduce(_ + _)
+    sys.join(truth, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("srank"),
+        coalesce(col("rel"), lit(0)).as("rel"))
+      .groupBy(col("query_id"))
+      .agg(
+        round(sum(col("rel")) / lit(10.0), 6).as("recall_at_10"),
+        round(coalesce(
+          max(when(col("rel") === 1, lit(1.0) / col("srank"))), lit(0.0)), 6)
+          .as("mrr"),
+        round((sum(when(col("rel") === 1,
+          lit(1.0) / log2(col("srank") + 1)).otherwise(lit(0.0))) / idcg), 6)
+          .as("ndcg_at_10"))
+      .orderBy("query_id")
+  }
+
+  private val qEvalRetrievalSql =
+    """WITH p AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |sims AS (
+      |  SELECT p.query_id, e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, p.qv),
+      |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(e.embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(p.qv,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos
+      |  FROM embeddings e CROSS JOIN p),
+      |truth AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY cos DESC, vec_id) AS rk
+      |    FROM sims) WHERE rk <= 10),
+      |qb AS (SELECT query_id,
+      |    CAST(list_sum(list_transform(qv[1:8],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 8 - i) AS BIGINT)
+      |                ELSE 0 END)) AS BIGINT) AS b
+      |  FROM p),
+      |cb AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(embedding[1:8],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 8 - i) AS BIGINT)
+      |                ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |sysr AS (
+      |  SELECT query_id, vec_id, srank FROM (
+      |    SELECT s.query_id, s.vec_id,
+      |      row_number() OVER (PARTITION BY s.query_id
+      |                         ORDER BY s.cos DESC, s.vec_id) AS srank
+      |    FROM sims s
+      |    JOIN cb ON cb.vec_id = s.vec_id
+      |    JOIN qb ON qb.query_id = s.query_id
+      |    WHERE bit_count(xor(cb.bucket, qb.b)) <= 1)
+      |  WHERE srank <= 10),
+      |j AS (
+      |  SELECT s.query_id, s.srank,
+      |         CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      |  FROM sysr s LEFT JOIN truth t
+      |    ON s.query_id = t.query_id AND s.vec_id = t.vec_id)
+      |SELECT query_id,
+      |  round(sum(rel) / 10.0, 6) AS recall_at_10,
+      |  round(coalesce(max(CASE WHEN rel = 1 THEN 1.0 / srank END), 0), 6)
+      |    AS mrr,
+      |  round(sum(CASE WHEN rel = 1 THEN 1.0 / log2(srank + 1) ELSE 0 END) /
+      |        (SELECT sum(1.0 / log2(i + 1))
+      |         FROM (SELECT unnest(range(1, 11)) AS i)), 6) AS ndcg_at_10
+      |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------------------- Q-CLUSTER
+  /** Deterministic k-means census ([[Similarity.kmeansAssignments]]:
+    * lowest-id init, 2 Lloyd rounds, decimal-sum/count means): the
+    * embedding-clustering step SemDeDup-style pipelines and IVF
+    * coarse quantizers are built from, surfaced as a checkable
+    * query. Per cluster: member count, lowest member id, and the
+    * mean squared L2 distance to the centroid (the inertia/k
+    * signal) — the mean is decimal-summed so partial-aggregation
+    * order can't move it.
+    */
+  private val qCluster: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    Similarity.kmeansAssignments(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 8, iters = 2)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_member"),
+        round(sum(col("sqdist").cast(DecimalType(38, 20))).cast("double") /
+          count(lit(1)), 6).as("mean_sqdist"))
+      .orderBy("cluster")
+  }
+
+  /** Unrolled 2-round Lloyd in SQL (the q_pagerank oracle pattern):
+    * init = 8 lowest-id vectors, assignment = argmin squared L2 with
+    * (dist, cluster) tie order, means = exact decimal sums / counts
+    * cast once to double, empty cells keep their centroid.
+    */
+  private val qClusterSql: String = {
+    def assign(cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, embedding, cluster, dist FROM (
+         |    SELECT e.vec_id, e.embedding, c.c AS cluster,
+         |      list_sum(list_transform(list_zip(e.embedding, c.cv),
+         |        p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+         |             (CAST(p[1] AS DOUBLE) - p[2]))) AS dist,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_sum(list_transform(list_zip(e.embedding, c.cv),
+         |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+         |               (CAST(p[1] AS DOUBLE) - p[2]))), c.c) AS rn
+         |    FROM embeddings e CROSS JOIN $cent c)
+         |  WHERE rn = 1)""".stripMargin
+    def step(prev: String, asg: String, out: String) =
+      s"""${assign(prev, asg)},
+         |${out}_m AS (
+         |  SELECT cluster AS c, list(mv ORDER BY pos) AS cv
+         |  FROM (SELECT cluster, pos,
+         |          CAST(sum(CAST(val AS DECIMAL(38, 20))) AS DOUBLE)
+         |            / count(*) AS mv
+         |        FROM (SELECT cluster, unnest(embedding) AS val,
+         |                generate_subscripts(embedding, 1) AS pos FROM $asg)
+         |        GROUP BY cluster, pos)
+         |  GROUP BY cluster),
+         |$out AS (
+         |  SELECT p.c, coalesce(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN ${out}_m m USING (c))""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |${step("c0", "a1", "c1")},
+       |${step("c1", "a2", "c2")},
+       |${assign("c2", "af")}
+       |SELECT cluster, count(*) AS n_members, min(vec_id) AS min_member,
+       |  round(CAST(sum(CAST(dist AS DECIMAL(38, 20))) AS DOUBLE)
+       |    / count(*), 6) AS mean_sqdist
+       |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
+  // ----------------------------------------------------------- maps
+  val defs: Map[String, Q] = Map(
+    "q_substr_dedup" -> qSubstrDedup,
+    "q_eval_retrieval" -> qEvalRetrieval,
+    "q_cluster" -> qCluster)
+
+  val oracles: Map[String, String] = Map(
+    "q_substr_dedup" -> qSubstrDedupSql,
+    "q_eval_retrieval" -> qEvalRetrievalSql,
+    "q_cluster" -> qClusterSql)
+}

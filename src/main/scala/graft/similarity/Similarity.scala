@@ -234,6 +234,71 @@ object Similarity {
     centroids
   }
 
+  /** Deterministic Lloyd k-means ASSIGNMENTS with cross-engine-exact
+    * arithmetic — the oracle-parity clustering path
+    * ([[trainCentroids]] stays the hash-seeded variant IVF/PQ build
+    * on; its decimal AVG and xxhash init cannot be restated in
+    * portable SQL):
+    *
+    *  - init = the k lowest-id vectors (ORDER BY id LIMIT k);
+    *  - per-cell means = decimal SUM / COUNT, one final cast to
+    *    double — decimal sums are exact and order-independent under
+    *    partial aggregation, where a double sum is IEEE754
+    *    order-dependent and another engine's decimal AVG may degrade
+    *    to a double accumulator;
+    *  - squared-L2 folds dimensions in index order; argmin ties
+    *    break toward the lower cell index; empty cells keep their
+    *    previous centroid.
+    *
+    * Returns (idCol, cluster, sqdist) for every input row. Only
+    * k×dim values reach the driver per round; assignment is a
+    * broadcast argmin over the corpus.
+    */
+  def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    import org.apache.spark.sql.types.DecimalType
+    val work = emb.select(col(idCol), col(vecCol)).cache()
+    var centroids: Array[Array[Double]] = work.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until iters if dim > 0) {
+      val cs = centroids
+      val assignU = udf(nearestCell(cs) _)
+      def dsum(i: Int) = sum(element_at(col(vecCol), i + 1)
+        .cast(DecimalType(38, 20))).as(s"s$i")
+      val rows = work.groupBy(assignU(col(vecCol)).as("cell"))
+        .agg(count(lit(1)).as("n"), (0 until dim).map(dsum): _*)
+        .collect()
+      val means = rows.map { r =>
+        val n = r.getLong(1).toDouble
+        r.getInt(0) ->
+          (0 until dim).map(i => r.getDecimal(i + 2).doubleValue() / n).toArray
+      }.toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    work.unpersist()
+    val cs = centroids
+    val assignDistU = udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      val arr = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+      var c = 0
+      while (c < cs.length) {
+        val d = l2sq(cs(c), arr)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
+    }
+    emb.select(col(idCol), assignDistU(col(vecCol)).as("ad"))
+      .select(col(idCol), col("ad._1").as("cluster"),
+        col("ad._2").as("sqdist"))
+  }
+
   /** All-pairs exact cosine for a (small, broadcastable) query set
     * against the corpus: query rows are broadcast, corpus streams.
     */

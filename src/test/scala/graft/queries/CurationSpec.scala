@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Planted-case tests for the round-7 curation operators: rolling
+  * substring dedup, the oracle-parity k-means, and the retrieval
+  * metrics query's fixed-point invariants.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  // a 20-token passage shared by docs 1 and 2 at different offsets;
+  // doc 3 is unrelated; doc 4 is shorter than the window; doc 5 IS a
+  // 16-token slice of the passage (fully duplicated text); doc 6
+  // repeats its own private passage twice (within-doc only)
+  private val passage = words("shared", 20)
+  private val privatePassage = words("solo", 16)
+  private lazy val docs = Seq(
+    (1L, words("apre", 8) + " " + passage + " " + words("atail", 5)),
+    (2L, words("bpre", 3) + " " + passage),
+    (3L, words("unrelated", 40)),
+    (4L, words("short", 10)),
+    (5L, passage.split(" ").take(16).mkString(" ")),
+    (6L, privatePassage + " " + privatePassage)
+  ).toDF("doc_id", "text")
+
+  private lazy val substr =
+    Dedup.substringDedup(docs, "doc_id", "text", k = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+
+  test("substring dedup: overlapping windows union to the exact shared span") {
+    // docs 1/2 share the 20-token passage: five 16-token alignments
+    // flag it, their positional union is exactly the 20 passage
+    // tokens — no chunk rounding on either side
+    assert(substr(1L)._1 == 33L && substr(1L)._2 == 20L)
+    assert(substr(2L)._1 == 23L && substr(2L)._2 == 20L)
+    // cleaned text = the non-passage tokens, in order
+    val expectClean1 = words("apre", 8) + " " + words("atail", 5)
+    val expectHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectClean1.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(substr(1L)._3.contains(expectHash))
+  }
+
+  test("substring dedup: doc 5 (16-token slice of the passage) is fully covered") {
+    // its single window matches docs 1/2 → every token covered →
+    // nothing kept, NULL clean hash
+    assert(substr(5L) == ((16L, 16L, None)))
+  }
+
+  test("substring dedup: unrelated, short, and within-doc-repeat docs survive whole") {
+    assert(substr(3L)._2 == 0L && substr(3L)._3.isDefined)
+    assert(substr(4L)._2 == 0L) // < k tokens: no windows at all
+    // doc 6's repeated passage exists in ONE distinct document only —
+    // the cross-document frequency test must not flag it
+    assert(substr(6L)._2 == 0L && substr(6L)._3.isDefined)
+  }
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("kmeans: iters=0 assigns the k lowest-id points to their own cluster at distance 0") {
+    val emb = Seq(
+      (0L, vec(1, 0, 0)), (1L, vec(0, 1, 0)),
+      (2L, vec(0.9, 0.1, 0)), (3L, vec(0.1, 0.9, 0))
+    ).toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssignments(emb, "vec_id", "embedding",
+      k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(a(0L) == ((0, 0.0)) && a(1L) == ((1, 0.0)))
+    assert(a(2L)._1 == 0 && a(3L)._1 == 1)
+  }
+
+  test("kmeans: separable groups converge to the group structure, deterministically") {
+    val groupA = (0 until 6).map(i => (i.toLong, vec(10 + 0.01 * i, 0, 0)))
+    val groupB = (6 until 12).map(i => (i.toLong, vec(0, 10 + 0.01 * i, 0)))
+    val emb = (groupA ++ groupB).toDF("vec_id", "embedding")
+    def run() = Similarity.kmeansAssignments(emb, "vec_id", "embedding",
+      k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val r1 = run()
+    assert(r1 == run(), "re-run must be bit-identical")
+    val byCluster = r1.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.values.toSet ==
+      Set((0L until 6L).toSet, (6L until 12L).toSet))
+  }
+
+  test("retrieval metrics: every probe self-hits at rank 1 (MRR = 1), metrics in [0,1]") {
+    val m = Curation.defs("q_eval_retrieval")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(m.length == 20)
+    m.foreach { case (_, recall, mrr, ndcg) =>
+      assert(mrr == 1.0) // the probe's own vector: cosine 1, lowest rank
+      assert(recall > 0.0 && recall <= 1.0)
+      assert(ndcg > 0.0 && ndcg <= 1.0)
+      assert(ndcg >= recall * 0.2) // sanity: relevance found can't vanish from DCG
+    }
+  }
+}
