@@ -81,8 +81,10 @@ object ScaleRehearsal {
     writeT(replicate(t("lineitem"), factor,
       Seq("l_orderkey", "l_partkey", "l_suppkey"))
       .drop("graft_rep"), dir, "lineitem")
-    // events.ts is ns — read as raw long (vectorized reader rejects ns
-    // timestamps), write back as long; Tables.events handles both
+    // events.ts generation-dependent: ns data reads as raw long under
+    // nanosAsLong (harmless for µs data, which passes through as
+    // TIMESTAMP_NTZ); either form round-trips and Tables.normalizeTs
+    // handles both on read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try writeT(replicate(t("events"), factor, Seq("event_id", "user_id"))
       .drop("graft_rep"), dir, "events")
@@ -112,7 +114,12 @@ object ScaleRehearsal {
     // round-5 compositions: generation + search over 1M docs (brute
     // fused scan vs postings explode+join — the sparse crossover), and
     // the full LSH→verify→CC→survivors dedup pipeline
-    "q_embed_search", "q_embed_search_postings")
+    "q_embed_search", "q_embed_search_postings",
+    // round-7: rolling-window substring dedup (window-md5 shuffle is
+    // the O(tokens) risk), k-means census (per-round argmin scans ×
+    // K× corpus), and the retrieval-metrics probe join (sign buckets
+    // at K× occupancy)
+    "q_substr_dedup", "q_cluster", "q_eval_retrieval")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache spools every read/write through a
+  // TEMP FILE — for in-memory byte[] payloads that is pure disk churn
+  // (thousands of temp-file create/delete per task, cost set by the
+  // box's /tmp, not by the decode). Media payloads here are always
+  // heap-resident, so use the memory cache. JVM-global, idempotent;
+  // executors hit it on first touch of this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, feature: Array[Float])
