@@ -99,7 +99,10 @@ object Curation {
     // DuckDB's — both sides round to 6dp so last-ulp log differences
     // can't surface)
     val idcg = (1 to 10).map(i => lit(1.0) / log2(lit(i + 1.0))).reduce(_ + _)
-    sys.join(truth, Seq("query_id", "vec_id"), "left")
+    // truth is bounded at nProbes×10 rows by construction — broadcast
+    // it so the metrics join never sort-merges (stats can't see the
+    // bound through the window)
+    sys.join(broadcast(truth), Seq("query_id", "vec_id"), "left")
       .select(col("query_id"), col("srank"),
         coalesce(col("rel"), lit(0)).as("rel"))
       .groupBy(col("query_id"))

@@ -168,4 +168,28 @@ class PlanSpec extends SparkTestBase {
       assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q: ${p.take(1200)}")
     }
   }
+
+  test("q_substr_dedup never goes all-pairs: window joins are equi-joins on the gram/position") {
+    val p = plan("q_substr_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the gram-text never shuffles — only its fixed-width md5 appears
+    // as a join/aggregate key (the scan projects text, everything
+    // wide is keyed on g/doc_id/pos)
+    assert(p.contains("md5"), p.take(800))
+  }
+
+  test("q_eval_retrieval broadcasts the probe side; ranking windows run after the cut") {
+    val p = plan("q_eval_retrieval")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800)) // broadcast NL is the probe fanout
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q_cluster's census is one partial aggregation over the assignment scan") {
+    val p = plan("q_cluster")
+    assert(!p.contains("Join"), p.take(600))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
 }
