@@ -238,14 +238,62 @@ object Curation {
        |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  // --------------------------------------------------- Q-LM-EXAMPLES
+  /** Next-token training-example construction — the step that turns
+    * curated text into LM batches: each document is cut into blocks
+    * of 17 tokens at stride 16 (so consecutive blocks share one
+    * boundary token, the standard block_size+1 window), and each
+    * block yields input = tokens[0..n-2], label = tokens[1..n-1].
+    * Output carries md5 of both sequences (portable scalars; raw
+    * arrays would bloat the compare) plus the pair count. Documents
+    * with fewer than 2 tokens yield nothing. Everything is a narrow
+    * per-row transform — no shuffle at all until the driver-ordered
+    * output sort, which a production writer would replace with a
+    * partitioned write.
+    */
+  private val qLmExamples: Q = (s, d) => {
+    val t = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        posexplode(transform(
+          expr("sequence(1, (size(t) - 2) div 16 + 1)"),
+          b => slice(col("t"), (b - 1) * 16 + 1, lit(17))))
+          .as(Seq("b0", "blk")))
+      .select(col("doc_id"), (col("b0") + 1).cast("long").as("block_id"),
+        (size(col("blk")) - 1).cast("long").as("n_pairs"),
+        md5(array_join(slice(col("blk"), lit(1), size(col("blk")) - 1), " "))
+          .as("input_hash"),
+        md5(array_join(slice(col("blk"), lit(2), size(col("blk")) - 1), " "))
+          .as("label_hash"))
+      .orderBy("doc_id", "block_id")
+  }
+
+  private val qLmExamplesSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id, u.b AS block_id, u.blk AS blk
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, (len(t) - 2) // 16 + 2),
+      |            b -> {'b': b, 'blk': t[(b-1)*16+1:(b-1)*16+17]})) AS u
+      |        FROM t WHERE len(t) >= 2))
+      |SELECT doc_id, CAST(block_id AS BIGINT) AS block_id,
+      |  CAST(len(blk) - 1 AS BIGINT) AS n_pairs,
+      |  md5(array_to_string(blk[1:len(blk)-1], ' ')) AS input_hash,
+      |  md5(array_to_string(blk[2:len(blk)], ' ')) AS label_hash
+      |FROM b ORDER BY doc_id, block_id""".stripMargin
+
   // ----------------------------------------------------------- maps
   val defs: Map[String, Q] = Map(
     "q_substr_dedup" -> qSubstrDedup,
     "q_eval_retrieval" -> qEvalRetrieval,
-    "q_cluster" -> qCluster)
+    "q_cluster" -> qCluster,
+    "q_lm_examples" -> qLmExamples)
 
   val oracles: Map[String, String] = Map(
     "q_substr_dedup" -> qSubstrDedupSql,
     "q_eval_retrieval" -> qEvalRetrievalSql,
-    "q_cluster" -> qClusterSql)
+    "q_cluster" -> qClusterSql,
+    "q_lm_examples" -> qLmExamplesSql)
 }

@@ -92,6 +92,31 @@ class CurationSpec extends SparkTestBase {
       Set((0L until 6L).toSet, (6L until 12L).toSet))
   }
 
+  test("lm examples: stride-16/window-17 blocks share one boundary token and shift by one") {
+    val toks = (1 to 20).map(i => s"w$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, "only"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    // drive the public query against a scratch table dir — same code
+    // path the driver uses
+    val dir = java.nio.file.Files.createTempDirectory("lmex").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.defs("q_lm_examples")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: 20 tokens → block 1 = w1..w17, block 2 = w17..w20
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1L, 16L, md5(toks.take(16).mkString(" ")),
+        md5(toks.slice(1, 17).mkString(" "))),
+      (1L, 2L, 3L, md5(toks.slice(16, 19).mkString(" ")),
+        md5(toks.slice(17, 20).mkString(" ")))))
+    // 1-token doc yields nothing; 2-token doc yields a single pair
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 1L, 1L, md5("a"), md5("b"))))
+  }
+
   test("retrieval metrics: every probe self-hits at rank 1 (MRR = 1), metrics in [0,1]") {
     val m = Curation.defs("q_eval_retrieval")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
