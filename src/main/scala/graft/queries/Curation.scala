@@ -284,16 +284,160 @@ object Curation {
       |  md5(array_to_string(blk[2:len(blk)], ' ')) AS label_hash
       |FROM b ORDER BY doc_id, block_id""".stripMargin
 
+  // -------------------------------------------------- Q-EXPECTATIONS
+  /** Declarative data-quality expectations (the Deequ-style
+    * constraint-suite shape): six constraints over the document
+    * corpus — id uniqueness, text completeness, n_chars/text
+    * consistency, ISO-639-ish lang pattern, source naming pattern,
+    * n_chars bounds — ALL evaluated in ONE aggregation pass (the
+    * whole suite compiles into a single scan + partial agg; adding a
+    * constraint adds a column, never a job). Per constraint:
+    * violation count, satisfaction fraction, pass flag. All
+    * comparisons are null-safe (a null fails the constraint, it
+    * never vanishes from the count).
+    */
+  private val qExpectations: Q = (s, d) => {
+    def viol(c: Column) = sum(when(c, 1L).otherwise(0L))
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      viol(col("text").isNull || length(col("text")) === 0).as("v_text"),
+      viol(col("text").isNull || col("n_chars").isNull ||
+        col("n_chars") =!= length(col("text"))).as("v_len"),
+      viol(col("lang").isNull || !col("lang").rlike("^[a-z]{2}$")).as("v_lang"),
+      viol(col("source").isNull ||
+        !col("source").rlike("^src[0-9]+$")).as("v_src"),
+      viol(col("n_chars").isNull || col("n_chars") < 1 ||
+        col("n_chars") > 100000).as("v_bounds"))
+      .select(expr(
+        """stack(6,
+          |  'doc_id_unique', n - n_ids,
+          |  'lang_iso2', v_lang,
+          |  'n_chars_bounds', v_bounds,
+          |  'n_chars_consistent', v_len,
+          |  'source_pattern', v_src,
+          |  'text_nonempty', v_text) AS (check_name, n_violations)""".stripMargin),
+        col("n"))
+      .select(col("check_name"), col("n_violations"),
+        round(lit(1.0) - col("n_violations").cast("double") / col("n"), 6)
+          .as("satisfaction"),
+        (col("n_violations") === 0).as("pass"))
+      .orderBy("check_name")
+  }
+
+  private val qExpectationsSql =
+    """WITH a AS (
+      |  SELECT count(*) AS n, count(DISTINCT doc_id) AS n_ids,
+      |    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_text,
+      |    CAST(sum(CASE WHEN text IS NULL OR n_chars IS NULL
+      |                    OR n_chars <> length(text)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_len,
+      |    CAST(sum(CASE WHEN lang IS NULL
+      |                    OR NOT regexp_matches(lang, '^[a-z]{2}$')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+      |    CAST(sum(CASE WHEN source IS NULL
+      |                    OR NOT regexp_matches(source, '^src[0-9]+$')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_src,
+      |    CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+      |                    OR n_chars > 100000
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_bounds
+      |  FROM documents),
+      |c AS (
+      |  SELECT 'doc_id_unique' AS check_name, n - n_ids AS n_violations FROM a
+      |  UNION ALL SELECT 'lang_iso2', v_lang FROM a
+      |  UNION ALL SELECT 'n_chars_bounds', v_bounds FROM a
+      |  UNION ALL SELECT 'n_chars_consistent', v_len FROM a
+      |  UNION ALL SELECT 'source_pattern', v_src FROM a
+      |  UNION ALL SELECT 'text_nonempty', v_text FROM a)
+      |SELECT check_name, n_violations,
+      |  round(1.0 - CAST(n_violations AS DOUBLE) / (SELECT n FROM a), 6)
+      |    AS satisfaction,
+      |  n_violations = 0 AS pass
+      |FROM c ORDER BY check_name""".stripMargin
+
+  // ------------------------------------------------ Q-SPLIT-LEAKPROOF
+  /** Leakage-proof train/val/test split: q_split's deterministic
+    * md5-byte assignment, but keyed on the NEAR-DUP CLUSTER
+    * representative instead of the document id, so every member of a
+    * near-duplicate cluster lands in the same split — the standard
+    * guard against test-set contamination (a near-copy of a training
+    * document in the eval split evaluates memorization, not
+    * generalization). Composition of proven parts: MinHash+LSH pairs
+    * (complete-recall band shape at J≥0.5 on this corpus, the
+    * q_dedup_drop analysis) → connected components → min-id
+    * representative → md5-threshold split on the representative.
+    * Singletons key on themselves, so for a duplicate-free corpus
+    * this degrades to exactly q_split's assignment.
+    */
+  private val qSplitLeakproof: Q = (s, d) => {
+    val docs = Tables.documentsParallel(s, d)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, shingleK = 5, bands = 16, rowsPerBand = 2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val comp = graft.dedup.ConnectedComponents.components(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+    val bucket = conv(substring(md5(col("cluster").cast("string")), 1, 2),
+      16, 10).cast("int")
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 204, "train").when(bucket < 230, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val qSplitLeakproofSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 3, 1)),
+      |    i -> array_to_string(t[i:i+4], ' '))) AS shs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 5),
+      |inv AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT id_a, id_b,
+      |    len(list_intersect(x.shs, y.shs)) AS inter,
+      |    len(x.shs) AS na, len(y.shs) AS nb
+      |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM j
+      |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |walk(node, lbl) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.node = e.a),
+      |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+      |lab AS (
+      |  SELECT doc_id, coalesce(component, doc_id) AS cluster
+      |  FROM documents LEFT JOIN comp ON doc_id = node)
+      |SELECT doc_id, cluster,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 2) AS INTEGER) < 204 THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 2) AS INTEGER) < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM lab ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- maps
   val defs: Map[String, Q] = Map(
     "q_substr_dedup" -> qSubstrDedup,
     "q_eval_retrieval" -> qEvalRetrieval,
     "q_cluster" -> qCluster,
-    "q_lm_examples" -> qLmExamples)
+    "q_lm_examples" -> qLmExamples,
+    "q_expectations" -> qExpectations,
+    "q_split_leakproof" -> qSplitLeakproof)
 
   val oracles: Map[String, String] = Map(
     "q_substr_dedup" -> qSubstrDedupSql,
     "q_eval_retrieval" -> qEvalRetrievalSql,
     "q_cluster" -> qClusterSql,
-    "q_lm_examples" -> qLmExamplesSql)
+    "q_lm_examples" -> qLmExamplesSql,
+    "q_expectations" -> qExpectationsSql,
+    "q_split_leakproof" -> qSplitLeakproofSql)
 }

@@ -117,6 +117,47 @@ class CurationSpec extends SparkTestBase {
       Seq((3L, 1L, 1L, md5("a"), md5("b"))))
   }
 
+  test("expectations: planted violations are counted exactly, one per constraint") {
+    val df = Seq(
+      (1L, "good text here", "en", "src0", 14L),
+      (1L, "dup id", "en", "src1", 6L), // violates doc_id_unique
+      (2L, "", "en", "src2", 0L), // violates text_nonempty
+      (3L, "wrong count", "en", "src3", 99L), // violates n_chars_consistent
+      (4L, "bad lang", "EN!", "src4", 8L), // violates lang_iso2
+      (5L, "bad source", "fr", "other", 10L) // violates source_pattern
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("expect").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.defs("q_expectations")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out("doc_id_unique") == ((1L, false)))
+    assert(out("text_nonempty") == ((1L, false)))
+    assert(out("n_chars_consistent") == ((1L, false)))
+    assert(out("lang_iso2") == ((1L, false)))
+    assert(out("source_pattern") == ((1L, false)))
+    assert(out("n_chars_bounds") == ((1L, false))) // the empty doc's 0 chars
+  }
+
+  test("split leakproof: near-dup cluster members land in the same split") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val df = Seq(
+      (10L, base), (11L, nearDup), // a near-dup pair (J >> 0.5)
+      (12L, (100 to 130).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text").withColumn("source", lit("src0"))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("leak").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.defs("q_split_leakproof")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // both members of the cluster share the min-id representative AND
+    // the split; the unrelated doc keys on itself
+    assert(out(10L)._1 == 10L && out(11L)._1 == 10L)
+    assert(out(10L)._2 == out(11L)._2)
+    assert(out(12L)._1 == 12L)
+  }
+
   test("retrieval metrics: every probe self-hits at rank 1 (MRR = 1), metrics in [0,1]") {
     val m = Curation.defs("q_eval_retrieval")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
