@@ -1282,6 +1282,33 @@ object TrainingData {
       |FROM ripe QUALIFY segment >= 1
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Streaming backward as-of join ([[graft.streaming.StreamingAsOf]]
+    * — the custom stateful temporal join Structured Streaming lacks):
+    * each non-signup event matched to its user's latest signup at or
+    * before it, emitted once the watermark finalizes the match. The
+    * oracle is the batch q_asof ASOF LEFT JOIN restricted to the
+    * watermark-ripe probe rows — the stream must equal the batch
+    * join on everything it is allowed to emit.
+    */
+  private val qStreamAsof: Q = (s, d) =>
+    graft.streaming.StreamingAsOf.asofFile(s, d)
+
+  private val qStreamAsofSql =
+    """WITH cut AS (
+      |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS c
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts, max(event_id) AS signup_id FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id, ts),
+      |l AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type <> 'signup'
+      |    AND ts < (SELECT c + INTERVAL '1 millisecond' FROM cut))
+      |SELECT l.event_id, l.user_id, l.ts,
+      |       r.ts AS asof_ts, r.signup_id AS asof_signup_id
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   /** Streaming session_window (gap merge) — append-mode cutoff ⇒ only
     * sessions whose end (last ts + 30 min gap) is at or below the
     * final watermark (max ts − 10 min) are emitted; the oracle states
@@ -1594,6 +1621,7 @@ object TrainingData {
     "q_approx" -> qApprox,
     "q_stream_window" -> qStream,
     "q_stream_seg" -> qStreamSeg,
+    "q_stream_asof" -> qStreamAsof,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_join" -> qStreamJoin,
     "q_stream_topk" -> qStreamTopK,
@@ -1642,6 +1670,7 @@ object TrainingData {
     "q_video_decode" -> qVideoDecodeSql,
     "q_stream_window" -> qStreamSql,
     "q_stream_seg" -> qStreamSegSql,
+    "q_stream_asof" -> qStreamAsofSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_session" -> qStreamSessionSql,
     "q_stream_join" -> qStreamJoinSql,

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Output row: a left event with its backward as-of match (NULL
+  * columns when the user has no signup at or before the event).
+  */
+final case class AsOfRow(event_id: Long, user_id: Long, ts: Timestamp,
+    asof_ts: Option[Timestamp], asof_signup_id: Option[Long])
+
+/** Per-user state: reference-side rows seen so far (compacted below
+  * the watermark) + left rows still above the watermark.
+  */
+final case class AsOfJoinState(signups: List[SegEvent], pending: List[SegEvent])
+
+/** Streaming backward AS-OF join — the temporal-join shape batch
+  * [[graft.operators.AsOfJoin]] covers, as a custom stateful
+  * streaming operator (Structured Streaming has stream-stream
+  * interval joins but no as-of join; Flink calls this a temporal
+  * join). Each non-reference event is matched to its user's LATEST
+  * reference event at or before it (ties per (user, ts) resolve to
+  * the max event_id, the batch q_asof contract).
+  *
+  * Out-of-order safety comes from the watermark, not arrival order:
+  * a left event is emitted only once the watermark passes its event
+  * time — at that point every reference row at or before it has
+  * either arrived or is excluded by the lateness contract, so the
+  * match is final (same guarantee shape as
+  * [[StreamingSegmentation]], proved batch-vs-stream in its spec).
+  *
+  * State is bounded on BOTH sides: left rows buffer only while above
+  * the watermark, and reference rows at or below it compact to the
+  * single best candidate — any future left event has a later event
+  * time, so only the latest matured reference row can ever win.
+  * State per user = 1 compacted row + the sub-watermark-delay tails.
+  */
+object StreamingAsOf {
+
+  /** Apply the stateful as-of join to a (possibly streaming)
+    * Dataset[SegEvent] already carrying a watermark on `ts`. Rows
+    * with `event_type == rightType` form the reference side; all
+    * other rows are the probe side.
+    */
+  def asof(events: Dataset[SegEvent], rightType: String = "signup"): Dataset[AsOfRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def key(e: SegEvent) = (e.ts.getTime, e.ts.getNanos, e.event_id)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfJoinState, AsOfRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SegEvent], state: GroupState[AsOfJoinState]) =>
+          val st = state.getOption.getOrElse(AsOfJoinState(Nil, Nil))
+          val (newR, newL) = it.toList.partition(_.event_type == rightType)
+          val signups = st.signups ++ newR
+          val wmMs = state.getCurrentWatermarkMs()
+          // ripe = the watermark passed them: every matching reference
+          // row is in `signups` (or excluded as late) — match is final
+          val (ripe, pending) = (st.pending ++ newL)
+            .partition(_.ts.getTime <= wmMs)
+          val out = ripe.map { e =>
+            val best = signups.filter(_.ts.compareTo(e.ts) <= 0) match {
+              case Nil => None
+              case cs => Some(cs.maxBy(key))
+            }
+            AsOfRow(e.event_id, uid, e.ts,
+              best.map(_.ts), best.map(_.event_id))
+          }
+          // compact matured reference rows to the single best: future
+          // left events sit above the watermark, so older ones lost
+          val (matured, live) = signups.partition(_.ts.getTime <= wmMs)
+          val compacted =
+            (if (matured.nonEmpty) List(matured.maxBy(key)) else Nil) ++ live
+          state.update(AsOfJoinState(compacted, pending))
+          // re-fire on every watermark advance so newly-ripe rows
+          // flush even with no further data for this key
+          state.setTimeoutTimestamp(wmMs + 1)
+          out.iterator
+      }
+  }
+
+  /** Run the streaming as-of join over the events parquet as a
+    * file-source stream into a memory sink. Deterministic: same
+    * input → same rows.
+    */
+  def asofFile(spark: SparkSession, dir: String, rightType: String = "signup",
+      watermarkDelay: String = "10 minutes",
+      statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.Tables.normalizeTs)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SegEvent]
+    val name = s"stream_asof_${System.nanoTime()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = asof(src, rightType).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy("event_id")
+  }
+}
