@@ -67,6 +67,49 @@ object AsOfJoin {
     bounded.select((left.columns.map(col) ++ outCols.map(col)): _*)
   }
 
+  /** Forward as-of join — the mirror of [[backward]]: each left row
+    * picks the EARLIEST right row with `r.ts >= l.ts` within the same
+    * key (the "next event after" operator: next maintenance after a
+    * failure, next quote after an order). Same scalable union-window
+    * formulation, reflected: right rows sort AFTER left rows at equal
+    * timestamps (so `>=` includes the same-instant match) and
+    * `first(payload) ignore nulls` runs over the FOLLOWING frame.
+    * One hash shuffle + per-key sort, like the backward form.
+    *
+    * Same tie contract as [[backward]]: dedup the right side per
+    * (key, ts) first — "earliest among ties" is engine-defined
+    * otherwise. `tolerance` bounds the look-AHEAD: matches further
+    * than `r.ts - l.ts <= tolerance` null out.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], tolerance: Option[Column] = None): DataFrame = {
+    val side = "_asof_side"
+    val outCols = "asof_ts" +: payload.map(p => s"asof_$p")
+    require(!left.columns.exists(outCols.contains),
+      s"left already has ${outCols.mkString("/")} columns")
+    val l = left.withColumn(side, lit(1))
+    val r = right.select(
+      col(key) +: col(ts).as("asof_ts") +:
+        payload.map(p => col(p).as(s"asof_$p")): _*)
+      .withColumn(ts, col("asof_ts"))
+      .withColumn(side, lit(2))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(side))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = outCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    val pruned = matched.filter(col(side) === 1)
+    val bounded = tolerance match {
+      case None => pruned
+      case Some(tol) =>
+        val ok = col("asof_ts").isNotNull && col("asof_ts") <= col(ts) + tol
+        outCols.foldLeft(pruned)((df, c) => df.withColumn(c, when(ok, col(c))))
+    }
+    bounded.select((left.columns.map(col) ++ outCols.map(col)): _*)
+  }
+
   /** Native-plan backward as-of join (graft.plans.AsOfJoinExec): same
     * semantics as [[backward]], executed by the custom sorted-merge
     * physical operator instead of the union+window composition — each

@@ -772,6 +772,32 @@ object Core {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** Forward as-of join (the [[qAsof]] mirror): every signup picks
+    * the user's EARLIEST later-or-equal non-signup event — "first
+    * activity after signup". Oracle is DuckDB's native forward ASOF
+    * (`l.ts <= r.ts`); right side deduped per (user, ts) keeping the
+    * max event_id so ties are well-defined in both engines.
+    */
+  private val qAsofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val lft = ev.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts")
+    val rgt = ev.filter(col("event_type") =!= "signup")
+      .groupBy("user_id", "ts").agg(max("event_id").as("next_id"))
+    graft.operators.AsOfJoin.forward(lft, rgt, "user_id", "ts", Seq("next_id"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofForwardSql =
+    """WITH r AS (
+      |  SELECT user_id, ts, max(event_id) AS next_id FROM events
+      |  WHERE event_type <> 'signup' GROUP BY user_id, ts),
+      |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+      |SELECT l.event_id, l.user_id, l.ts,
+      |       r.ts AS asof_ts, r.next_id AS asof_next_id
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   // --------------------------------------------------------------- Q-RANGE
   /** Time-range join via the binned equi-join
     * (graft.operators.RangeJoin — hash join on bucket keys, never a
@@ -921,6 +947,7 @@ object Core {
     "q_nest" -> qNest,
     "q_plan" -> qPlan,
     "q_asof" -> qAsof,
+    "q_asof_forward" -> qAsofForward,
     "q_cube" -> qCube,
     "q_pivot" -> qPivot,
     "q_window2" -> qWin2,
@@ -957,6 +984,7 @@ object Core {
     "q_nest" -> qNestSql,
     "q_plan" -> qPlanSql,
     "q_asof" -> qAsofSql,
+    "q_asof_forward" -> qAsofForwardSql,
     "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,
     "q_window2" -> qWin2Sql,

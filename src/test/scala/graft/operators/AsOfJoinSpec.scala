@@ -35,6 +35,24 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("l2").contains(200.0)) // age 0
   }
 
+  test("forward as-of picks the earliest right row at or after each left ts") {
+    val out = AsOfJoin.forward(left, right, "k", "ts", Seq("px"))
+      .select("name", "asof_px").as[(String, Option[Double])].collect().toMap
+    assert(out("l0").contains(100.0)) // 8 >= 5, the earliest ahead
+    assert(out("l1").contains(200.0)) // 20 >= 10 (8 is behind)
+    assert(out("l2").contains(200.0)) // equal ts matches (<=)
+    assert(out("l3").isEmpty)         // key with no right rows
+  }
+
+  test("forward tolerance nulls out matches too far ahead") {
+    val out = AsOfJoin.forward(left, right, "k", "ts", Seq("px"),
+      tolerance = Some(expr("INTERVAL 5 SECOND")))
+      .select("name", "asof_px").as[(String, Option[Double])].collect().toMap
+    assert(out("l0").contains(100.0)) // 3s ahead, inside 5s
+    assert(out("l1").isEmpty)         // 10s ahead > 5s
+    assert(out("l2").contains(200.0)) // 0s ahead
+  }
+
   test("matches a driver-side brute force on real events") {
     val ev = graft.Tables.events(spark, sf)
     val lft = ev.filter(col("event_type") =!= "signup")
