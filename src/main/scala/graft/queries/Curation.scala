@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.VectorOps
+import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 
 /** Round-7 training-data curation queries: exact substring dedup
@@ -424,6 +425,80 @@ object Curation {
       |       ELSE 'test' END AS split
       |FROM lab ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- Q-IMAGE-SEARCH
+  /** Multimodal similarity search — decode → featurize → search as
+    * ONE checkable pipeline: every image payload is REALLY decoded
+    * (`javax.imageio`), its 8-dim pixel-statistics feature extracted
+    * ([[graft.multimodal.Multimodal.extractFeatures]]: quadrant
+    * luminance means, channel means, aspect), and the corpus is
+    * ranked by cosine against the probe image's feature (lowest
+    * image doc_id). The oracle recomputes the features from the
+    * synthesis formula in pure SQL — per-pixel terms mirror the
+    * decoder's double arithmetic exactly, and the per-feature FLOAT
+    * cast (2⁻²⁴ relative grid) absorbs the ~1e-13 summation-order
+    * noise that separates the engines' double folds, so the cosine
+    * ranking over the casted features is bit-stable.
+    */
+  private val qImageSearch: Q = (s, d) => {
+    val feats = Multimodal.extractFeatures(s,
+      Multimodal.asMedia(Tables.documentsParallel(s, d))
+        .filter(col("kind") === "image"))
+      .toDF().select(col("doc_id"), col("feature"))
+    val probe = feats.filter(col("doc_id") === 0)
+      .head().getSeq[Float](1)
+    Similarity.bruteForceTopK(feats, "doc_id", "feature", probe, k = 10)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  private val qImageSearchSql =
+    """WITH img AS (
+      |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id // 7) % 48 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |xs AS (SELECT unnest(range(0, 64)) AS x),
+      |ys AS (SELECT unnest(range(0, 64)) AS y),
+      |px AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    ((doc_id * 31 + x * 7 + y * 13) & 16777215) AS v,
+      |    (CASE WHEN y * 2 >= h THEN 2 ELSE 0 END
+      |     + CASE WHEN x * 2 >= w THEN 1 ELSE 0 END) AS q
+      |  FROM img, xs, ys WHERE x < w AND y < h),
+      |lum AS (
+      |  SELECT doc_id, w, h, q,
+      |    (CAST(0.299 AS DOUBLE) * ((v >> 16) & 255)
+      |     + CAST(0.587 AS DOUBLE) * ((v >> 8) & 255)
+      |     + CAST(0.114 AS DOUBLE) * (v & 255)) / CAST(255.0 AS DOUBLE) AS l,
+      |    ((v >> 16) & 255) / CAST(255.0 AS DOUBLE) AS r,
+      |    ((v >> 8) & 255) / CAST(255.0 AS DOUBLE) AS g,
+      |    (v & 255) / CAST(255.0 AS DOUBLE) AS b
+      |  FROM px),
+      |agg AS (
+      |  SELECT doc_id, w, h,
+      |    sum(CASE WHEN q = 0 THEN l END) / count(CASE WHEN q = 0 THEN 1 END) AS q0,
+      |    sum(CASE WHEN q = 1 THEN l END) / count(CASE WHEN q = 1 THEN 1 END) AS q1,
+      |    sum(CASE WHEN q = 2 THEN l END) / count(CASE WHEN q = 2 THEN 1 END) AS q2,
+      |    sum(CASE WHEN q = 3 THEN l END) / count(CASE WHEN q = 3 THEN 1 END) AS q3,
+      |    sum(r) / (w * h) AS sr, sum(g) / (w * h) AS sg, sum(b) / (w * h) AS sb
+      |  FROM lum GROUP BY doc_id, w, h),
+      |f AS (
+      |  SELECT doc_id, [CAST(q0 AS FLOAT), CAST(q1 AS FLOAT),
+      |    CAST(q2 AS FLOAT), CAST(q3 AS FLOAT), CAST(sr AS FLOAT),
+      |    CAST(sg AS FLOAT), CAST(sb AS FLOAT),
+      |    CAST(w AS FLOAT) / CAST(h AS FLOAT)] AS feature
+      |  FROM agg),
+      |qv AS (SELECT feature AS v FROM f WHERE doc_id = 0),
+      |sims AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(list_zip(feature, (SELECT v FROM qv)),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(feature,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform((SELECT v FROM qv),
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM f)
+      |SELECT doc_id, round(cos_raw, 6) AS cosine FROM sims
+      |ORDER BY cos_raw DESC, doc_id LIMIT 10""".stripMargin
+
   // ----------------------------------------------------------- maps
   val defs: Map[String, Q] = Map(
     "q_substr_dedup" -> qSubstrDedup,
@@ -431,7 +506,8 @@ object Curation {
     "q_cluster" -> qCluster,
     "q_lm_examples" -> qLmExamples,
     "q_expectations" -> qExpectations,
-    "q_split_leakproof" -> qSplitLeakproof)
+    "q_split_leakproof" -> qSplitLeakproof,
+    "q_image_search" -> qImageSearch)
 
   val oracles: Map[String, String] = Map(
     "q_substr_dedup" -> qSubstrDedupSql,
@@ -439,5 +515,6 @@ object Curation {
     "q_cluster" -> qClusterSql,
     "q_lm_examples" -> qLmExamplesSql,
     "q_expectations" -> qExpectationsSql,
-    "q_split_leakproof" -> qSplitLeakproofSql)
+    "q_split_leakproof" -> qSplitLeakproofSql,
+    "q_image_search" -> qImageSearchSql)
 }
