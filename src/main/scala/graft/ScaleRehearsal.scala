@@ -119,7 +119,12 @@ object ScaleRehearsal {
     // the O(tokens) risk), k-means census (per-round argmin scans ×
     // K× corpus), and the retrieval-metrics probe join (sign buckets
     // at K× occupancy)
-    "q_substr_dedup", "q_cluster", "q_eval_retrieval")
+    "q_substr_dedup", "q_cluster", "q_eval_retrieval",
+    // late round-7: leakage-proof split = the full LSH→CC chain on a
+    // corpus whose replicas form K-member near-dup clusters (the
+    // worst-case cluster shape for the split), and image search =
+    // 20× real decode+featurize feeding the rank
+    "q_split_leakproof", "q_image_search")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder

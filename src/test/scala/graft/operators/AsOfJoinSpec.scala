@@ -70,4 +70,22 @@ class AsOfJoinSpec extends SparkTestBase {
       assert(got(eid) == expected, s"event $eid")
     }
   }
+
+  test("forward matches a driver-side brute force on real events") {
+    val ev = graft.Tables.events(spark, sf)
+    val lft = ev.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts")
+    val rgt = ev.filter(col("event_type") =!= "signup")
+      .groupBy("user_id", "ts").agg(max("event_id").as("next_id"))
+    val got = AsOfJoin.forward(lft, rgt, "user_id", "ts", Seq("next_id"))
+      .select("event_id", "asof_next_id").as[(Long, Option[Long])].collect().toMap
+    val rightRows = rgt.select("user_id", "ts", "next_id")
+      .as[(Long, Timestamp, Long)].collect()
+    val leftRows = lft.as[(Long, Long, Timestamp)].collect()
+    leftRows.foreach { case (eid, uid, ts) =>
+      val expected = rightRows.filter(r => r._1 == uid && !r._2.before(ts))
+        .sortBy(r => (r._2.getTime, r._2.getNanos)).headOption.map(_._3)
+      assert(got(eid) == expected, s"event $eid")
+    }
+  }
 }
