@@ -10,9 +10,12 @@ import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 
 /** Round-7 training-data curation queries: exact substring dedup
-  * (rolling-window), retrieval-quality evaluation metrics, and the
-  * oracle-parity k-means census. Same driver contract as the other
-  * query modules: every entry has a DuckDB oracle.
+  * (rolling-window), retrieval-quality evaluation metrics, the
+  * oracle-parity k-means census, LM training-example construction,
+  * the declarative data-quality expectations suite, the
+  * leakage-proof cluster-aware split, and multimodal image
+  * similarity search. Same driver contract as the other query
+  * modules: every entry has a DuckDB oracle.
   */
 object Curation {
   import Core.Q
