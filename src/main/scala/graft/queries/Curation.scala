@@ -502,6 +502,61 @@ object Curation {
       |SELECT doc_id, round(cos_raw, 6) AS cosine FROM sims
       |ORDER BY cos_raw DESC, doc_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------- Q-COMPACT
+  /** Small-file compaction — the OPTIMIZE operation every long-lived
+    * table needs at scale (streaming sinks and per-partition writers
+    * fragment tables into thousands of KB-sized files; each costs a
+    * task + a footer read per query): a deliberately fragmented
+    * 64-way write is compacted with `coalesce(4)` — a NARROW merge,
+    * no shuffle, the cheapest correct compaction. The output row per
+    * layout carries the MEASURED file count (distinct
+    * `input_file_name()` over the actual directory) plus orderless
+    * content checksums, and the oracle states the expected layout
+    * constants alongside the content recomputed from the source —
+    * so the check proves the rewrite is lossless AND the layout
+    * really changed: a dropped coalesce fails the file-count column,
+    * a lost row fails the checksum. (Round-robin fills partitions
+    * evenly, so the fragmented layout has exactly min(64, rows)
+    * non-empty files; coalesce groups positionally → exactly 4.)
+    */
+  private lazy val compactBase: String =
+    java.nio.file.Files.createTempDirectory("graft_compact").toString
+
+  private val qCompact: Q = (s, d) => {
+    val base = compactBase
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    docs.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+    s.read.parquet(s"$base/frag").coalesce(4)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    def layoutStats(path: String, layout: String) =
+      s.read.parquet(path)
+        // input_file_name() can't sit inside an aggregate directly
+        // (non-deterministic-expression rule) — project it first
+        .withColumn("_file", input_file_name())
+        .agg(
+          countDistinct(col("_file")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("long")).as("id_checksum"))
+        .select(lit(layout).as("layout"), col("n_files"), col("n_rows"),
+          col("sum_chars"), col("id_checksum"))
+    layoutStats(s"$base/compact", "compact")
+      .unionByName(layoutStats(s"$base/frag", "frag"))
+      .orderBy("layout")
+  }
+
+  private val qCompactSql =
+    """SELECT layout,
+      |  CASE WHEN layout = 'frag'
+      |       THEN least(64, count(*)) ELSE 4 END AS n_files,
+      |  count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |       AS BIGINT)) AS BIGINT) AS id_checksum
+      |FROM documents CROSS JOIN (VALUES ('compact'), ('frag')) t(layout)
+      |GROUP BY layout ORDER BY layout""".stripMargin
+
   // ----------------------------------------------------------- maps
   val defs: Map[String, Q] = Map(
     "q_substr_dedup" -> qSubstrDedup,
@@ -510,7 +565,8 @@ object Curation {
     "q_lm_examples" -> qLmExamples,
     "q_expectations" -> qExpectations,
     "q_split_leakproof" -> qSplitLeakproof,
-    "q_image_search" -> qImageSearch)
+    "q_image_search" -> qImageSearch,
+    "q_compact" -> qCompact)
 
   val oracles: Map[String, String] = Map(
     "q_substr_dedup" -> qSubstrDedupSql,
@@ -519,5 +575,6 @@ object Curation {
     "q_lm_examples" -> qLmExamplesSql,
     "q_expectations" -> qExpectationsSql,
     "q_split_leakproof" -> qSplitLeakproofSql,
-    "q_image_search" -> qImageSearchSql)
+    "q_image_search" -> qImageSearchSql,
+    "q_compact" -> qCompactSql)
 }
