@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the scalable union-window formulation, NOT a
   * range join: tag right rows 0 and left rows 1, union, and run
-  * `last(payload) ignore nulls` over
+  * `last(match-struct) ignore nulls` over
   * `(partition by key order by ts, tag rows unbounded preceding)` —
   * at equal timestamps the right row sorts first, so `>=` matches.
   * One hash shuffle + per-key sort total, the same cost as a window
@@ -44,20 +44,27 @@ object AsOfJoin {
       s"left already has ${outCols.mkString("/")} columns")
 
     val l = left.withColumn(side, lit(1))
-    val r = right.select(
-      col(key) +: col(ts).as("asof_ts") +:
-        payload.map(p => col(p).as(s"asof_$p")): _*)
-      .withColumn(ts, col("asof_ts"))
+    // the match travels as ONE struct, not per-column: per-column
+    // last(ignoreNulls) would skip a NULL payload value back to an
+    // OLDER right row while asof_ts stays on the newer one — a
+    // mixed-row result. The struct is null exactly for left rows
+    // (right rows carry it even when payload fields are null), so one
+    // last() picks one whole right row.
+    val m = "_asof_m"
+    val r = right.select(col(key), col(ts),
+      struct(col(ts).as("asof_ts") +:
+        payload.map(p => col(p).as(s"asof_$p")): _*).as(m))
       .withColumn(side, lit(0))
     // unionByName fills the columns each side lacks with nulls
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = outCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val matched = unioned
+      .withColumn(m, last(col(m), ignoreNulls = true).over(w))
+    val pruned = outCols.foldLeft(matched.filter(col(side) === 1)) {
+      (df, c) => df.withColumn(c, col(s"$m.$c"))
     }
-    val pruned = matched.filter(col(side) === 1)
     val bounded = tolerance match {
       case None => pruned
       case Some(tol) =>
@@ -88,19 +95,22 @@ object AsOfJoin {
     require(!left.columns.exists(outCols.contains),
       s"left already has ${outCols.mkString("/")} columns")
     val l = left.withColumn(side, lit(1))
-    val r = right.select(
-      col(key) +: col(ts).as("asof_ts") +:
-        payload.map(p => col(p).as(s"asof_$p")): _*)
-      .withColumn(ts, col("asof_ts"))
+    // single-struct match — same rationale as [[backward]]: one
+    // first() picks one whole right row, never a per-column mix
+    val m = "_asof_m"
+    val r = right.select(col(key), col(ts),
+      struct(col(ts).as("asof_ts") +:
+        payload.map(p => col(p).as(s"asof_$p")): _*).as(m))
       .withColumn(side, lit(2))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col(side))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val matched = outCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    val matched = unioned
+      .withColumn(m, first(col(m), ignoreNulls = true).over(w))
+    val pruned = outCols.foldLeft(matched.filter(col(side) === 1)) {
+      (df, c) => df.withColumn(c, col(s"$m.$c"))
     }
-    val pruned = matched.filter(col(side) === 1)
     val bounded = tolerance match {
       case None => pruned
       case Some(tol) =>

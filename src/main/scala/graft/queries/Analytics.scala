@@ -1058,11 +1058,8 @@ object Analytics {
     * per-source×split counts and the char mass.
     */
   private val qSplit: Q = (s, d) => {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
-      16, 10).cast("int")
     Tables.documents(s, d)
-      .withColumn("split",
-        when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+      .withColumn("split", Core.splitLabel(col("doc_id")))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("source", "split")

@@ -55,6 +55,21 @@ object Core {
       .cast(DecimalType(28, 4)).cast("double")
   private val REVSUM = "CAST(CAST(sum(CAST(%s AS DECIMAL(18,4)) * CAST(1.0 - %s AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE)"
 
+  /** Deterministic split bucket: first md5 byte of the stringified
+    * key, 0–255. Shared by q_split (keyed on doc_id) and
+    * q_split_leakproof (keyed on the cluster representative) so the
+    * leakproof split's "degrades to exactly q_split on a
+    * duplicate-free corpus" contract is enforced by construction —
+    * ONE copy of the hash arithmetic and of the 80/10/10 thresholds.
+    */
+  private[queries] def splitBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+
+  private[queries] def splitLabel(key: Column): Column = {
+    val b = splitBucket(key)
+    when(b < 204, "train").when(b < 230, "val").otherwise("test")
+  }
+
   // ---------------------------------------------------------------- Q-SCAN
   /** Scan + project + filter with a string predicate (reference O1/O2,
     * syllabus_parser.py:48-70). Filter and 3-column projection both

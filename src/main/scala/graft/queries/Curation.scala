@@ -74,9 +74,11 @@ object Curation {
     val emb = Tables.embeddings(s, d)
     val probes = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    def signBucket(v: Column): Column =
-      (1 to 8).map(i => when(element_at(v, i) >= 0f,
-        lit(1L << (8 - i))).otherwise(lit(0L))).reduce(_ + _)
+    // the SAME quantizer the ANN path under evaluation uses
+    // (VectorOps.signBucket backs bucketedTopK) — a private copy
+    // could drift and silently desynchronize the metrics from the
+    // system they grade
+    def signBucket(v: Column): Column = VectorOps.signBucket(v, 8)
     val cos = VectorOps.cosineFor(emb, "embedding")
     // exact ground truth: per-probe top-10 of the full corpus scan
     val allSims = emb.crossJoin(broadcast(probes))
@@ -381,14 +383,13 @@ object Curation {
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val comp = graft.dedup.ConnectedComponents.components(pairs)
       .select(col("id").as("doc_id"), col("component"))
-    val bucket = conv(substring(md5(col("cluster").cast("string")), 1, 2),
-      16, 10).cast("int")
     Tables.documents(s, d).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("component"), col("doc_id")))
-      .withColumn("split",
-        when(bucket < 204, "train").when(bucket < 230, "val")
-          .otherwise("test"))
+      // the SHARED split arithmetic (Core.splitLabel), keyed on the
+      // cluster representative — one copy of the thresholds enforces
+      // the degrades-to-q_split contract
+      .withColumn("split", Core.splitLabel(col("cluster")))
       .select(col("doc_id"), col("cluster"), col("split"))
       .orderBy("doc_id")
   }
@@ -447,10 +448,18 @@ object Curation {
       Multimodal.asMedia(Tables.documentsParallel(s, d))
         .filter(col("kind") === "image"))
       .toDF().select(col("doc_id"), col("feature"))
-    val probe = feats.filter(col("doc_id") === 0)
-      .head().getSeq[Float](1)
-    Similarity.bruteForceTopK(feats, "doc_id", "feature", probe, k = 10)
-      .withColumn("cosine", round(col("cosine"), 6))
+      // decode+featurize is the dominant cost and feeds TWO actions
+      // (probe lookup, ranked scan) — cache for their duration, then
+      // release; the k-row result is snapshotted first so it never
+      // recomputes the codec pipeline (the ivfTopK pattern)
+      .cache()
+    try {
+      val probe = feats.filter(col("doc_id") === 0)
+        .head().getSeq[Float](1)
+      Similarity.bruteForceTopK(feats, "doc_id", "feature", probe, k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .localCheckpoint()
+    } finally feats.unpersist()
   }
 
   private val qImageSearchSql =
@@ -523,11 +532,21 @@ object Curation {
     java.nio.file.Files.createTempDirectory("graft_compact").toString
 
   private val qCompact: Q = (s, d) => {
-    val base = compactBase
+    // one subdir per source dataset: a shared dir would let a later
+    // invocation against a different sf overwrite files under an
+    // earlier invocation's still-lazy result
+    val base = s"$compactBase/${Integer.toHexString(d.hashCode)}"
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     docs.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
-    s.read.parquet(s"$base/frag").coalesce(4)
-      .write.mode("overwrite").parquet(s"$base/compact")
+    // pin the re-read to one-partition-per-file (scoped conf): the
+    // default packing folds tiny files by bytes-per-core, so on a
+    // small box 64 files could scan as < 4 partitions and coalesce(4)
+    // would emit fewer files than the oracle's layout constant
+    graft.streaming.ConfScope.withConf(s,
+      "spark.sql.files.maxPartitionBytes", (1L << 20).toString) {
+      s.read.parquet(s"$base/frag").coalesce(4)
+        .write.mode("overwrite").parquet(s"$base/compact")
+    }
     def layoutStats(path: String, layout: String) =
       s.read.parquet(path)
         // input_file_name() can't sit inside an aggregate directly

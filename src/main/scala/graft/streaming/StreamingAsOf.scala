@@ -76,9 +76,14 @@ object StreamingAsOf {
           val compacted =
             (if (matured.nonEmpty) List(matured.maxBy(key)) else Nil) ++ live
           state.update(AsOfJoinState(compacted, pending))
-          // re-fire on every watermark advance so newly-ripe rows
-          // flush even with no further data for this key
-          state.setTimeoutTimestamp(wmMs + 1)
+          // re-fire on the next watermark advance ONLY while probe
+          // rows are actually waiting: a drained group goes quiet
+          // (GroupState clears the timeout on every invocation, so
+          // not re-setting it here is what stops the re-fires; new
+          // data re-invokes the function regardless) — otherwise
+          // every user ever seen pays a state round-trip per batch
+          // for the stream's lifetime
+          if (pending.nonEmpty) state.setTimeoutTimestamp(wmMs + 1)
           out.iterator
       }
   }
