@@ -369,17 +369,24 @@ object Curation {
     * near-duplicate cluster lands in the same split — the standard
     * guard against test-set contamination (a near-copy of a training
     * document in the eval split evaluates memorization, not
-    * generalization). Composition of proven parts: MinHash+LSH pairs
-    * (complete-recall band shape at J≥0.5 on this corpus, the
-    * q_dedup_drop analysis) → connected components → min-id
+    * generalization). Composition of proven parts: exact df-capped
+    * inverted-index Jaccard pairs ([[Dedup.ngramJaccardNearDups]],
+    * the q_ngram_jaccard machinery — STRUCTURALLY the oracle's own
+    * candidate set, so parity does not rest on an empirical
+    * per-corpus LSH recall claim that a data regen could silently
+    * break, ADVICE r7) → connected components → min-id
     * representative → md5-threshold split on the representative.
     * Singletons key on themselves, so for a duplicate-free corpus
-    * this degrades to exactly q_split's assignment.
+    * this degrades to exactly q_split's assignment. Production
+    * corpora at 100 TB swap the exact index for
+    * [[Dedup.minhashNearDups]] (16×2 bands ⇒ ~99% per-pair recall at
+    * J=0.5) — same downstream CC + split, the documented
+    * recall/scale knob.
     */
   private val qSplitLeakproof: Q = (s, d) => {
     val docs = Tables.documentsParallel(s, d)
-    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-      threshold = 0.5, shingleK = 5, bands = 16, rowsPerBand = 2)
+    val pairs = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      threshold = 0.5, shingleK = 5, maxDocFreq = 100)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val comp = graft.dedup.ConnectedComponents.components(pairs)
       .select(col("id").as("doc_id"), col("component"))
@@ -396,22 +403,24 @@ object Curation {
 
   private val qSplitLeakproofSql =
     """WITH RECURSIVE sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, greatest(len(t) - 3, 1)),
-      |    i -> array_to_string(t[i:i+4], ' '))) AS shs
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-      |  WHERE len(t) >= 5),
-      |inv AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id),
-      |j AS (
-      |  SELECT id_a, id_b,
-      |    len(list_intersect(x.shs, y.shs)) AS inter,
-      |    len(x.shs) AS na, len(y.shs) AS nb
-      |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b),
+      |    i -> array_to_string(t[i:i+4], ' ')))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |n_sh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+      |  WHERE df BETWEEN 2 AND 100),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
       |pairs AS (
-      |  SELECT id_a, id_b FROM j
-      |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+      |  SELECT id_a, id_b FROM shared
+      |  JOIN n_sh na ON na.doc_id = id_a
+      |  JOIN n_sh nb ON nb.doc_id = id_b
+      |  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5),
       |edges AS (
       |  SELECT id_a AS a, id_b AS b FROM pairs
       |  UNION SELECT id_b, id_a FROM pairs),
@@ -435,8 +444,12 @@ object Curation {
     * (`javax.imageio`), its 8-dim pixel-statistics feature extracted
     * ([[graft.multimodal.Multimodal.extractFeatures]]: quadrant
     * luminance means, channel means, aspect), and the corpus is
-    * ranked by cosine against the probe image's feature (lowest
-    * image doc_id). The oracle recomputes the features from the
+    * ranked by cosine against the probe image's feature (the LOWEST
+    * image doc_id — selected by order, not hardcoded, so a corpus
+    * slice without doc 0 still probes; a corpus with no images, or a
+    * probe whose payload decodes to no usable feature, returns the
+    * empty result instead of throwing — ADVICE r7). The oracle
+    * recomputes the features from the
     * synthesis formula in pure SQL — per-pixel terms mirror the
     * decoder's double arithmetic exactly, and the per-feature FLOAT
     * cast (2⁻²⁴ relative grid) absorbs the ~1e-13 summation-order
@@ -454,11 +467,19 @@ object Curation {
       // recomputes the codec pipeline (the ivfTopK pattern)
       .cache()
     try {
-      val probe = feats.filter(col("doc_id") === 0)
-        .head().getSeq[Float](1)
-      Similarity.bruteForceTopK(feats, "doc_id", "feature", probe, k = 10)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .localCheckpoint()
+      // lowest image doc_id, by order — the docstring's contract
+      // (oracle: WHERE doc_id = (SELECT min(doc_id) FROM img))
+      val probeRow = feats.orderBy("doc_id").limit(1).collect().headOption
+      val probe = probeRow.map(_.getSeq[Float](1)).filter(v => v != null && v.nonEmpty)
+      probe match {
+        case None => // no images, or the probe decoded degraded
+          feats.select(col("doc_id"),
+            lit(null).cast("double").as("cosine")).limit(0).localCheckpoint()
+        case Some(p) =>
+          Similarity.bruteForceTopK(feats, "doc_id", "feature", p, k = 10)
+            .withColumn("cosine", round(col("cosine"), 6))
+            .localCheckpoint()
+      }
     } finally feats.unpersist()
   }
 
@@ -497,7 +518,8 @@ object Curation {
       |    CAST(sg AS FLOAT), CAST(sb AS FLOAT),
       |    CAST(w AS FLOAT) / CAST(h AS FLOAT)] AS feature
       |  FROM agg),
-      |qv AS (SELECT feature AS v FROM f WHERE doc_id = 0),
+      |qv AS (SELECT feature AS v FROM f
+      |       WHERE doc_id = (SELECT min(doc_id) FROM img)),
       |sims AS (
       |  SELECT doc_id,
       |    list_sum(list_transform(list_zip(feature, (SELECT v FROM qv)),
@@ -526,16 +548,15 @@ object Curation {
     * really changed: a dropped coalesce fails the file-count column,
     * a lost row fails the checksum. (Round-robin fills partitions
     * evenly, so the fragmented layout has exactly min(64, rows)
-    * non-empty files; coalesce groups positionally → exactly 4.)
+    * non-empty files; coalesce groups positionally → min(4, rows)
+    * — the oracle clamps BOTH constants by the row count, so the
+    * check stays valid at any scale.) The stats rows materialize
+    * eagerly (localCheckpoint) so the scratch trees can be deleted
+    * before the query returns — nothing survives the call
+    * (ADVICE r7: the keep-forever variant leaked two parquet trees
+    * per invocation and keyed subdirs on a collidable hashCode).
     */
-  private lazy val compactBase: String =
-    java.nio.file.Files.createTempDirectory("graft_compact").toString
-
-  private val qCompact: Q = (s, d) => {
-    // one subdir per source dataset: a shared dir would let a later
-    // invocation against a different sf overwrite files under an
-    // earlier invocation's still-lazy result
-    val base = s"$compactBase/${Integer.toHexString(d.hashCode)}"
+  private val qCompact: Q = (s, d) => graft.tools.Scratch.withDir("graft_compact") { base =>
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     docs.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
     // pin the re-read to one-partition-per-file (scoped conf): the
@@ -563,12 +584,13 @@ object Curation {
     layoutStats(s"$base/compact", "compact")
       .unionByName(layoutStats(s"$base/frag", "frag"))
       .orderBy("layout")
+      .localCheckpoint() // materialize BEFORE the scratch dirs vanish
   }
 
   private val qCompactSql =
     """SELECT layout,
       |  CASE WHEN layout = 'frag'
-      |       THEN least(64, count(*)) ELSE 4 END AS n_files,
+      |       THEN least(64, count(*)) ELSE least(4, count(*)) END AS n_files,
       |  count(*) AS n_rows,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
