@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BloomContainsExpr, CmsEstimateExpr, CosineSimExpr, DotProductExpr, MinHashSigExpr, NfcNormalizeExpr, ShinglesExpr, SimHash60Md5Expr, SimHash64Expr, SortedIsectCountExpr, StripAccentsExpr}
+import graft.functions.{ArgminCellExpr, BloomContainsExpr, CmsEstimateExpr, CosineSimExpr, DotProductExpr, L2SqExpr, MinHashSigExpr, NfcNormalizeExpr, ShinglesExpr, SimHash60Md5Expr, SimHash64Expr, SortedIsectCountExpr, StripAccentsExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §4.2 preference order: native Expression over UDF).
@@ -79,6 +79,20 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_cosine(a, b)")
         CosineSimExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_argmin_cell"),
+      new ExpressionInfo(classOf[ArgminCellExpr].getName, "graft_argmin_cell"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_argmin_cell(vec, centroids)")
+        ArgminCellExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2SqExpr].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_l2sq(vec, centroid)")
+        L2SqExpr(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),

@@ -106,6 +106,134 @@ final case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object CentroidKernels {
+
+  /** Index of the L2-nearest centroid (ties toward the lower index) —
+    * the k-means / IVF cell assignment, fused into one loop nest.
+    * Fold order per centroid matches [[graft.similarity.Similarity]]'s
+    * driver-side `l2sq` (ascending dimension index), so kernel and
+    * UDF assignments are bit-identical (asserted in VectorOpsSpec).
+    * Null contract: null/degenerate inputs (no centroids, length
+    * mismatch, null element) → null, never a half-computed argmin.
+    */
+  def argminCell(v: ArrayData, cs: ArrayData): java.lang.Integer = {
+    val k = cs.numElements()
+    if (k == 0) return null
+    val n = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      if (cs.isNullAt(c)) return null
+      val cent = cs.getArray(c)
+      if (cent.numElements() != n) return null
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i) || cent.isNullAt(i)) return null
+        val d = cent.getDouble(i) - v.getFloat(i).toDouble
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  /** Squared L2 distance between a float vector and a double centroid,
+    * same sequential fold as [[argminCell]]'s inner loop.
+    */
+  def l2sq(v: ArrayData, c: ArrayData): java.lang.Double = {
+    val n = v.numElements()
+    if (n != c.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i) || c.isNullAt(i)) return null
+      val d = c.getDouble(i) - v.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+}
+
+/** array<float> × array<array<double>> → int index of the nearest
+  * centroid (L2, ties toward the lower index). The k-means/IVF
+  * assignment hot path: one call per corpus row per Lloyd round,
+  * fused loop nest inside whole-stage codegen — replaces the last
+  * Scala UDF on a corpus-sized path (VERDICT r7 next-round #8).
+  */
+final case class ArgminCellExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_argmin_cell"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_argmin_cell expects (ARRAY<FLOAT>, ARRAY<ARRAY<DOUBLE>>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CentroidKernels.argminCell(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("cellres")
+      s"""
+        java.lang.Integer $tmp = graft.functions.CentroidKernels.argminCell($l, $r);
+        ${ev.isNull} = $tmp == null;
+        ${ev.value} = ${ev.isNull} ? -1 : $tmp.intValue();
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgminCellExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** array<float> × array<double> → double squared L2 distance (the
+  * [[ArgminCellExpr]] inner loop as a standalone scalar — feeds the
+  * per-row `sqdist` output of the k-means census).
+  */
+final case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_l2sq"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq expects (ARRAY<FLOAT>, ARRAY<DOUBLE>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CentroidKernels.l2sq(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("l2res")
+      s"""
+        java.lang.Double $tmp = graft.functions.CentroidKernels.l2sq($l, $r);
+        ${ev.isNull} = $tmp == null;
+        ${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object SortedArrayKernels {
   /** |a ∩ b| for two ASC-sorted long arrays by linear merge — no
     * per-row hash-set build (what the generic `array_intersect` pays),

@@ -52,10 +52,9 @@ object IvfIndex {
       nCentroids: Int = 16, iters: Int = 2): Index = {
     val work = emb.select(col(idCol), col(vecCol)).cache()
     val centroids = Similarity.trainCentroids(work, idCol, vecCol, nCentroids, iters)
-    val assignU = udf(Similarity.nearestCell(centroids) _)
     Index(centroids,
-      work.withColumn("cell", assignU(col(vecCol))), idCol, vecCol,
-      pruned = false, cached = Some(work))
+      work.withColumn("cell", Similarity.cellColumn(col(vecCol), centroids)),
+      idCol, vecCol, pruned = false, cached = Some(work))
   }
 
   /** Persist: corpus partitioned by cell (one directory per cell —

@@ -156,10 +156,10 @@ object Similarity {
     val work = emb.select(col(idCol), col(vecCol)).cache()
     val centroids = trainCentroids(work, idCol, vecCol, nCentroids, iters)
     val probes = nearestCentroids(centroids, query, nProbe)
-    val assignU = udf(nearestCell(centroids) _)
     val q = typedlit(query)
     val cos = VectorOps.cosineFor(work, vecCol)
-    val result = work.select(col(idCol), col(vecCol), assignU(col(vecCol)).as("cell"))
+    val result = work.select(col(idCol), col(vecCol),
+        cellColumn(col(vecCol), centroids).as("cell"))
       .filter(col("cell").isin(probes: _*))
       .select(col(idCol), cos(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
@@ -168,6 +168,25 @@ object Similarity {
     work.unpersist()
     result
   }
+
+  /** Column form of [[nearestCell]], dispatched to the native
+    * codegen'd `graft_argmin_cell` kernel (fused argmin loop inside
+    * whole-stage codegen — replaces the last Scala UDF on a
+    * corpus-sized hot path; same fold order and tie rule, asserted
+    * kernel-vs-UDF equal in VectorOpsSpec). The centroid table rides
+    * as a literal — the broadcast-small side of the assignment, k×dim
+    * doubles.
+    */
+  def cellColumn(vec: Column, cs: Array[Array[Double]]): Column =
+    call_function("graft_argmin_cell", vec.cast("array<float>"),
+      typedlit(cs.map(_.toSeq).toSeq))
+
+  /** Squared L2 distance of a float-vector column to one literal
+    * centroid (native `graft_l2sq` kernel).
+    */
+  def sqDistColumn(vec: Column, centroid: Array[Double]): Column =
+    call_function("graft_l2sq", vec.cast("array<float>"),
+      typedlit(centroid.toSeq))
 
   private def l2sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -219,11 +238,10 @@ object Similarity {
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters if dim > 0) {
       val cs = centroids
-      val assignU = udf(nearestCell(cs) _)
       def dmean(i: Int) = avg(element_at(col(vecCol), i + 1)
         .cast(org.apache.spark.sql.types.DecimalType(38, 20))).as(s"m$i")
       val means = work
-        .groupBy(assignU(col(vecCol)).as("cell"))
+        .groupBy(cellColumn(col(vecCol), cs).as("cell"))
         .agg(dmean(0), (1 until dim).map(dmean): _*)
         .collect()
         .map(r => r.getInt(0) ->
@@ -265,10 +283,9 @@ object Similarity {
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters if dim > 0) {
       val cs = centroids
-      val assignU = udf(nearestCell(cs) _)
       def dsum(i: Int) = sum(element_at(col(vecCol), i + 1)
         .cast(DecimalType(38, 20))).as(s"s$i")
-      val rows = work.groupBy(assignU(col(vecCol)).as("cell"))
+      val rows = work.groupBy(cellColumn(col(vecCol), cs).as("cell"))
         .agg(count(lit(1)).as("n"), (0 until dim).map(dsum): _*)
         .collect()
       val means = rows.map { r =>
@@ -280,23 +297,17 @@ object Similarity {
         .map(i => means.getOrElse(i, centroids(i))).toArray
     }
     work.unpersist()
+    // final assignment: the native argmin kernel plus one graft_l2sq
+    // against the matched centroid (the centroid table is a literal,
+    // so element_at on it stays inside whole-stage codegen)
     val cs = centroids
-    val assignDistU = udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue
-      val arr = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
-      var c = 0
-      while (c < cs.length) {
-        val d = l2sq(cs(c), arr)
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      (best, bestD)
-    }
-    emb.select(col(idCol), assignDistU(col(vecCol)).as("ad"))
-      .select(col(idCol), col("ad._1").as("cluster"),
-        col("ad._2").as("sqdist"))
+    val csLit = typedlit(cs.map(_.toSeq).toSeq)
+    emb.select(col(idCol),
+        cellColumn(col(vecCol), cs).as("cluster"),
+        col(vecCol))
+      .select(col(idCol), col("cluster"),
+        call_function("graft_l2sq", col(vecCol).cast("array<float>"),
+          element_at(csLit, col("cluster") + 1)).as("sqdist"))
   }
 
   /** All-pairs exact cosine for a (small, broadcastable) query set

@@ -70,4 +70,41 @@ class VectorOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"expected whole-stage codegen, got:\n$plan")
   }
+
+  test("graft_argmin_cell == driver nearestCell UDF on the corpus; l2sq matches; codegen'd") {
+    import graft.similarity.Similarity
+    val emb = graft.Tables.embeddings(spark, sf)
+    // deliberately awkward centroids (ties possible, unbalanced cells):
+    // the 5 lowest-id corpus vectors as doubles
+    val cs = emb.orderBy("vec_id").limit(5).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val udfAssign = udf(Similarity.nearestCell(cs) _)
+    val csLit = typedlit(cs.map(_.toSeq).toSeq)
+    val rows = emb.select(col("vec_id"),
+      Similarity.cellColumn(col("embedding"), cs).as("kc"),
+      udfAssign(col("embedding")).as("uc"),
+      call_function("graft_l2sq", col("embedding").cast("array<float>"),
+        element_at(csLit, Similarity.cellColumn(col("embedding"), cs) + 1))
+        .as("kd"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"argmin mismatch at ${r.get(0)}")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // the whole assignment (argmin + distance) stays in one codegen span
+    val plan = emb.select(Similarity.cellColumn(col("embedding"), cs).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected whole-stage codegen, got:\n$plan")
+    // null/edge contract: empty centroid table, length mismatch -> null
+    val edge = spark.sql(
+      "SELECT graft_argmin_cell(array(CAST(1.0 AS FLOAT)), " +
+        "CAST(array() AS ARRAY<ARRAY<DOUBLE>>)) AS a, " +
+        "graft_argmin_cell(array(CAST(1.0 AS FLOAT)), " +
+        "array(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)))) AS b, " +
+        "graft_l2sq(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS DOUBLE))) AS d").head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    assert(edge.getDouble(2) == 4.0)
+  }
 }
