@@ -218,31 +218,86 @@ object TrainingData {
       |               CAST(shared AS DOUBLE) / nb.n) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** threshold/signBits tuned to the synthetic corpus: its max
-    * pairwise cosine is ~0.51 (no true near-dups exist), so the
-    * round-1 0.9 threshold provably returned 0 rows — no evidence the
-    * operator works. 0.35 @ 6 sign bits yields a nonzero, stable
-    * candidate set at every SF (14 rows at sf0.001, 18 at sf0.01).
+  /** Shared semantic-blocking edges for q_embed_neardup/q_semdedup:
+    * [[Dedup.embeddingNearDupsClustered]] with k ∝ corpus
+    * (k = max(8, n/64) ⇒ expected block size stays constant as the
+    * corpus grows — the round-7 fixed-domain sign-bucket defect
+    * fixed at its root) and the 6-bit sign bucket demoted to a
+    * within-cell refinement. threshold tuned to the synthetic
+    * corpus: its max pairwise cosine is ~0.51 (no true near-dups
+    * exist), so a production 0.9 threshold would provably return 0
+    * rows — no evidence the operator works; 0.35 yields a nonzero,
+    * stable pair set at every SF.
     */
+  private def clusteredEdges(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val k = math.max(8L, emb.count() / 64).toInt
+    Dedup.embeddingNearDupsClustered(emb, "vec_id", "embedding",
+      threshold = 0.35, k = k, iters = 1, signBits = 6)
+  }
+
   private val qEmbedNear: Q = (s, d) =>
-    Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.35, signBits = 6)
+    clusteredEdges(s, d)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id_a", "id_b")
 
-  /** Round-2: the sign-bucket blocking is pure list arithmetic
-    * (indexed lambda: bit i weighs 2^(k-i), the fold order of
-    * VectorOps.signBucket), so the former rows-only check upgrades to
-    * a full oracle — bucket equality join + exact cosine, same
-    * threshold.
+  /** Dynamic-k one-round Lloyd cell assignment as DuckDB CTEs — the
+    * q_cluster oracle's proven arithmetic (lowest-id init, exact
+    * decimal means cast once to double, (dist, cluster) tie order)
+    * with k = greatest(8, n // 64) computed from the corpus itself,
+    * mirroring the engine's k = max(8, n/64). Ends with
+    * `cells(vec_id, cluster)`.
+    */
+  private val kmeansCellsCtes =
+    """params AS (SELECT greatest(8, count(*) // 64) AS k FROM embeddings),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM params)),
+      |a1 AS (
+      |  SELECT vec_id, embedding, cluster FROM (
+      |    SELECT e.vec_id, e.embedding, c.c AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(e.embedding, c.cv),
+      |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+      |               (CAST(p[1] AS DOUBLE) - p[2]))), c.c) AS rn
+      |    FROM embeddings e CROSS JOIN c0 c)
+      |  WHERE rn = 1),
+      |c1_m AS (
+      |  SELECT cluster AS c, list(mv ORDER BY pos) AS cv
+      |  FROM (SELECT cluster, pos,
+      |          CAST(sum(CAST(val AS DECIMAL(38, 20))) AS DOUBLE)
+      |            / count(*) AS mv
+      |        FROM (SELECT cluster, unnest(embedding) AS val,
+      |                generate_subscripts(embedding, 1) AS pos FROM a1)
+      |        GROUP BY cluster, pos)
+      |  GROUP BY cluster),
+      |c1 AS (
+      |  SELECT p.c, coalesce(m.cv, p.cv) AS cv
+      |  FROM c0 p LEFT JOIN c1_m m USING (c)),
+      |cells AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.c AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(e.embedding, c.cv),
+      |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+      |               (CAST(p[1] AS DOUBLE) - p[2]))), c.c) AS rn
+      |    FROM embeddings e CROSS JOIN c1 c)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** Candidates share a k-means cell AND a 6-bit sign bucket; exact
+    * cosine verifies — the whole clustered blocking restated, so the
+    * former sign-bucket oracle upgrades in place.
     */
   private val qEmbedNearSql =
-    """WITH b AS (
-      |  SELECT vec_id, embedding,
-      |    CAST(list_sum(list_transform(embedding[1:6],
+    s"""WITH $kmeansCellsCtes,
+      |b AS (
+      |  SELECT e.vec_id, e.embedding, cells.cluster,
+      |    CAST(list_sum(list_transform(e.embedding[1:6],
       |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
-      |      AS BIGINT) AS bucket
-      |  FROM embeddings),
+      |      AS BIGINT) AS sb
+      |  FROM embeddings e JOIN cells USING (vec_id)),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
       |    list_sum(list_transform(list_zip(a.embedding, c.embedding),
@@ -250,25 +305,27 @@ object TrainingData {
       |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
       |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
       |    AS cos_raw
-      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      |  FROM b a JOIN b c
+      |    ON a.cluster = c.cluster AND a.sb = c.sb AND a.vec_id < c.vec_id)
       |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM pairs
       |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): embedding
-    * near-dup EDGES (sign-bucket blocking + exact cosine ≥ τ, the
-    * q_embed_neardup machinery) resolved into duplicate CLUSTERS via
-    * connected components, keeping the min-id representative per
-    * cluster — pairs alone leave A~B, B~C triples half-deduped, the
-    * same argument as q_dedup_drop on the text side. Output is the
-    * surviving corpus (ids + labels; the vectors ride along in the
-    * library call, dropped here to keep the dump narrow). At scale
-    * every stage is the already-rehearsed shape: bucket join,
-    * per-pair cosine, HashMin rounds with persisted-snapshot frees.
+    * near-dup EDGES ([[clusteredEdges]] — k-means cells with
+    * k ∝ corpus, sign-bucket refinement within cells, exact cosine
+    * ≥ τ — the paper's own cluster-first shape) resolved into
+    * duplicate CLUSTERS via connected components, keeping the min-id
+    * representative per cluster — pairs alone leave A~B, B~C triples
+    * half-deduped, the same argument as q_dedup_drop on the text
+    * side. Output is the surviving corpus (ids + labels; the vectors
+    * ride along in the library call, dropped here to keep the dump
+    * narrow). At scale every stage is the already-rehearsed shape:
+    * linear k-means pass, constant-size block join, per-pair cosine,
+    * HashMin rounds with persisted-snapshot frees.
     */
   private val qSemdedup: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val edges = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
-      threshold = 0.35, signBits = 6)
+    val edges = clusteredEdges(s, d)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     ConnectedComponents.representatives(emb, "vec_id", edges)
       .select(col("vec_id"), col("label"))
@@ -276,15 +333,17 @@ object TrainingData {
   }
 
   private val qSemdedupSql =
-    """WITH RECURSIVE b AS (
-      |  SELECT vec_id, embedding,
-      |    CAST(list_sum(list_transform(embedding[1:6],
+    s"""WITH RECURSIVE $kmeansCellsCtes,
+      |b AS (
+      |  SELECT e.vec_id, e.embedding, cells.cluster,
+      |    CAST(list_sum(list_transform(e.embedding[1:6],
       |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
-      |      AS BIGINT) AS bucket
-      |  FROM embeddings),
+      |      AS BIGINT) AS sb
+      |  FROM embeddings e JOIN cells USING (vec_id)),
       |edges0 AS (
       |  SELECT a.vec_id AS a, c.vec_id AS b
-      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |  FROM b a JOIN b c
+      |    ON a.cluster = c.cluster AND a.sb = c.sb AND a.vec_id < c.vec_id
       |  WHERE list_sum(list_transform(list_zip(a.embedding, c.embedding),
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
       |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *

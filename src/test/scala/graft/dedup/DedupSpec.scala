@@ -73,6 +73,30 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("clustered blocking (k-means cells + sign refinement) recalls every planted near-dup pair") {
+    // 40 well-separated base vectors + a perturbed near-copy of each
+    // (cosine >= 0.999) — recall proof for the scale-adaptive blocking:
+    // the clustered candidate set must contain EVERY exact near-dup
+    // edge, i.e. the verified pair set equals the all-pairs baseline.
+    def basev(g: Int) =
+      Array.tabulate(16)(i => (math.sin(7.0 * g + i) + math.cos(3.0 * g * i + 1)).toFloat)
+    val rows = (0 until 40).flatMap { g =>
+      val v = basev(g)
+      val w = v.clone(); w(g % 16) = w(g % 16) + 0.0005f
+      Seq((g.toLong * 2, v.toSeq), (g.toLong * 2 + 1, w.toSeq))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding",
+      threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 40, s"planting failed: ${exact.size} exact pairs")
+    val clustered = Dedup.embeddingNearDupsClustered(emb, "vec_id", "embedding",
+      threshold = 0.999, k = 10, iters = 1, signBits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(clustered == exact,
+      s"missed ${(exact -- clustered).take(5)} extra ${(clustered -- exact).take(5)}")
+  }
+
   test("dropNearDuplicates resolves transitive clusters to one representative") {
     val chain = Seq(
       (1L, base),
