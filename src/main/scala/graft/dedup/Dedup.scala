@@ -320,20 +320,44 @@ object Dedup {
         .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
+  /** Cap on chunk-bucket population shared by the SimHash candidate
+    * joins: drop (chunk_idx, chunk_val) buckets holding more than
+    * `maxBucket` documents BEFORE the self-join, the
+    * [[shingleOverlap]] df-cap pattern. Why: the chunk domain is
+    * FIXED (2^15..2^16 values), so without a cap the expected bucket
+    * population grows linearly with the corpus and the within-bucket
+    * pair enumeration quadratically — the one superlinear term the
+    * 20× rehearsal showed (VERDICT r7 "what's wrong" #2). A capped
+    * bucket loses its pairs (the standard recall/scale trade — a
+    * bucket that hot is dominated by boilerplate-identical chunks);
+    * df >= 2 additionally prunes singleton buckets, which can never
+    * pair. Unbounded by default for the complete-pigeonhole
+    * semantics; production corpora pass a cap.
+    */
+  private def capChunkBuckets(chunked: DataFrame, maxBucket: Long): DataFrame =
+    if (maxBucket == Long.MaxValue) chunked
+    else chunked
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk_idx"), col("chunk_val"))))
+      .filter(col("df") <= maxBucket && col("df") >= 2)
+      .drop("df")
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Candidate generation: pigeonhole on 4 16-bit chunks — any pair
     * within Hamming distance 3 shares at least one exact chunk, so a
     * bucket join on (chunk_idx, chunk_value) finds all of them; exact
-    * bit_count(xor) verifies.
+    * bit_count(xor) verifies. `maxBucket` bounds bucket population
+    * (see [[capChunkBuckets]]) at the documented recall cost.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Long = Long.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is only complete for maxHamming <= 3")
     val sh = simhash(docs, idCol, textCol)
-    val chunked = sh.select(col(idCol), col("simhash"),
+    val chunked = capChunkBuckets(sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
+        .as(Seq("chunk_idx", "chunk_val"))), maxBucket)
     val a = chunked.select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = chunked.select(col("chunk_idx"), col("chunk_val"),
@@ -362,17 +386,20 @@ object Dedup {
       graft.functions.HashExprs.simhash60(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs over the 60-bit md5 signature: pigeonhole
-    * on 4 15-bit chunks (complete for Hamming ≤ 3, same argument as
-    * [[simhashNearDups]]), exact bit_count(xor) verify.
+    * on 4 15-bit chunks (complete for Hamming ≤ 3 while unbounded,
+    * same argument as [[simhashNearDups]]), exact bit_count(xor)
+    * verify. `maxBucket` bounds bucket population
+    * ([[capChunkBuckets]]) — the declared q_simhash_near passes 100,
+    * and its oracle restates the cap, so parity stays structural.
     */
   def simhash60NearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Long = Long.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is only complete for maxHamming <= 3")
     val sh = simhash60(docs, idCol, textCol)
-    val chunked = sh.select(col(idCol), col("simhash"),
+    val chunked = capChunkBuckets(sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(0x7FFFL)): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
+        .as(Seq("chunk_idx", "chunk_val"))), maxBucket)
     val a = chunked.select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = chunked.select(col("chunk_idx"), col("chunk_val"),
