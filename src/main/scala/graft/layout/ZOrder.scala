@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   * ALL files. Interleaving the bits of both dimensions' range buckets
   * into one sort key bounds EVERY interleaved dimension within each
   * file to a narrow band (≈ sqrt of the linear span for 2 dims), so
-  * min/max skipping works for either predicate. The production write
+  * min/max skipping works for either predicate —
+  * [[StatsPrunedRead]] is the reader that consumes those measured
+  * per-file statistics and cuts the file list before the scan
+  * (q_zorder_prune proves the cut: 5-8 of 40 files read at sf0.1,
+  * content identical to the full scan). The production write
   * is one line on top of [[zValue]]:
   * `df.repartitionByRange(n, zv).sortWithinPartitions(zv).write…` —
   * a single range shuffle, no new physical operator needed.
