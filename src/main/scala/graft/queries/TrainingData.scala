@@ -1383,6 +1383,37 @@ object TrainingData {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** Streaming FORWARD as-of join
+    * ([[graft.streaming.StreamingAsOf.asofForward]] — the round-8
+    * mirror of q_stream_asof): each signup matched to the user's
+    * earliest LATER-or-equal non-signup event, emitted once the
+    * watermark passes the MATCH (not just the probe — the forward
+    * finality condition). The oracle is the batch q_asof_forward
+    * ASOF LEFT JOIN restricted to matches the final watermark
+    * finalizes: `asof_ts` non-null and at or below it. Probes with no
+    * forward match are unemittable on an unbounded stream (their
+    * match may still arrive) and are absent from both sides.
+    */
+  private val qStreamAsofFwd: Q = (s, d) =>
+    graft.streaming.StreamingAsOf.asofForwardFile(s, d)
+
+  private val qStreamAsofFwdSql =
+    """WITH cut AS (
+      |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS c
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts, max(event_id) AS next_id FROM events
+      |  WHERE event_type <> 'signup' GROUP BY user_id, ts),
+      |l AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'signup')
+      |SELECT l.event_id, l.user_id, l.ts,
+      |       r.ts AS asof_ts, r.next_id AS asof_next_id
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+      |WHERE r.ts IS NOT NULL
+      |  AND r.ts < (SELECT c + INTERVAL '1 millisecond' FROM cut)
+      |ORDER BY l.event_id""".stripMargin
+
   /** Streaming session_window (gap merge) — append-mode cutoff ⇒ only
     * sessions whose end (last ts + 30 min gap) is at or below the
     * final watermark (max ts − 10 min) are emitted; the oracle states
@@ -1696,6 +1727,7 @@ object TrainingData {
     "q_stream_window" -> qStream,
     "q_stream_seg" -> qStreamSeg,
     "q_stream_asof" -> qStreamAsof,
+    "q_stream_asof_fwd" -> qStreamAsofFwd,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_join" -> qStreamJoin,
     "q_stream_topk" -> qStreamTopK,
@@ -1745,6 +1777,7 @@ object TrainingData {
     "q_stream_window" -> qStreamSql,
     "q_stream_seg" -> qStreamSegSql,
     "q_stream_asof" -> qStreamAsofSql,
+    "q_stream_asof_fwd" -> qStreamAsofFwdSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_session" -> qStreamSessionSql,
     "q_stream_join" -> qStreamJoinSql,
