@@ -1179,8 +1179,13 @@ object Analytics {
     * warehouse distinct counting: daily/per-partition sketches
     * persist as binary columns and any rollup (here: global via
     * `hll_union_agg`) is sketch-merge, never a re-scan of raw data.
-    * No DuckDB twin (different sketch format) ⇒ rows-only driver
-    * check; AnalyticsSpec bounds the estimates against exact counts.
+    * Round-8 oracle promotion (VERDICT r7 #7): the raw estimate is
+    * sketch-format-specific, so the output carries the EXACT distinct
+    * count per source AND for the merged __global__ row (both
+    * hash-checked against DuckDB) plus an in-query error-bound flag —
+    * estimate within max(2, 5%) of exact, the AnalyticsSpec bound. A
+    * degraded sketch or a broken union flips the flag and fails the
+    * driver compare.
     */
   private val qHll: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -1191,14 +1196,29 @@ object Analytics {
         countDistinct(col("w")).as("exact_distinct"))
     val global = perSource.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .select(lit("__global__").as("source"), col("est"),
-        lit(null).cast("long").as("exact_distinct"))
+      .crossJoin(tok.agg(countDistinct(col("w")).as("exact_distinct")))
+      .select(lit("__global__").as("source"), col("exact_distinct"), col("est"))
     perSource
-      .select(col("source"), hll_sketch_estimate(col("sk")).as("est"),
-        col("exact_distinct"))
+      .select(col("source"), col("exact_distinct"),
+        hll_sketch_estimate(col("sk")).as("est"))
       .unionByName(global)
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) <=
+          greatest(lit(2.0), col("exact_distinct").cast("double") * 0.05))
+          .as("est_ok"))
       .orderBy("source")
   }
+
+  private val qHllSql =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |ps AS (SELECT source, count(DISTINCT w) AS exact_distinct
+      |       FROM tok GROUP BY source),
+      |g AS (SELECT '__global__' AS source, count(DISTINCT w) AS exact_distinct
+      |      FROM tok)
+      |SELECT source, exact_distinct, TRUE AS est_ok FROM ps
+      |UNION ALL SELECT source, exact_distinct, TRUE FROM g
+      |ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------- Q-BM25
   /** BM25 relevance scoring (k1=1.2, b=0.75) for a fixed 3-term query
@@ -1839,6 +1859,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q_zorder" -> qZorderSql,
     "q_zorder_prune" -> qZorderPruneSql,
+    "q_hll" -> qHllSql,
     "q_quantile_norm" -> qQuantileNormSql,
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
