@@ -15,14 +15,29 @@ import org.apache.spark.sql.functions._
   *   run  — time heavy queries there, write SCALE_REHEARSAL.md
   *
   * Key strides keep every replica's keyspace disjoint (1e7 per
-  * replica, far above any sf0.1 key). Document text gets a per-replica
-  * suffix token so replicas are NEAR-duplicates (exact dedup keeps
-  * them apart; near-dup/shingle paths see K×-sized buckets — the skew
-  * stress we want). Embedding vectors are reused verbatim: cosine
-  * buckets get K× occupancy, the IVF/LSH stress case.
+  * replica, far above any sf0.1 key). TWO corpus modes for the
+  * text/embedding tables (VERDICT r7 next-round #6):
+  *
+  *  - default (near-dup): document text gets a per-replica suffix
+  *    token so replicas are NEAR-duplicates (exact dedup keeps them
+  *    apart; near-dup/shingle paths see K×-sized buckets — the skew
+  *    stress case), embeddings reused verbatim (K× bucket occupancy).
+  *    Candidate-pair growth here measures true duplication (quadratic
+  *    in cluster size BY DEFINITION — the pair output itself grows
+  *    that way), NOT the plan.
+  *  - SPARK_GRAFT_SCALE_DISJOINT=1: every token of a replica gets a
+  *    `_r<rep>` suffix (shingles/windows never collide across
+  *    replicas) and replica embeddings get a deterministic per-rep
+  *    sign-flip pattern (cross-replica cosines far from 1). A
+  *    disjoint 20× corpus has ~20× the true pairs of the base, so
+  *    any super-linear x-factor left is the PLAN's — this is the
+  *    mode that attributes growth correctly.
   */
 object ScaleRehearsal {
   private val Stride = 10_000_000L
+
+  private def disjointMode: Boolean =
+    sys.env.get("SPARK_GRAFT_SCALE_DISJOINT").exists(v => v == "1" || v == "true")
 
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
@@ -89,17 +104,36 @@ object ScaleRehearsal {
     try writeT(replicate(t("events"), factor, Seq("event_id", "user_id"))
       .drop("graft_rep"), dir, "events")
     finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    // replica docs are NEAR-dups (suffix token), not exact dups —
-    // n_chars recomputed to stay consistent with the text
-    writeT(replicate(t("documents"), factor, Seq("doc_id"))
-      .withColumn("text",
+    // replica text: near-dup suffix token (default) or fully disjoint
+    // per-token suffixes (SPARK_GRAFT_SCALE_DISJOINT=1 — see header);
+    // n_chars recomputed to stay consistent with the text either way
+    val repText =
+      if (disjointMode)
         when(col("graft_rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" rep"), col("graft_rep"))))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            tk => concat(tk, lit("_r"), col("graft_rep"))), " "))
+      else
+        when(col("graft_rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("graft_rep")))
+    writeT(replicate(t("documents"), factor, Seq("doc_id"))
+      .withColumn("text", repText)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("graft_rep"), dir, "documents")
+    // replica embeddings: verbatim (default — K× bucket occupancy) or
+    // per-rep deterministic sign flips (disjoint — cross-replica
+    // cosines far from 1, so near-dup structure stays base-sized
+    // per replica)
+    val repEmb =
+      if (disjointMode)
+        when(col("graft_rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            when(((i + col("graft_rep")) % 3) === 0, -x).otherwise(x)))
+      else col("embedding")
     writeT(replicate(t("embeddings"), factor, Seq("vec_id"))
+      .withColumn("embedding", repEmb)
       .drop("graft_rep"), dir, "embeddings")
-    println(s"[scale] wrote $factor x $src -> $dir")
+    println(s"[scale] wrote $factor x $src -> $dir" +
+      (if (disjointMode) " (disjoint-text mode)" else " (near-dup mode)"))
   }
 
   /** The heavy set from the round-2 bench tail plus every dedup/ANN
@@ -120,16 +154,28 @@ object ScaleRehearsal {
     // K× corpus), and the retrieval-metrics probe join (sign buckets
     // at K× occupancy)
     "q_substr_dedup", "q_cluster", "q_eval_retrieval",
-    // late round-7: leakage-proof split = the full LSH→CC chain on a
-    // corpus whose replicas form K-member near-dup clusters (the
+    // late round-7: leakage-proof split = the full candidate→CC chain
+    // on a corpus whose replicas form K-member near-dup clusters (the
     // worst-case cluster shape for the split), and image search =
     // 20× real decode+featurize feeding the rank
-    "q_split_leakproof", "q_image_search")
+    "q_split_leakproof", "q_image_search",
+    // round-8: cluster-keyed semantic dedup (the scale-adaptive
+    // blocking under test) and the stats-pruned z-order scan
+    "q_semdedup", "q_zorder_prune")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
     sb ++= s"# SCALE REHEARSAL — ${factor}x sf0.1 (~sf${factor / 10.0})\n\n"
-    sb ++= s"Data: `$dir` = sf0.1 replicated ${factor}x with disjoint key strides.\n"
+    sb ++= s"Data: `$dir` = sf0.1 replicated ${factor}x with disjoint key strides,\n"
+    sb ++= (if (disjointMode)
+      "**disjoint-text mode**: replica tokens carry per-replica suffixes and\n" +
+      "replica embeddings per-replica sign flips, so true-duplicate structure\n" +
+      s"is ${factor}x the base's (not quadratic in replica count) — any\n" +
+      "super-linear x-factor below is the PLAN's, not fixture duplication.\n"
+    else
+      "near-dup mode: replicas are near-duplicates of the base (the skew\n" +
+      "stress case) — candidate-pair growth includes true quadratic\n" +
+      "duplication growth by definition.\n")
     sb ++= "Timings are min of 2 passes after one untimed warmup at sf0.001;\n"
     sb ++= "`x/sf0.1` is the heavy-set slowdown vs the same query on sf0.1 in\n"
     sb ++= "THIS run (same JVM, same session) — linear-or-better at 10x data\n"
