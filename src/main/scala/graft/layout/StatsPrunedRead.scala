@@ -48,6 +48,47 @@ object StatsPrunedRead {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-file statistics for an EXPLICIT list of files — the
+    * incremental building block: scans only those files.
+    */
+  private def fileStatsFor(spark: SparkSession, files: Seq[String],
+      statCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(files: _*)
+      .withColumn("_file", input_file_name())
+      .groupBy(col("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incrementally refresh a persisted stats table against the
+    * directory's CURRENT file listing — the property that makes
+    * file-statistics viable at 100 TB: maintenance cost tracks the
+    * files ADDED since the last refresh, never the corpus. Files
+    * already in the stats table are trusted as-is (parquet files are
+    * immutable once written — a rewritten table changes file names);
+    * stats rows for files that vanished (compaction, vacuum) are
+    * dropped; only genuinely new files are scanned. Returns the fresh
+    * stats table plus the number of files actually scanned, so
+    * callers (and the spec) can ASSERT the increment, not assume it.
+    */
+  def refreshStats(spark: SparkSession, dir: String, prev: DataFrame,
+      statCols: Seq[String]): (DataFrame, Int) = {
+    // current listing via a zero-column-read scan of file names only
+    // (count(*) per file touches footers, not data pages)
+    val listing = spark.read.parquet(dir)
+      .select(input_file_name().as("_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val known = prev.select(col("_file")).collect().map(_.getString(0)).toSet
+    val fresh = (listing -- known).toSeq.sorted
+    val kept = prev.filter(col("_file").isin(listing.toSeq: _*))
+    val merged =
+      if (fresh.isEmpty) kept
+      else kept.unionByName(fileStatsFor(spark, fresh, statCols))
+    (merged, fresh.size)
+  }
+
   /** File paths whose stats row satisfies `intersects` — a predicate
     * over the `min_<c>`/`max_<c>` columns stating that the file's
     * value band can contain matching rows (e.g. for `c <= hi`:

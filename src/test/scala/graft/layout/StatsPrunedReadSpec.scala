@@ -48,6 +48,42 @@ class StatsPrunedReadSpec extends SparkTestBase {
     }
   }
 
+  test("refreshStats scans ONLY new files and drops vanished ones") {
+    graft.tools.Scratch.withDir("graft_spr_refresh") { dir =>
+      def writeFile(f: Int): Unit = {
+        val stage = s"$dir/_stage$f"
+        (0 until 50).map(i => (f * 100L + i, s"v$f-$i")).toDF("k", "payload")
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$dir/f$f.parquet"))
+        graft.tools.Scratch.deleteRecursively(new java.io.File(stage))
+      }
+      (0 until 3).foreach(writeFile)
+      val stats0 = StatsPrunedRead.fileStats(spark, dir, Seq("k"))
+        .localCheckpoint()
+      assert(stats0.count() == 3)
+      // append two files, delete one — refresh must scan exactly the
+      // two new ones and drop the vanished row
+      (3 until 5).foreach(writeFile)
+      assert(new java.io.File(s"$dir/f0.parquet").delete())
+      val (stats1, scanned) =
+        StatsPrunedRead.refreshStats(spark, dir, stats0, Seq("k"))
+      assert(scanned == 2, s"expected 2 new files scanned, got $scanned")
+      val rows = stats1.orderBy("min_k").collect()
+      assert(rows.length == 4) // f1..f4
+      assert(rows.map(_.getLong(2)).toSeq == Seq(100L, 200L, 300L, 400L))
+      // refreshed stats serve pruned reads exactly like fresh ones
+      val pruned = StatsPrunedRead.readPruned(spark, stats1,
+        col("min_k") <= 349L && col("max_k") >= 200L)
+      assert(pruned.select(input_file_name()).distinct().count() == 2)
+      // and a second refresh with nothing new scans nothing
+      val (_, zero) = StatsPrunedRead.refreshStats(spark, dir, stats1, Seq("k"))
+      assert(zero == 0)
+    }
+  }
+
   test("empty intersection degrades to an empty result with the data schema") {
     graft.tools.Scratch.withDir("graft_spr_empty") { base =>
       val dir = s"$base/t"
