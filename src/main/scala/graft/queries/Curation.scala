@@ -598,8 +598,161 @@ object Curation {
       |FROM documents CROSS JOIN (VALUES ('compact'), ('frag')) t(layout)
       |GROUP BY layout ORDER BY layout""".stripMargin
 
+  // ------------------------------------------------ Q-HARD-NEGATIVES
+  /** Contrastive hard-negative mining — the training-pair step of
+    * embedding-model pipelines (sentence-transformers, DPR): for each
+    * probe (the 20 lowest vec_ids), the 5 most-cosine-similar corpus
+    * vectors carrying a DIFFERENT label — maximally confusing
+    * negatives, the ones that actually move a contrastive loss.
+    * Probes broadcast (a probe set is always small next to the
+    * corpus); one corpus scan computes all probe cosines in the
+    * native kernel; the per-probe ranking window runs on the
+    * label-filtered pairs. At real scale the corpus scan would be cut
+    * by the IVF cells first (the q_sim_ivf machinery) — the exact
+    * form here is the oracle-checkable baseline of that path.
+    */
+  private val qHardNegatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val cos = VectorOps.cosineFor(emb, "embedding")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("embedding"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val qHardNegativesSql =
+    """WITH p AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      |           FROM embeddings WHERE vec_id < 20),
+      |s AS (
+      |  SELECT p.query_id, e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, p.qv),
+      |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(e.embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(p.qv,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos
+      |  FROM embeddings e CROSS JOIN p WHERE e.label <> p.qlabel),
+      |r AS (
+      |  SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, vec_id) AS rk
+      |  FROM s)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id,
+      |       round(cos, 6) AS cosine
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // -------------------------------------------------- Q-MIX-WEIGHTS
+  /** Domain mixing weights — the dataset-mixture computation every
+    * multi-source training run needs (the DoReMi/pile-mixing shape in
+    * its static form): per source, token counts and the NATURAL
+    * proportion of the corpus, then the per-document sampling weight
+    * that would rebalance training to a UNIFORM target across
+    * sources (weight = target/natural: >1 upsamples a rare domain,
+    * <1 downsamples a dominant one). One narrow scan + one aggregate;
+    * totals ride on a window over the tiny per-source frame, so
+    * nothing corpus-sized shuffles twice.
+    */
+  private val qMixWeights: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("natural_frac",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+      .withColumn("weight",
+        (lit(1.0) / count(lit(1)).over(w)) / col("natural_frac"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("natural_frac"), 6).as("natural_frac"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  private val qMixWeightsSql =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+      |    AS natural_frac,
+      |  round((1.0 / count(*) OVER ()) /
+      |        (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 6) AS weight
+      |FROM per ORDER BY source""".stripMargin
+
+  // ------------------------------------------- Q-DECON-SEMANTIC
+  /** Semantic decontamination — q_decontaminate's embedding twin (the
+    * n-gram form misses paraphrased benchmark leakage; SemDeDup-style
+    * pipelines run BOTH): the 50 lowest vec_ids stand in for a
+    * benchmark suite, and every corpus vector whose cosine to ANY
+    * benchmark vector reaches the threshold is flagged with its
+    * closest benchmark item (ties → lowest eval id). The benchmark
+    * side broadcasts (eval suites are small by nature — this exact
+    * probe-bounded scan IS the production shape; blocking buys
+    * nothing when |eval| is fixed); one corpus pass computes all
+    * probe cosines in the native kernel.
+    */
+  private val qDeconSemantic: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val evalSet = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val cos = VectorOps.cosineFor(emb, "embedding")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("eval_id"))
+    corpus.crossJoin(broadcast(evalSet))
+      .select(col("vec_id"), col("eval_id"),
+        cos(col("embedding"), col("ev")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("cosine") >= 0.35)
+      .select(col("vec_id"), col("eval_id").as("matched_eval_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id")
+  }
+
+  private val qDeconSemanticSql =
+    """WITH ev AS (SELECT vec_id AS eval_id, embedding AS evv
+      |            FROM embeddings WHERE vec_id < 50),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+      |s AS (
+      |  SELECT c.vec_id, ev.eval_id,
+      |    list_sum(list_transform(list_zip(c.embedding, ev.evv),
+      |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(c.embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(ev.evv,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos
+      |  FROM c CROSS JOIN ev),
+      |r AS (
+      |  SELECT vec_id, eval_id, cos,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY cos DESC, eval_id) AS rk
+      |  FROM s)
+      |SELECT vec_id, eval_id AS matched_eval_id, round(cos, 6) AS cosine
+      |FROM r WHERE rk = 1 AND cos >= 0.35 ORDER BY vec_id""".stripMargin
+
   // ----------------------------------------------------------- maps
   val defs: Map[String, Q] = Map(
+    "q_hard_negatives" -> qHardNegatives,
+    "q_mix_weights" -> qMixWeights,
+    "q_decon_semantic" -> qDeconSemantic,
     "q_substr_dedup" -> qSubstrDedup,
     "q_eval_retrieval" -> qEvalRetrieval,
     "q_cluster" -> qCluster,
@@ -610,6 +763,9 @@ object Curation {
     "q_compact" -> qCompact)
 
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives" -> qHardNegativesSql,
+    "q_mix_weights" -> qMixWeightsSql,
+    "q_decon_semantic" -> qDeconSemanticSql,
     "q_substr_dedup" -> qSubstrDedupSql,
     "q_eval_retrieval" -> qEvalRetrievalSql,
     "q_cluster" -> qClusterSql,

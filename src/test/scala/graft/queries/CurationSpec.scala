@@ -158,6 +158,38 @@ class CurationSpec extends SparkTestBase {
     assert(out(12L)._1 == 12L)
   }
 
+  test("hard negatives: exactly 5 per probe, never the probe's own label, ranked by cosine") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labelOf = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val allLabels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = Curation.defs("q_hard_negatives")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20 * 5)
+    rows.groupBy(_._1).foreach { case (qid, group) =>
+      assert(group.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      // no negative shares the probe's label (the filter's whole point)
+      group.foreach { case (_, _, vid, _) =>
+        assert(allLabels(vid) != labelOf(qid), s"probe $qid mined same-label $vid")
+      }
+      // ranks descend in cosine
+      val byRank = group.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("mix weights: fractions sum to 1, weights rebalance toward uniform") {
+    val rows = Curation.defs("q_mix_weights")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3)
+    // weight * natural == uniform target for every source
+    val target = 1.0 / rows.length
+    rows.foreach { case (src, nat, wt) =>
+      assert(math.abs(wt * nat - target) < 1e-4, s"$src: $wt * $nat != $target")
+    }
+  }
+
   test("retrieval metrics: every probe self-hits at rank 1 (MRR = 1), metrics in [0,1]") {
     val m = Curation.defs("q_eval_retrieval")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
