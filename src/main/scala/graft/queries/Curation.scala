@@ -606,10 +606,14 @@ object Curation {
     * negatives, the ones that actually move a contrastive loss.
     * Probes broadcast (a probe set is always small next to the
     * corpus); one corpus scan computes all probe cosines in the
-    * native kernel; the per-probe ranking window runs on the
-    * label-filtered pairs. At real scale the corpus scan would be cut
-    * by the IVF cells first (the q_sim_ivf machinery) — the exact
-    * form here is the oracle-checkable baseline of that path.
+    * native kernel; the per-probe top-5 runs through the
+    * bounded-buffer [[graft.functions.TopKAgg]] — at most 5 rows per
+    * probe per partition cross the shuffle, where a ranking window
+    * would SORT every probe's corpus-sized pair group (the "top-k
+    * never sorts the world" rule). Same tie contract: cosine desc,
+    * vec_id asc. At real scale the corpus scan would be cut by the
+    * IVF cells first (the q_sim_ivf machinery) — the exact form here
+    * is the oracle-checkable baseline of that path.
     */
   private val qHardNegatives: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -617,17 +621,16 @@ object Curation {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("qlabel"))
     val cos = VectorOps.cosineFor(emb, "embedding")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
     emb.crossJoin(broadcast(probes))
       .filter(col("label") =!= col("qlabel"))
       .select(col("query_id"), col("vec_id"),
         cos(col("embedding"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
-        col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(5)(col("cosine"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("query_id"), (col("r0") + 1).cast("long").as("rk"),
+        col("e._2").as("vec_id"), round(col("e._1"), 6).as("cosine"))
       .orderBy("query_id", "rk")
   }
 
@@ -705,7 +708,13 @@ object Curation {
     * side broadcasts (eval suites are small by nature — this exact
     * probe-bounded scan IS the production shape; blocking buys
     * nothing when |eval| is fixed); one corpus pass computes all
-    * probe cosines in the native kernel.
+    * probe cosines in the native kernel, and the per-vector argmax is
+    * a struct-max aggregate with partial (map-side) combine — the
+    * |eval| pairs per vector collapse before the shuffle (plans as a
+    * SortAggregate: struct buffers aren't hash-aggregable, but the
+    * sort is per-partition and no ranking window ever materializes
+    * the pair set). Ties at equal cosine take the lowest eval id via
+    * the negated id in the struct order.
     */
   private val qDeconSemantic: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -713,16 +722,16 @@ object Curation {
       .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
     val corpus = emb.filter(col("vec_id") >= 50)
     val cos = VectorOps.cosineFor(emb, "embedding")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("eval_id"))
     corpus.crossJoin(broadcast(evalSet))
       .select(col("vec_id"), col("eval_id"),
         cos(col("embedding"), col("ev")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1 && col("cosine") >= 0.35)
-      .select(col("vec_id"), col("eval_id").as("matched_eval_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine").as("cosine"),
+        (-col("eval_id")).as("neg_id"))).as("m"))
+      .filter(col("m.cosine") >= 0.35)
+      .select(col("vec_id"), (-col("m.neg_id")).as("matched_eval_id"),
+        round(col("m.cosine"), 6).as("cosine"))
       .orderBy("vec_id")
   }
 
