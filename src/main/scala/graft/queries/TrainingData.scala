@@ -763,7 +763,7 @@ object TrainingData {
     * createTempDirectory alone leaked one dir per (override, sf dir)
     * for the host's tmp lifetime (ADVICE r5).
     */
-  private def benchScratchDir(prefix: String): String = {
+  private[queries] def benchScratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
       import java.nio.file.{Files, Path}
@@ -854,7 +854,8 @@ object TrainingData {
   val benchOverrides: Map[String, Q] = Map(
     "q_sim_ivf" -> qSimIvfServe,
     "q_sim_pq" -> qSimPqServe,
-    "q_embed_search_ivf" -> qEmbedSearchIvfServe)
+    "q_embed_search_ivf" -> qEmbedSearchIvfServe,
+    "q_zorder_prune" -> Analytics.qZorderPruneServe)
 
   // ------------------------------------------- embedding generation (MLlib)
   /** MLlib embedding GENERATION (ml.feature.IDF over deterministic
