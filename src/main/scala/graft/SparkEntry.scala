@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Core, Curation, Extended, TrainingData}
+import graft.queries.{Analytics, Core, Corpus, Curation, Extended, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.defs ++ TrainingData.defs ++ Extended.defs ++ Analytics.defs ++
-      Curation.defs
+      Curation.defs ++ Corpus.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,7 +32,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Core.oracles ++ TrainingData.oracles ++ Extended.oracles ++
-      Analytics.oracles ++ Curation.oracles
+      Analytics.oracles ++ Curation.oracles ++ Corpus.oracles
 
   /** The query set Bench times: `queries` plus bench-path overrides
     * where the correctness body deliberately does MORE work than the

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Bounded multi-round BFS over an edge DataFrame: unweighted
+  * single-source shortest paths up to `maxHops`, the third iterative
+  * graph dataflow next to [[PageRank]] and
+  * [[graft.dedup.ConnectedComponents]].
+  *
+  * Semantics: hop distance from `source` (a 1-row DataFrame with a
+  * `node` column, so the seed can itself be the result of a query —
+  * no driver-side action to pick it). Nodes unreached within
+  * `maxHops` are absent from the output, the natural distributed
+  * form (emitting "infinity" rows would materialize the whole node
+  * set for no information).
+  *
+  * Scale shape per round: frontier ⋈ edges on the edge partitioning
+  * key (the caller pre-partitions edges once; every round reuses that
+  * exchange), then a min-aggregate merging the freshly reached nodes
+  * into the distance table. BFS expands each node exactly once —
+  * the frontier filter (`dist == round-1`) keeps settled nodes out of
+  * the join, so total join work across all rounds is O(m), not
+  * O(rounds·m). Rounds snapshot through [[Snapshots.persistRound]]
+  * (bounded plan depth, superseded blocks actually freed).
+  *
+  * Deterministic: unweighted BFS discovers nodes in nondecreasing
+  * hop order, so the min-merge is order-insensitive.
+  */
+object ShortestPaths {
+
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      source: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")).cache()
+    var dist = source.select(col("node").cast("long").as("node"))
+      .withColumn("dist", lit(0))
+    var prevRdd: Option[RDD[Row]] = None
+    for (i <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === lit(i - 1))
+      val reached = frontier.join(e, frontier("node") === e("u"))
+        .select(e("v").as("node"), lit(i).as("dist"))
+      val merged = dist.union(reached)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val (snap, rdd) = Snapshots.persistRound(merged, prevRdd)
+      prevRdd = Some(rdd)
+      dist = snap
+    }
+    e.unpersist()
+    dist.select(col("node"), col("dist").cast("long").as("dist"))
+  }
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.ShortestPaths
+
+/** Round-8 corpus-analysis batch: vocabulary construction with
+  * coverage accounting, PMI token co-occurrence, incremental ingest
+  * dedup against an existing corpus index, and bounded-hop BFS
+  * shortest paths (the third iterative graph dataflow). Same driver
+  * contract as the other query modules: every entry has a DuckDB
+  * oracle, float parity rules per the queries/Core.scala header.
+  */
+object Corpus {
+  import Core.Q
+
+  // ---------------------------------------------------------------- Q-VOCAB
+  /** Vocabulary construction — the first step of any tokenizer /
+    * vocab pipeline: token frequencies over the corpus, the top-200
+    * vocabulary by (count desc, token), and the cumulative fraction
+    * of all token OCCURRENCES the vocabulary prefix covers (the
+    * "coverage@N" curve vocab sizing is decided from).
+    *
+    * Scale shape: one shuffle for the token counts (map-side partial
+    * aggregation does the heavy lifting — the domain is the vocab,
+    * not the corpus), then TakeOrdered for the top-200 (distributed
+    * heap-k, NO single-partition global sort of the vocab), and only
+    * the 200 surviving rows enter the rank/cumsum window — a bounded
+    * single-partition frame by construction.
+    */
+  private val qVocab: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(200)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    top.crossJoin(tot)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("coverage", round(
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("tot"), 6))
+      .select(col("rank"), col("token"), col("cnt"), col("coverage"))
+      .orderBy(col("rank"))
+  }
+
+  private val qVocabSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |t AS (SELECT token, count(*) AS cnt FROM toks
+      |      WHERE len(token) > 0 GROUP BY token),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM t),
+      |top AS (SELECT token, cnt FROM t ORDER BY cnt DESC, token LIMIT 200)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+      |       token, cnt,
+      |       round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |             / (SELECT tot FROM tot), 6) AS coverage
+      |FROM top ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------- Q-COOCCUR
+  /** Token co-occurrence with pointwise mutual information — the
+    * association statistic behind phrase mining and
+    * word-embedding-free relatedness: PMI(a,b) = ln(P(a,b)/(P(a)P(b)))
+    * over document-level co-occurrence, top-100 pairs.
+    *
+    * Scale shape: pair enumeration is the classic quadratic trap, so
+    * each document contributes pairs only from its top-20 tokens by
+    * (tf desc, token) — a per-document window over the doc's own
+    * tokens (partition size bounded by document length), giving ≤190
+    * pairs per document regardless of corpus size. The df/pair
+    * tables live in the vocab domain; joins key on token (hash join,
+    * AQE free to broadcast the small side), and the final top-100 is
+    * TakeOrdered, not a global sort.
+    */
+  private val qCooccur: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val wdoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("token"))
+    val top = tf.withColumn("r", row_number().over(wdoc))
+      .filter(col("r") <= 20).select(col("doc_id"), col("token"))
+    val df = top.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = top.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val pairs = top.as("a")
+      .join(top.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("tok_a"), col("b.token").as("tok_b"))
+      .agg(count(lit(1)).as("pair_docs"))
+      .filter(col("pair_docs") >= 2)
+    pairs
+      .join(df.select(col("token").as("tok_a"), col("df").as("df_a")), "tok_a")
+      .join(df.select(col("token").as("tok_b"), col("df").as("df_b")), "tok_b")
+      .crossJoin(n)
+      .withColumn("pmi", round(log(
+        (col("pair_docs") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 6))
+      .select(col("tok_a"), col("tok_b"), col("pair_docs"), col("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(100)
+  }
+
+  private val qCooccurSql =
+    """WITH tf AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE len(token) > 0 GROUP BY doc_id, token),
+      |top AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, token,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY tf DESC, token) AS r
+      |    FROM tf) WHERE r <= 20),
+      |df AS (SELECT token, count(*) AS df FROM top GROUP BY token),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM top),
+      |pairs AS (
+      |  SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS pair_docs
+      |  FROM top a JOIN top b ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY a.token, b.token HAVING count(*) >= 2)
+      |SELECT tok_a, tok_b, pair_docs,
+      |       round(ln(CAST(pair_docs * (SELECT n_docs FROM n) AS DOUBLE)
+      |                / CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+      |FROM pairs
+      |JOIN df da ON da.token = tok_a
+      |JOIN df db ON db.token = tok_b
+      |ORDER BY pmi DESC, tok_a, tok_b LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------- Q-DEDUP-INCREMENTAL
+  /** Incremental ingest dedup — the production daily-batch shape: a
+    * new batch of documents (deterministic 10% slice, doc_id % 10 = 0)
+    * is classified against the EXISTING corpus index (the other 90%)
+    * as exact duplicate (same md5 of the raw text), near duplicate
+    * (same order-insensitive distinct-token-set fingerprint — the
+    * q_fingerprint key), or new, with the matched corpus doc.
+    *
+    * Scale shape: the corpus index (key → min doc_id) is what a real
+    * pipeline maintains incrementally — here it is built inline, one
+    * map-side-combined aggregation per key kind. Classification is
+    * two hash joins on 32-byte digests (unique per index row by
+    * construction, so no fanout), never a text comparison; the batch
+    * side is a fraction of the corpus, the natural asymmetry AQE
+    * exploits.
+    */
+  private val qDedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def exactKey = md5(col("text"))
+    def nearKey = md5(concat_ws(" ",
+      sort_array(array_distinct(expr("filter(split(text, ' '), x -> x != '')")))))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), exactKey.as("ek"), nearKey.as("nk"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val exactIdx = corpus.groupBy(exactKey.as("ek"))
+      .agg(min(col("doc_id")).as("exact_of"))
+    val nearIdx = corpus.groupBy(nearKey.as("nk"))
+      .agg(min(col("doc_id")).as("near_of"))
+    batch
+      .join(exactIdx, Seq("ek"), "left")
+      .join(nearIdx, Seq("nk"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qDedupIncrementalSql =
+    """WITH k AS (
+      |  SELECT doc_id, md5(text) AS ek,
+      |         md5(array_to_string(list_sort(list_distinct(
+      |           list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS nk
+      |  FROM documents),
+      |b AS (SELECT * FROM k WHERE doc_id % 10 = 0),
+      |ce AS (SELECT ek, min(doc_id) AS exact_of FROM k
+      |       WHERE doc_id % 10 <> 0 GROUP BY ek),
+      |cn AS (SELECT nk, min(doc_id) AS near_of FROM k
+      |       WHERE doc_id % 10 <> 0 GROUP BY nk)
+      |SELECT b.doc_id,
+      |       CASE WHEN ce.exact_of IS NOT NULL THEN 'exact_dup'
+      |            WHEN cn.near_of IS NOT NULL THEN 'near_dup'
+      |            ELSE 'new' END AS status,
+      |       coalesce(ce.exact_of, cn.near_of) AS dup_of
+      |FROM b LEFT JOIN ce USING (ek) LEFT JOIN cn USING (nk)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- Q-SHORTEST-PATH
+  /** Single-source BFS shortest paths, bounded at 4 hops
+    * ([[ShortestPaths]]), over a deterministically sparsified
+    * co-purchase graph: parts are connected when they appear in the
+    * same order (the q_triangles edge derivation) and the edge
+    * survives the (u+v) % 13 = 0 sample — the raw co-purchase graph
+    * has diameter 2, the sample gives the full 0–4 hop spread plus
+    * unreachable nodes, so every BFS round does real work. Source =
+    * the minimum surviving node, computed as a 1-row DataFrame (no
+    * driver action).
+    *
+    * The oracle is a recursive CTE with UNION (not UNION ALL)
+    * semantics — path enumeration would be exponential on a cyclic
+    * graph; (node, dist) dedup bounds it at nodes × 5 rows.
+    */
+  private val qShortestPath: Q = (s, d) => {
+    // single-row-group test file → serial scan; key the exchange on
+    // the groupBy column so the collect_set and pair explosion run
+    // wide (same rationale as qPageRank/qTriangles)
+    val pairs = Tables.lineitem(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .select(col("e.u"), col("e.v"))
+      .filter((col("u") + col("v")) % 13 === 0)
+    val und = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      // every BFS round joins the frontier on u: pay this exchange
+      // once, reuse it all rounds
+      .repartition(s.sparkContext.defaultParallelism, col("u"))
+    val source = und.agg(min(col("u")).as("node"))
+    ShortestPaths.run(und, "u", "v", source, maxHops = 4)
+      .orderBy(col("node"))
+  }
+
+  private val qShortestPathSql =
+    """WITH RECURSIVE items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |       WHERE (a.p + b.p) % 13 = 0),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |walk(node, dist) AS (
+      |  SELECT (SELECT min(u) FROM e), 0
+      |  UNION
+      |  SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node
+      |  WHERE w.dist < 4)
+      |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q_vocab" -> qVocab,
+    "q_cooccur" -> qCooccur,
+    "q_dedup_incremental" -> qDedupIncremental,
+    "q_shortest_path" -> qShortestPath)
+
+  val oracles: Map[String, String] = Map(
+    "q_vocab" -> qVocabSql,
+    "q_cooccur" -> qCooccurSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_shortest_path" -> qShortestPathSql)
+}

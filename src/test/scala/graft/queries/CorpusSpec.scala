@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.operators.ShortestPaths
+
+/** Semantic invariants for the round-8 corpus-analysis batch
+  * (value-level parity is the DuckDB oracle's job).
+  */
+class CorpusSpec extends SparkTestBase {
+
+  test("vocab: ranks contiguous, counts non-increasing, coverage monotone to ≤1") {
+    val rows = Corpus.defs("q_vocab")(spark, sf).orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    val cov = rows.map(_.getDouble(3))
+    assert(cov.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    assert(cov.last <= 1.0 + 1e-9)
+    // the tiny synthetic vocab fits inside top-200 → full coverage
+    assert(cov.last > 0.999999)
+  }
+
+  test("vocab: total count equals the corpus token count") {
+    val total = Corpus.defs("q_vocab")(spark, sf)
+      .agg(sum("cnt")).head().getLong(0)
+    val direct = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(total == direct)
+  }
+
+  test("cooccur: pairs ordered (tok_a < tok_b), pmi sorted desc, pair_docs ≥ 2") {
+    val rows = Corpus.defs("q_cooccur")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(r => r.getString(0) < r.getString(1)))
+    assert(rows.forall(_.getLong(2) >= 2))
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("cooccur: pmi matches hand-computed value for the top pair") {
+    val top = Corpus.defs("q_cooccur")(spark, sf).head()
+    val (ta, tb) = (top.getString(0), top.getString(1))
+    val docsTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tf").desc, col("token"))
+    val kept = docsTok.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 20).select("doc_id", "token").cache()
+    try {
+      val n = kept.select("doc_id").distinct().count().toDouble
+      val dfA = kept.filter(col("token") === ta).count().toDouble
+      val dfB = kept.filter(col("token") === tb).count().toDouble
+      val both = kept.filter(col("token") === ta).select("doc_id")
+        .intersect(kept.filter(col("token") === tb).select("doc_id")).count()
+      val expect = math.log(both * n / (dfA * dfB))
+      assert(math.abs(top.getDouble(3) - expect) < 1e-5)
+      assert(top.getLong(2) == both)
+    } finally kept.unpersist()
+  }
+
+  test("dedup incremental: statuses partition the batch; dup_of null iff new") {
+    val df = Corpus.defs("q_dedup_incremental")(spark, sf).cache()
+    try {
+      val batchN = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 10 === 0).count()
+      assert(df.count() == batchN)
+      assert(df.filter(col("status") === "new" && col("dup_of").isNotNull)
+        .count() == 0)
+      assert(df.filter(col("status") =!= "new" && col("dup_of").isNull)
+        .count() == 0)
+      // dup_of always points into the corpus slice, never the batch
+      assert(df.filter(col("dup_of").isNotNull && col("dup_of") % 10 === 0)
+        .count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("dedup incremental: near-dup pairs share the distinct-token-set fingerprint") {
+    val docs = Tables.documents(spark, sf)
+    def nk = md5(concat_ws(" ",
+      sort_array(array_distinct(expr("filter(split(text, ' '), x -> x != '')")))))
+    val keyed = docs.select(col("doc_id"), nk.as("nk"))
+    val dups = Corpus.defs("q_dedup_incremental")(spark, sf)
+      .filter(col("status") === "near_dup")
+      .select(col("doc_id"), col("dup_of"))
+    val joined = dups
+      .join(keyed.select(col("doc_id"), col("nk").as("k1")), "doc_id")
+      .join(keyed.select(col("doc_id").as("dup_of"), col("nk").as("k2")), "dup_of")
+    assert(joined.filter(col("k1") =!= col("k2")).count() == 0)
+  }
+
+  test("shortest path: BFS distances match in-memory Dijkstra on the same graph") {
+    val out = Corpus.defs("q_shortest_path")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the same sparsified co-purchase graph single-node
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val edges = byOrder.values.flatMap { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length
+        if (ps(i) + ps(j)) % 13 == 0) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val src = edges.flatMap(e => Seq(e._1, e._2)).min
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(adj.getOrElse(_, Nil))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    assert(out == dist)
+  }
+
+  test("shortest path operator: maxHops 0 returns just the source") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val src = Seq(1L).toDF("node")
+    val out = ShortestPaths.run(e, "u", "v", src, maxHops = 0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
+  }
+
+  test("shortest path operator: settled nodes keep their first (minimal) distance") {
+    import spark.implicits._
+    // diamond + long way round: 1-2, 1-3, 2-4, 3-4, 4-5; BFS(1):
+    // dist(4) must be 2 (not 3), dist(5) = 3
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val e = (raw ++ raw.map(_.swap)).toDF("u", "v")
+    val src = Seq(1L).toDF("node")
+    val out = ShortestPaths.run(e, "u", "v", src, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+}
