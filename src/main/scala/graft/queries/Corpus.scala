@@ -244,15 +244,58 @@ object Corpus {
       |SELECT node, CAST(min(dist) AS BIGINT) AS dist
       |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------ Q-STREAM-ANOMALY
+  /** Streaming EWMA anomaly detection
+    * ([[graft.streaming.AnomalyStream]]): every event scored against
+    * its user's running exponentially-weighted mean/variance, 3-sigma
+    * control limit after a 5-event warm-up, run as a real streaming
+    * query (file-source → custom flatMapGroupsWithState →
+    * memory sink). The oracle restates the same double recurrence as
+    * a per-user recursive CTE over the watermark-ripe prefix.
+    */
+  private val qStreamAnomaly: Q = (s, d) =>
+    graft.streaming.AnomalyStream.detectFile(s, d)
+
+  private val qStreamAnomalySql =
+    """WITH RECURSIVE cut AS (
+      |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS c
+      |  FROM events),
+      |ev AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |  WHERE ts < (SELECT c + INTERVAL '1 millisecond' FROM cut)),
+      |r(user_id, rn, event_id, ts, value, ewma, ewvar) AS (
+      |  SELECT user_id, rn, event_id, ts, value, value, CAST(0 AS DOUBLE)
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT ev.user_id, ev.rn, ev.event_id, ev.ts, ev.value,
+      |    CAST(0.3 AS DOUBLE) * ev.value + CAST(0.7 AS DOUBLE) * r.ewma,
+      |    CAST(0.7 AS DOUBLE) * (r.ewvar + CAST(0.3 AS DOUBLE) *
+      |      (ev.value - r.ewma) * (ev.value - r.ewma))
+      |  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
+      |SELECT cur.event_id, cur.user_id, cur.ts, cur.value,
+      |  prev.ewma AS ewma_prev,
+      |  prev.ewvar AS ewvar_prev,
+      |  coalesce(prev.rn >= 5 AND
+      |    (cur.value - prev.ewma) * (cur.value - prev.ewma)
+      |      > CAST(9 AS DOUBLE) * prev.ewvar, FALSE) AS is_anomaly
+      |FROM r cur LEFT JOIN r prev
+      |  ON prev.user_id = cur.user_id AND prev.rn = cur.rn - 1
+      |ORDER BY cur.event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q_vocab" -> qVocab,
     "q_cooccur" -> qCooccur,
     "q_dedup_incremental" -> qDedupIncremental,
-    "q_shortest_path" -> qShortestPath)
+    "q_shortest_path" -> qShortestPath,
+    "q_stream_anomaly" -> qStreamAnomaly)
 
   val oracles: Map[String, String] = Map(
     "q_vocab" -> qVocabSql,
     "q_cooccur" -> qCooccurSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
-    "q_shortest_path" -> qShortestPathSql)
+    "q_shortest_path" -> qShortestPathSql,
+    "q_stream_anomaly" -> qStreamAnomalySql)
 }
