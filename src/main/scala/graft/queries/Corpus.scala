@@ -285,7 +285,111 @@ object Corpus {
       |  ON prev.user_id = cur.user_id AND prev.rn = cur.rn - 1
       |ORDER BY cur.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q-DRIFT
+  /** Distribution drift monitoring — the Population Stability Index
+    * every production feature pipeline watches: per event_type, the
+    * month's first half is the reference period, its exact deciles
+    * bin both periods, and PSI = Σ_b (p_cur − p_ref)·ln(p_cur/p_ref)
+    * over the 10 bins (ε = 1e-6 floor on empty bins).
+    *
+    * Scale shape: one aggregation for the decile edges (exact
+    * percentile — a sketch would serve at 100 TB, but the oracle
+    * needs exactness; swapping to percentile_approx is a one-line
+    * change), a broadcast of the 5-row edge table, one counting
+    * aggregation over (type, period, bin), and a fixed-order 10-term
+    * sum for the PSI — an order-INSENSITIVE float reduction, because
+    * a sum(double) over bins would accumulate in engine-specific
+    * order and diverge in the last ulps (the queries/Core.scala
+    * parity rule, solved structurally here instead of decimally).
+    */
+  private val qDrift: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("period",
+        when(dayofmonth(col("ts")) <= 15, lit("ref")).otherwise(lit("cur")))
+    val edges = ev.filter(col("period") === "ref")
+      .groupBy(col("event_type"))
+      .agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("edges"))
+    val binned = ev.join(broadcast(edges), "event_type")
+      .withColumn("bin",
+        expr("size(filter(edges, e -> value > e))"))
+      .groupBy(col("event_type"), col("period"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = binned.groupBy(col("event_type"), col("period"))
+      .agg(sum(col("cnt")).as("n"))
+    val props = binned.join(totals, Seq("event_type", "period"))
+      .select(col("event_type"), col("period"), col("bin"),
+        greatest(col("cnt").cast("double") / col("n").cast("double"),
+          lit(1e-6)).as("p"))
+    val pivotCols = (0 to 9).flatMap(b => Seq(
+      max(when(col("period") === "ref" && col("bin") === b, col("p")))
+        .as(s"r$b"),
+      max(when(col("period") === "cur" && col("bin") === b, col("p")))
+        .as(s"c$b")))
+    val byBin = props.groupBy(col("event_type"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    val nRef = totals.filter(col("period") === "ref")
+      .select(col("event_type"), col("n").as("n_ref"))
+    val nCur = totals.filter(col("period") === "cur")
+      .select(col("event_type"), col("n").as("n_cur"))
+    val term = (b: Int) => {
+      val (r, c) = (coalesce(col(s"r$b"), lit(1e-6)),
+        coalesce(col(s"c$b"), lit(1e-6)))
+      (c - r) * log(c / r)
+    }
+    byBin.join(nRef, "event_type").join(nCur, "event_type")
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round((0 to 9).map(term).reduce(_ + _), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+      .orderBy(col("event_type"))
+  }
+
+  private val qDriftSql = {
+    val terms = (0 to 9).map { b =>
+      s"""(coalesce(c$b, CAST(1e-6 AS DOUBLE)) - coalesce(r$b, CAST(1e-6 AS DOUBLE)))
+         | * ln(coalesce(c$b, CAST(1e-6 AS DOUBLE)) / coalesce(r$b, CAST(1e-6 AS DOUBLE)))""" // fixed order, matches the Spark reduce
+        .stripMargin.replace("\n", "")
+    }.mkString(" + ")
+    val pivots = (0 to 9).flatMap { b =>
+      Seq(
+        s"max(CASE WHEN period = 'ref' AND bin = $b THEN p END) AS r$b",
+        s"max(CASE WHEN period = 'cur' AND bin = $b THEN p END) AS c$b")
+    }.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT event_type, value,
+       |         CASE WHEN date_part('day', ts) <= 15 THEN 'ref' ELSE 'cur' END AS period
+       |  FROM events),
+       |edges AS (
+       |  SELECT event_type,
+       |         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+       |  FROM ev WHERE period = 'ref' GROUP BY event_type),
+       |binned AS (
+       |  SELECT ev.event_type, ev.period,
+       |         len(list_filter(edges.edges, e -> ev.value > e)) AS bin,
+       |         count(*) AS cnt
+       |  FROM ev JOIN edges USING (event_type)
+       |  GROUP BY 1, 2, 3),
+       |totals AS (SELECT event_type, period, CAST(sum(cnt) AS BIGINT) AS n
+       |           FROM binned GROUP BY 1, 2),
+       |props AS (
+       |  SELECT b.event_type, b.period, b.bin,
+       |         greatest(CAST(b.cnt AS DOUBLE) / CAST(t.n AS DOUBLE),
+       |                  CAST(1e-6 AS DOUBLE)) AS p
+       |  FROM binned b JOIN totals t USING (event_type, period)),
+       |bybin AS (SELECT event_type, $pivots FROM props GROUP BY event_type)
+       |SELECT bb.event_type,
+       |       tr.n AS n_ref, tc.n AS n_cur,
+       |       round($terms, 6) AS psi,
+       |       round($terms, 6) > CAST(0.2 AS DOUBLE) AS drifted
+       |FROM bybin bb
+       |JOIN totals tr ON tr.event_type = bb.event_type AND tr.period = 'ref'
+       |JOIN totals tc ON tc.event_type = bb.event_type AND tc.period = 'cur'
+       |ORDER BY bb.event_type""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_drift" -> qDrift,
     "q_vocab" -> qVocab,
     "q_cooccur" -> qCooccur,
     "q_dedup_incremental" -> qDedupIncremental,
@@ -293,6 +397,7 @@ object Corpus {
     "q_stream_anomaly" -> qStreamAnomaly)
 
   val oracles: Map[String, String] = Map(
+    "q_drift" -> qDriftSql,
     "q_vocab" -> qVocabSql,
     "q_cooccur" -> qCooccurSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,

@@ -120,6 +120,49 @@ class CorpusSpec extends SparkTestBase {
     assert(out == dist)
   }
 
+  test("drift: one row per event_type, psi ≥ 0, periods partition the events") {
+    val df = Corpus.defs("q_drift")(spark, sf).cache()
+    try {
+      val types = Tables.events(spark, sf)
+        .select("event_type").distinct().count()
+      assert(df.count() == types)
+      assert(df.filter(col("psi") < 0).count() == 0)
+      val total = df.agg(sum(col("n_ref") + col("n_cur"))).head().getLong(0)
+      assert(total == Tables.events(spark, sf).count())
+      // stationary synthetic data: PSI stays small-ish (at sf0.001 the
+      // ~100-event periods have real sampling noise — types DO cross
+      // the 0.2 alert line there, which is the index working as
+      // designed, so bound magnitude rather than asserting quiet)
+      assert(df.filter(col("psi") > 2.0).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("drift: a shifted distribution yields a much larger psi than identical halves") {
+    // planted check of the PSI arithmetic itself, reference deciles +
+    // fixed-order sum: identical periods → psi ~ 0; ref N(0-ish
+    // uniform) vs cur shifted by +100 → psi large
+    import spark.implicits._
+    val ref = (1 to 1000).map(i => ("a", "ref", i.toDouble % 97))
+    val same = (1 to 1000).map(i => ("a", "cur", i.toDouble % 97))
+    val shifted = (1 to 1000).map(i => ("a", "cur", 100.0 + i % 97))
+    def psi(rows: Seq[(String, String, Double)]): Double = {
+      val df = rows.toDF("event_type", "period", "value")
+      val edges = df.filter(col("period") === "ref").groupBy("event_type")
+        .agg(expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("edges"))
+      val p = df.join(broadcast(edges), "event_type")
+        .withColumn("bin", expr("size(filter(edges, e -> value > e))"))
+        .groupBy("period", "bin").agg(count(lit(1)).as("cnt"))
+        .withColumn("p", greatest(col("cnt") / lit(1000.0), lit(1e-6)))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+      (0 to 9).map { b =>
+        val r = p.getOrElse(("ref", b), 1e-6); val c = p.getOrElse(("cur", b), 1e-6)
+        (c - r) * math.log(c / r)
+      }.sum
+    }
+    assert(math.abs(psi(ref ++ same)) < 0.01)
+    assert(psi(ref ++ shifted) > 1.0)
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
