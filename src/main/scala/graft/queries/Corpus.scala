@@ -204,7 +204,15 @@ object Corpus {
     * semantics — path enumeration would be exponential on a cyclic
     * graph; (node, dist) dedup bounds it at nodes × 5 rows.
     */
-  private val qShortestPath: Q = (s, d) => {
+  /** The shared sparsified co-purchase graph: parts connected when
+    * they appear in the same order (the q_triangles derivation),
+    * edges surviving the (u+v) % 13 = 0 deterministic sample,
+    * symmetrized, pre-partitioned on `u` — the iterative graph
+    * queries (BFS, label propagation) join on it every round and
+    * reuse this one exchange.
+    */
+  private def sparseCopurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     // single-row-group test file → serial scan; key the exchange on
     // the groupBy column so the collect_set and pair explosion run
     // wide (same rationale as qPageRank/qTriangles)
@@ -218,24 +226,30 @@ object Corpus {
         .as("e"))
       .select(col("e.u"), col("e.v"))
       .filter((col("u") + col("v")) % 13 === 0)
-    val und = pairs
+    pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      // every BFS round joins the frontier on u: pay this exchange
-      // once, reuse it all rounds
       .repartition(s.sparkContext.defaultParallelism, col("u"))
+  }
+
+  /** The shared oracle-side restatement of [[sparseCopurchaseEdges]]. */
+  private val sparseEdgesSql =
+    """items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |       WHERE (a.p + b.p) % 13 = 0),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)""".stripMargin
+
+  private val qShortestPath: Q = (s, d) => {
+    val und = sparseCopurchaseEdges(s, d)
     val source = und.agg(min(col("u")).as("node"))
     ShortestPaths.run(und, "u", "v", source, maxHops = 4)
       .orderBy(col("node"))
   }
 
   private val qShortestPathSql =
-    """WITH RECURSIVE items AS (
-      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
-      |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
-      |       WHERE (a.p + b.p) % 13 = 0),
-      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    s"""WITH RECURSIVE $sparseEdgesSql,
       |walk(node, dist) AS (
       |  SELECT (SELECT min(u) FROM e), 0
       |  UNION
@@ -284,6 +298,38 @@ object Corpus {
       |FROM r cur LEFT JOIN r prev
       |  ON prev.user_id = cur.user_id AND prev.rn = cur.rn - 1
       |ORDER BY cur.event_id""".stripMargin
+
+  // ---------------------------------------------------------- Q-COMMUNITIES
+  /** Community detection via deterministic synchronous label
+    * propagation ([[graft.operators.LabelPropagation]], 3 rounds)
+    * over the shared sparsified co-purchase graph — the community
+    * twin of q_dedup_groups' connected components (CC merges
+    * everything reachable; LPA splits dense regions apart). The
+    * oracle unrolls the 3 rounds as nested argmax CTEs built by the
+    * same loop (the q_pagerank oracle pattern).
+    */
+  private val qCommunities: Q = (s, d) =>
+    graft.operators.LabelPropagation.run(
+      sparseCopurchaseEdges(s, d), "u", "v", iters = 3)
+      .orderBy(col("node"))
+
+  private val qCommunitiesSql = {
+    val rounds = (1 to 3).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT node, nlabel AS label FROM (
+         |    SELECT node, nlabel, row_number() OVER (
+         |        PARTITION BY node ORDER BY c DESC, nlabel) AS rk
+         |    FROM (SELECT e.u AS node, p.label AS nlabel, count(*) AS c
+         |          FROM e JOIN $prev p ON p.node = e.v
+         |          GROUP BY e.u, p.label))
+         |  WHERE rk = 1)""".stripMargin
+    }
+    s"""WITH $sparseEdgesSql,
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+       |${rounds.mkString(",\n")}
+       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+  }
 
   // ---------------------------------------------------------------- Q-DRIFT
   /** Distribution drift monitoring — the Population Stability Index
@@ -394,6 +440,7 @@ object Corpus {
     "q_cooccur" -> qCooccur,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_shortest_path" -> qShortestPath,
+    "q_communities" -> qCommunities,
     "q_stream_anomaly" -> qStreamAnomaly)
 
   val oracles: Map[String, String] = Map(
@@ -402,5 +449,6 @@ object Corpus {
     "q_cooccur" -> qCooccurSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_shortest_path" -> qShortestPathSql,
+    "q_communities" -> qCommunitiesSql,
     "q_stream_anomaly" -> qStreamAnomalySql)
 }

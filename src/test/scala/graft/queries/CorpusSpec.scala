@@ -163,6 +163,28 @@ class CorpusSpec extends SparkTestBase {
     assert(psi(ref ++ shifted) > 1.0)
   }
 
+  test("label propagation: disjoint triangles each converge to their min label") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val e = (tri ++ tri.map(_.swap)).toDF("u", "v")
+    val out = graft.operators.LabelPropagation.run(e, "u", "v", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("communities: every edge-bearing node gets a label drawn from the node ids") {
+    val out = Corpus.defs("q_communities")(spark, sf).cache()
+    try {
+      val nodes = out.select("node").collect().map(_.getLong(0)).toSet
+      val labels = out.select("label").collect().map(_.getLong(0)).toSet
+      assert(nodes.nonEmpty && labels.subsetOf(nodes))
+      // communities actually coarsen: fewer labels than nodes
+      assert(labels.size < nodes.size)
+    } finally out.unpersist()
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
