@@ -331,6 +331,77 @@ object Corpus {
        |SELECT node, label FROM l3 ORDER BY node""".stripMargin
   }
 
+  // ----------------------------------------------------------------- Q-RECS
+  /** Item-item collaborative filtering — co-occurrence
+    * recommendations, the classic "customers also bought": items
+    * sharing an order are candidate pairs, scored by co-occurrence
+    * cosine c_ab / √(c_a·c_b), top-5 per item (ties → smaller item).
+    *
+    * Scale shape: pair enumeration rides the per-order sets (the
+    * q_triangles one-shuffle derivation — within-order sets are
+    * small, so the explosion is bounded per row); the ≥2-co-count
+    * support filter runs BEFORE the ranking window, so each item's
+    * window sees only its supported neighbours, and the popularity
+    * counts join in item-domain hash joins. No corpus-sized window,
+    * no cross join.
+    */
+  private val qRecs: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val pairs = li
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .select(col("e.u"), col("e.v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 2)
+    val sym = pairs.union(
+      pairs.select(col("v").as("u"), col("u").as("v"), col("cab")))
+    // item popularity from a separate aggregation: caching the
+    // per-order sets for double consumption would pin order-domain
+    // state for the query's lifetime — recomputing the cheap scan is
+    // the better trade (and at scale the two aggregates pipeline
+    // independently)
+    val cnt = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("s").desc, col("rec"))
+    sym
+      .join(cnt.select(col("p").as("u"), col("c").as("cu")), "u")
+      .join(cnt.select(col("p").as("v"), col("c").as("cv")), "v")
+      .select(col("u").as("item"), col("v").as("rec"), col("cab").as("co_count"),
+        (col("cab").cast("double") /
+          sqrt(col("cu").cast("double") * col("cv").cast("double"))).as("s"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("item"), col("rec"), col("co_count"),
+        round(col("s"), 6).as("score"), col("rank"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  private val qRecsSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |cnt AS (SELECT p, count(*) AS c FROM items GROUP BY p),
+      |p0 AS (SELECT a.p AS u, b.p AS v, count(*) AS cab
+      |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |pr AS (SELECT u, v, cab FROM p0 UNION ALL SELECT v, u, cab FROM p0),
+      |scored AS (
+      |  SELECT pr.u AS item, pr.v AS rec, pr.cab AS co_count,
+      |         CAST(pr.cab AS DOUBLE)
+      |           / sqrt(CAST(cu.c AS DOUBLE) * CAST(cv.c AS DOUBLE)) AS s
+      |  FROM pr JOIN cnt cu ON cu.p = pr.u JOIN cnt cv ON cv.p = pr.v)
+      |SELECT item, rec, co_count, round(s, 6) AS score,
+      |       CAST(rk AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY item ORDER BY s DESC, rec) AS rk
+      |      FROM scored)
+      |WHERE rk <= 5 ORDER BY item, rank""".stripMargin
+
   // ---------------------------------------------------------------- Q-DRIFT
   /** Distribution drift monitoring — the Population Stability Index
     * every production feature pipeline watches: per event_type, the
@@ -441,6 +512,7 @@ object Corpus {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_shortest_path" -> qShortestPath,
     "q_communities" -> qCommunities,
+    "q_recs" -> qRecs,
     "q_stream_anomaly" -> qStreamAnomaly)
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +522,6 @@ object Corpus {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_shortest_path" -> qShortestPathSql,
     "q_communities" -> qCommunitiesSql,
+    "q_recs" -> qRecsSql,
     "q_stream_anomaly" -> qStreamAnomalySql)
 }

