@@ -161,7 +161,13 @@ object ScaleRehearsal {
     "q_split_leakproof", "q_image_search",
     // round-8: cluster-keyed semantic dedup (the scale-adaptive
     // blocking under test) and the stats-pruned z-order scan
-    "q_semdedup", "q_zorder_prune")
+    "q_semdedup", "q_zorder_prune",
+    // late round-8: the new iterative graph ops (BFS frontier joins,
+    // LPA argmax rounds), the corpus pair generators (PMI self-join,
+    // CF co-occurrence), and the stateful streaming fold (per-user
+    // EWMA state at K× users)
+    "q_shortest_path", "q_communities", "q_cooccur", "q_recs",
+    "q_stream_anomaly")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
