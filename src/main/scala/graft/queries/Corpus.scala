@@ -402,6 +402,86 @@ object Corpus {
       |      FROM scored)
       |WHERE rk <= 5 ORDER BY item, rank""".stripMargin
 
+  // -------------------------------------------------------------- Q-AB-TEST
+  /** Two-sample A/B comparison — Welch's t-test per event_type
+    * between the month's halves (the experiment-analysis twin of
+    * q_drift's distribution view): exact decimal-path sums (value is
+    * 2-decimal data, the queries/Core.scala rule; the squared sum is
+    * exactly 4-decimal), means/variances derived from them with the
+    * IDENTICAL expression tree in both engines, Welch t and
+    * Satterthwaite df. Squares are written x*x, never pow(x, 2) —
+    * pow is not guaranteed bit-equal to multiplication across
+    * engines.
+    *
+    * Scale shape: one map-side-combined aggregation over (type,
+    * period), then scalar arithmetic on a 10-row frame.
+    */
+  private val qAbTest: Q = (s, d) => {
+    val g = Tables.events(s, d)
+      .withColumn("period",
+        when(dayofmonth(col("ts")) <= 15, lit("ref")).otherwise(lit("cur")))
+      .groupBy(col("event_type"), col("period"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("double").as("s2"))
+      .select(col("event_type"), col("period"), col("n"),
+        (col("s") / col("n").cast("double")).as("mean"),
+        ((col("s2") - col("s") * col("s") / col("n").cast("double")) /
+          (col("n").cast("double") - 1)).as("var"))
+    val r = g.filter(col("period") === "ref").select(
+      col("event_type"), col("n").as("n_ref"), col("mean").as("m_ref"),
+      (col("var") / col("n").cast("double")).as("a"),
+      col("n").cast("double").as("nr"))
+    val c = g.filter(col("period") === "cur").select(
+      col("event_type"), col("n").as("n_cur"), col("mean").as("m_cur"),
+      (col("var") / col("n").cast("double")).as("b"),
+      col("n").cast("double").as("nc"))
+    val t = (col("m_ref") - col("m_cur")) / sqrt(col("a") + col("b"))
+    r.join(c, "event_type")
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(col("m_ref"), 6).as("mean_ref"),
+        round(col("m_cur"), 6).as("mean_cur"),
+        round(t, 6).as("t_stat"),
+        round((col("a") + col("b")) * (col("a") + col("b")) /
+          (col("a") * col("a") / (col("nr") - 1) +
+            col("b") * col("b") / (col("nc") - 1)), 2).as("df_welch"),
+        (abs(t) > lit(1.96)).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qAbTestSql =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |         CASE WHEN date_part('day', ts) <= 15 THEN 'ref' ELSE 'cur' END AS period
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, period, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))
+      |                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      |  FROM ev GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, period, n,
+      |         s / CAST(n AS DOUBLE) AS mean,
+      |         (s2 - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var
+      |  FROM g),
+      |p AS (
+      |  SELECT r.event_type, r.n AS n_ref, c.n AS n_cur,
+      |         r.mean AS m_ref, c.mean AS m_cur,
+      |         r.var / CAST(r.n AS DOUBLE) AS a,
+      |         c.var / CAST(c.n AS DOUBLE) AS b,
+      |         CAST(r.n AS DOUBLE) AS nr, CAST(c.n AS DOUBLE) AS nc
+      |  FROM m r JOIN m c ON r.event_type = c.event_type
+      |   AND r.period = 'ref' AND c.period = 'cur')
+      |SELECT event_type, n_ref, n_cur,
+      |       round(m_ref, 6) AS mean_ref, round(m_cur, 6) AS mean_cur,
+      |       round((m_ref - m_cur) / sqrt(a + b), 6) AS t_stat,
+      |       round((a + b) * (a + b)
+      |             / (a * a / (nr - 1) + b * b / (nc - 1)), 2) AS df_welch,
+      |       abs((m_ref - m_cur) / sqrt(a + b)) > CAST(1.96 AS DOUBLE) AS significant
+      |FROM p ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- Q-DRIFT
   /** Distribution drift monitoring — the Population Stability Index
     * every production feature pipeline watches: per event_type, the
@@ -513,6 +593,7 @@ object Corpus {
     "q_shortest_path" -> qShortestPath,
     "q_communities" -> qCommunities,
     "q_recs" -> qRecs,
+    "q_ab_test" -> qAbTest,
     "q_stream_anomaly" -> qStreamAnomaly)
 
   val oracles: Map[String, String] = Map(
@@ -523,5 +604,6 @@ object Corpus {
     "q_shortest_path" -> qShortestPathSql,
     "q_communities" -> qCommunitiesSql,
     "q_recs" -> qRecsSql,
+    "q_ab_test" -> qAbTestSql,
     "q_stream_anomaly" -> qStreamAnomalySql)
 }

