@@ -49,11 +49,11 @@ object Core {
     * rescale to scale 4 (a trailing-zero truncation, never a rounding)
     * keeps the scaled integer inside double's mantissa for the cast.
     */
-  private def revSum(price: Column, discount: Column): Column =
+  private[queries] def revSum(price: Column, discount: Column): Column =
     sum(price.cast(DecimalType(18, 4)) *
       (lit(1.0) - discount).cast(DecimalType(18, 4)))
       .cast(DecimalType(28, 4)).cast("double")
-  private val REVSUM = "CAST(CAST(sum(CAST(%s AS DECIMAL(18,4)) * CAST(1.0 - %s AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE)"
+  private[queries] val REVSUM = "CAST(CAST(sum(CAST(%s AS DECIMAL(18,4)) * CAST(1.0 - %s AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE)"
 
   /** Deterministic split bucket: first md5 byte of the stringified
     * key, 0–255. Shared by q_split (keyed on doc_id) and

@@ -402,6 +402,60 @@ object Corpus {
       |      FROM scored)
       |WHERE rk <= 5 ORDER BY item, rank""".stripMargin
 
+  // ------------------------------------------------------------ Q-RECONCILE
+  /** Cross-system reconciliation — the data-quality report every
+    * pipeline with two bookkeeping paths runs: orders' recorded
+    * o_totalprice vs the lineitem-derived revenue per order, FULL
+    * OUTER joined so orphans on EITHER side surface, classified as
+    * matched (≤5% relative diff) / mismatched / orders_only /
+    * lineitem_only, with exact decimal-path money totals per class.
+    *
+    * Scale shape: one map-side-combined revenue aggregation keyed on
+    * the join key, one full outer hash join on that key (both sides
+    * already partitioned by it), one tiny classification aggregate.
+    */
+  private val qReconcile: Q = (s, d) => {
+    val ls = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(Core.revSum(col("l_extendedprice"), col("l_discount")).as("derived"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val status = when(col("o_orderkey").isNull, lit("lineitem_only"))
+      .when(col("derived").isNull, lit("orders_only"))
+      .when(abs(col("o_totalprice") - col("derived")) <=
+        col("o_totalprice") * lit(0.05), lit("matched"))
+      .otherwise(lit("mismatched"))
+    o.join(ls, o("o_orderkey") === ls("l_orderkey"), "full_outer")
+      .select(status.as("status"), col("o_totalprice"), col("derived"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_recorded"),
+        sum(col("derived").cast("decimal(28,4)")).cast("double")
+          .as("total_derived"))
+      .orderBy(col("status"))
+  }
+
+  private val qReconcileSql =
+    s"""WITH ls AS (
+       |  SELECT l_orderkey,
+       |         ${Core.REVSUM.format("l_extendedprice", "l_discount")} AS derived
+       |  FROM lineitem GROUP BY l_orderkey),
+       |j AS (
+       |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'lineitem_only'
+       |              WHEN ls.derived IS NULL THEN 'orders_only'
+       |              WHEN abs(o.o_totalprice - ls.derived)
+       |                   <= o.o_totalprice * CAST(0.05 AS DOUBLE) THEN 'matched'
+       |              ELSE 'mismatched' END AS status,
+       |         o.o_totalprice, ls.derived
+       |  FROM orders o FULL OUTER JOIN ls ON o.o_orderkey = ls.l_orderkey)
+       |SELECT status, count(*) AS n,
+       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS total_recorded,
+       |       CAST(sum(CAST(derived AS DECIMAL(28,4))) AS DOUBLE)
+       |         AS total_derived
+       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   // -------------------------------------------------------------- Q-AB-TEST
   /** Two-sample A/B comparison — Welch's t-test per event_type
     * between the month's halves (the experiment-analysis twin of
@@ -594,6 +648,7 @@ object Corpus {
     "q_communities" -> qCommunities,
     "q_recs" -> qRecs,
     "q_ab_test" -> qAbTest,
+    "q_reconcile" -> qReconcile,
     "q_stream_anomaly" -> qStreamAnomaly)
 
   val oracles: Map[String, String] = Map(
@@ -605,5 +660,6 @@ object Corpus {
     "q_communities" -> qCommunitiesSql,
     "q_recs" -> qRecsSql,
     "q_ab_test" -> qAbTestSql,
+    "q_reconcile" -> qReconcileSql,
     "q_stream_anomaly" -> qStreamAnomalySql)
 }

@@ -259,6 +259,24 @@ class CorpusSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("reconcile: classes partition the full outer key space") {
+    val df = Corpus.defs("q_reconcile")(spark, sf).cache()
+    try {
+      val n = df.agg(sum("n")).head().getLong(0)
+      val orders = Tables.orders(spark, sf).count()
+      val liOrders = Tables.lineitem(spark, sf)
+        .select("l_orderkey").distinct().count()
+      val both = Tables.orders(spark, sf).select(col("o_orderkey"))
+        .intersect(Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("o_orderkey"))).count()
+      // |full outer| = |orders| + |lineitem keys| − |both|
+      assert(n == orders + liOrders - both)
+      // orphan classes carry null sums on the absent side only
+      val oo = df.filter(col("status") === "orders_only").collect()
+      assert(oo.forall(r => r.isNullAt(3) && !r.isNullAt(2)))
+    } finally df.unpersist()
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
