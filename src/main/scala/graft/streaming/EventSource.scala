@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The one shared events file-stream source. Two physical layouts of
+  * the same logical table exist in the wild and the engine must read
+  * both:
+  *
+  *  - `<dir>/events.parquet` is a single FILE (the driver's testdata
+  *    layout, written by a non-Spark writer): the file-stream source
+  *    only accepts directories, so stream `<dir>` with a
+  *    pathGlobFilter selecting that one file;
+  *  - `<dir>/events.parquet` is a DIRECTORY of part files (anything
+  *    Spark itself wrote — the scale-rehearsal corpus, any real
+  *    cluster table): stream the directory itself. The glob approach
+  *    silently reads ZERO files here (pathGlobFilter matches leaf
+  *    file NAMES, and no part file is named `events.parquet`) — an
+  *    empty stream, not an error, which is exactly the failure mode
+  *    that must not exist at 100 TB.
+  *
+  * Schema comes from a batch read of the same path — same as before,
+  * just layout-aware.
+  */
+private[graft] object EventSource {
+
+  def stream(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"$dir/events.parquet"
+    val schema = spark.read.parquet(table).schema
+    if (new java.io.File(table).isDirectory)
+      spark.readStream.schema(schema).parquet(table)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+}

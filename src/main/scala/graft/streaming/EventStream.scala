@@ -26,11 +26,9 @@ object EventStream {
   def windowedCounts(spark: SparkSession, dir: String,
       window_ : String = "1 hour", watermark: String = "10 minutes",
       statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file stream source only accepts a directory; stream the sf
-    // dir and select the single events file with pathGlobFilter
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // layout-aware source (single-file testdata vs Spark-written
+    // directory — see EventSource)
+    val src = EventSource.stream(spark, dir)
       .transform(graft.Tables.normalizeTs)
     val agg = src
       .withWatermark("ts", watermark)
@@ -65,9 +63,7 @@ object EventStream {
   def dedupStream(spark: SparkSession, dir: String,
       watermark: String = "10 minutes",
       statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = EventSource.stream(spark, dir)
       .transform(graft.Tables.normalizeTs)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .withColumn("_dup", explode(array(lit(1), lit(2)))).drop("_dup")
@@ -105,9 +101,7 @@ object EventStream {
     */
   def topKStream(spark: SparkSession, dir: String, k: Int = 10,
       statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = EventSource.stream(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"))
     val name = s"stream_topk_${System.nanoTime()}"
@@ -123,12 +117,10 @@ object EventStream {
 
   def enrichedStream(spark: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val customers = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val nCust = customers.count()
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = EventSource.stream(spark, dir)
       .transform(graft.Tables.normalizeTs)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .withColumn("c_custkey", pmod(col("user_id"), lit(nCust)) + 1)
@@ -161,9 +153,7 @@ object EventStream {
   def intervalJoinStream(spark: SparkSession, dir: String,
       window_ : String = "2 hours", watermark: String = "1 hour",
       statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def src = EventSource.stream(spark, dir)
       .transform(graft.Tables.normalizeTs)
     val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("signup_ts"),
@@ -202,9 +192,7 @@ object EventStream {
   def sessionStream(spark: SparkSession, dir: String,
       gap: String = "30 minutes", watermark: String = "10 minutes",
       statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = EventSource.stream(spark, dir)
       .transform(graft.Tables.normalizeTs)
     val sess = src
       .withWatermark("ts", watermark)

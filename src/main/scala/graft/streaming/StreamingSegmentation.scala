@@ -86,9 +86,7 @@ object StreamingSegmentation {
       watermarkDelay: String = "10 minutes",
       statePartitions: Int = 8): DataFrame = ConfScope.nanosAsLong(spark) {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = EventSource.stream(spark, dir)
       .transform(graft.Tables.normalizeTs)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .withWatermark("ts", watermarkDelay)
