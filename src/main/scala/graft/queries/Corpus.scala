@@ -402,6 +402,70 @@ object Corpus {
       |      FROM scored)
       |WHERE rk <= 5 ORDER BY item, rank""".stripMargin
 
+  // ------------------------------------------------------------ Q-MIX-APPLY
+  /** Apply domain-mixing weights as an actual deterministic sample —
+    * the execution half of q_mix_weights (which only COMPUTES the
+    * rebalancing): every source is down-sampled toward the uniform
+    * target share with keep-probability min(1, target/natural), the
+    * per-doc coin being the first 8 md5 hex digits of doc_id mapped
+    * to [0,1) — reproducible on any cluster, no rand(). Sources below
+    * target keep everything (upsampling is a repeat factor at
+    * training time, not a filter). Output: per-source natural/sampled
+    * counts and the before/after corpus shares.
+    *
+    * Scale shape: two aggregations in the source domain and one
+    * filtered count — the sample itself never materializes anywhere
+    * (the filter IS the sample; a training pipeline would write it
+    * partitioned by source).
+    */
+  private val qMixApply: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val t = n.agg(
+      (sum(col("n")).cast("double") / count(lit(1))).as("target"),
+      sum(col("n")).as("total"))
+    val p = n.crossJoin(t).select(col("source"), col("n"),
+      least(lit(1.0), col("target") / col("n").cast("double")).as("p"),
+      col("total"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    val sampled = docs.join(p.select(col("source"), col("p")), "source")
+      .filter(u < col("p"))
+      .groupBy(col("source")).agg(count(lit(1)).as("sampled"))
+    val tot = sampled.agg(sum(col("sampled")).as("ts"))
+    p.join(sampled, Seq("source"), "left").crossJoin(tot)
+      .select(col("source"), col("n").as("n_natural"),
+        round(col("p"), 6).as("p_keep"),
+        coalesce(col("sampled"), lit(0L)).as("n_sampled"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share_before"),
+        round(coalesce(col("sampled"), lit(0L)).cast("double") /
+          col("ts").cast("double"), 6).as("share_after"))
+      .orderBy(col("source"))
+  }
+
+  private val qMixApplySql =
+    """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS target,
+      |             CAST(sum(n) AS BIGINT) AS total FROM n),
+      |p AS (SELECT source, n,
+      |        least(CAST(1 AS DOUBLE),
+      |              (SELECT target FROM t) / CAST(n AS DOUBLE)) AS p
+      |      FROM n),
+      |s AS (SELECT d.source, count(*) AS sampled
+      |      FROM documents d JOIN p USING (source)
+      |      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      |                 AS BIGINT) / CAST(4294967296 AS DOUBLE) < p.p
+      |      GROUP BY d.source),
+      |tot AS (SELECT CAST(sum(sampled) AS BIGINT) AS ts FROM s)
+      |SELECT p.source, p.n AS n_natural, round(p.p, 6) AS p_keep,
+      |       coalesce(s.sampled, 0) AS n_sampled,
+      |       round(CAST(p.n AS DOUBLE)
+      |             / CAST((SELECT total FROM t) AS DOUBLE), 6) AS share_before,
+      |       round(CAST(coalesce(s.sampled, 0) AS DOUBLE)
+      |             / CAST((SELECT ts FROM tot) AS DOUBLE), 6) AS share_after
+      |FROM p LEFT JOIN s USING (source) ORDER BY p.source""".stripMargin
+
   // ------------------------------------------------------------ Q-RECONCILE
   /** Cross-system reconciliation — the data-quality report every
     * pipeline with two bookkeeping paths runs: orders' recorded
@@ -649,6 +713,7 @@ object Corpus {
     "q_recs" -> qRecs,
     "q_ab_test" -> qAbTest,
     "q_reconcile" -> qReconcile,
+    "q_mix_apply" -> qMixApply,
     "q_stream_anomaly" -> qStreamAnomaly)
 
   val oracles: Map[String, String] = Map(
@@ -661,5 +726,6 @@ object Corpus {
     "q_recs" -> qRecsSql,
     "q_ab_test" -> qAbTestSql,
     "q_reconcile" -> qReconcileSql,
+    "q_mix_apply" -> qMixApplySql,
     "q_stream_anomaly" -> qStreamAnomalySql)
 }

@@ -277,6 +277,22 @@ class CorpusSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("mix apply: sampling never exceeds natural counts and evens out shares") {
+    val df = Corpus.defs("q_mix_apply")(spark, sf).cache()
+    try {
+      assert(df.filter(col("n_sampled") > col("n_natural")).count() == 0)
+      assert(df.filter(col("p_keep") <= 0 || col("p_keep") > 1).count() == 0)
+      // sources already at/below target keep everything (p = 1)
+      assert(df.filter(col("p_keep") === 1.0 &&
+        col("n_sampled") =!= col("n_natural")).count() == 0)
+      // rebalancing reduces the spread of shares (or corpus is uniform)
+      val before = df.select("share_before").collect().map(_.getDouble(0))
+      val after = df.select("share_after").collect().map(_.getDouble(0))
+      def spread(xs: Array[Double]) = xs.max - xs.min
+      assert(spread(after) <= spread(before) + 1e-9)
+    } finally df.unpersist()
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
