@@ -402,6 +402,77 @@ object Corpus {
       |      FROM scored)
       |WHERE rk <= 5 ORDER BY item, rank""".stripMargin
 
+  // ---------------------------------------------------------- Q-ATTRIBUTION
+  /** Conversion attribution — for every purchase, credit (a) the
+    * user's most recent PRECEDING non-purchase event (last-touch)
+    * and (b) the user's first event overall (first-touch), then
+    * report per-channel conversion counts and decimal-exact
+    * attributed revenue. Purchases with no preceding touch credit
+    * 'direct'.
+    *
+    * Scale shape: two windows partitioned by user (frame sizes
+    * bounded by per-user history; the last-touch window is
+    * last-ignore-nulls over ROWS … 1 PRECEDING — the q_asof
+    * union-window trick in single-table form), then a channel-domain
+    * aggregate and one tiny full outer join of the two roles.
+    */
+  private val qAttribution: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val touched = Tables.events(s, d)
+      .withColumn("last_touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true)
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)))
+      .withColumn("first_touch", first(col("event_type"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("last_touch"), lit("direct")).as("last_touch"),
+        col("first_touch"), col("value"))
+    val lastAgg = touched.groupBy(col("last_touch").as("channel"))
+      .agg(count(lit(1)).as("n_last"), Core.dsum(col("value")).as("value_last"))
+    val firstAgg = touched.groupBy(col("first_touch").as("channel"))
+      .agg(count(lit(1)).as("n_first"), Core.dsum(col("value")).as("value_first"))
+    lastAgg.join(firstAgg, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("value_last"), lit(0.0)).as("value_last"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("value_first"), lit(0.0)).as("value_first"))
+      .orderBy(col("channel"))
+  }
+
+  private val qAttributionSql = {
+    val dsum = Core.DSUM.format("value")
+    s"""WITH t AS (
+       |  SELECT coalesce(last_value(CASE WHEN event_type <> 'purchase'
+       |             THEN event_type END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           'direct') AS last_touch,
+       |         first_value(event_type)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS first_touch,
+       |         event_type, value
+       |  FROM events),
+       |p AS (SELECT * FROM t WHERE event_type = 'purchase'),
+       |l AS (SELECT last_touch AS channel, count(*) AS n_last,
+       |             $dsum AS value_last FROM p GROUP BY 1),
+       |f AS (SELECT first_touch AS channel, count(*) AS n_first,
+       |             $dsum AS value_first FROM p GROUP BY 1)
+       |SELECT channel,
+       |       coalesce(l.n_last, 0) AS n_last,
+       |       coalesce(l.value_last, CAST(0 AS DOUBLE)) AS value_last,
+       |       coalesce(f.n_first, 0) AS n_first,
+       |       coalesce(f.value_first, CAST(0 AS DOUBLE)) AS value_first
+       |FROM l FULL OUTER JOIN f USING (channel)
+       |ORDER BY channel""".stripMargin
+  }
+
   // ------------------------------------------------------------ Q-MIX-APPLY
   /** Apply domain-mixing weights as an actual deterministic sample —
     * the execution half of q_mix_weights (which only COMPUTES the
@@ -714,6 +785,7 @@ object Corpus {
     "q_ab_test" -> qAbTest,
     "q_reconcile" -> qReconcile,
     "q_mix_apply" -> qMixApply,
+    "q_attribution" -> qAttribution,
     "q_stream_anomaly" -> qStreamAnomaly)
 
   val oracles: Map[String, String] = Map(
@@ -727,5 +799,6 @@ object Corpus {
     "q_ab_test" -> qAbTestSql,
     "q_reconcile" -> qReconcileSql,
     "q_mix_apply" -> qMixApplySql,
+    "q_attribution" -> qAttributionSql,
     "q_stream_anomaly" -> qStreamAnomalySql)
 }

@@ -293,6 +293,23 @@ class CorpusSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("attribution: both roles conserve the purchase count and value") {
+    val df = Corpus.defs("q_attribution")(spark, sf).cache()
+    try {
+      val purchases = Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase")
+      val n = purchases.count()
+      val v = purchases.agg(
+        sum(col("value").cast("decimal(18,2)")).cast("double")).head().getDouble(0)
+      val agg = df.agg(sum("n_last"), sum("n_first"),
+        sum(col("value_last").cast("decimal(18,2)")).cast("double"),
+        sum(col("value_first").cast("decimal(18,2)")).cast("double")).head()
+      assert(agg.getLong(0) == n && agg.getLong(1) == n)
+      assert(math.abs(agg.getDouble(2) - v) < 1e-6)
+      assert(math.abs(agg.getDouble(3) - v) < 1e-6)
+    } finally df.unpersist()
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
