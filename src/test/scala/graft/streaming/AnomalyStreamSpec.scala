@@ -85,6 +85,44 @@ class AnomalyStreamSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("a LATE event (below the watermark on arrival) is dropped, not folded") {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      def ts(minute: Int) = new Timestamp(minute * 60L * 1000L)
+      val input = MemoryStream[SegEvent]
+      val out = AnomalyStream.detect(
+        input.toDS().withWatermark("ts", "10 minutes").as[SegEvent])
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("anomaly_late").start()
+      try {
+        // batch 1: t=2 and t=6 fold once the t=30 row pushes wm to 20
+        input.addData(
+          SegEvent(1L, ts(2), 1L, "e", 2.0),
+          SegEvent(3L, ts(6), 1L, "e", 10.0),
+          SegEvent(900L, ts(30), 9L, "e", 0.0))
+        q.processAllAvailable()
+        // batch 2: t=4 arrives BELOW the watermark (20) — the lateness
+        // contract excludes it: it must neither emit nor perturb the
+        // already-final fold state; t=25 continues the fold normally
+        input.addData(
+          SegEvent(2L, ts(4), 1L, "e", 999.0),
+          SegEvent(5L, ts(25), 1L, "e", 6.0),
+          SegEvent(901L, ts(50), 9L, "e", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("anomaly_late").orderBy("event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .toSeq.filter(_._1 < 100L)
+      // the late id=2 row is absent, and id=5's baseline reflects only
+      // ids 1 and 3: 0.3*10 + 0.7*2 = 4.4 (a folded 999 would shift it)
+      assert(rows == Seq(
+        (1L, None), (3L, Some(2.0)), (5L, Some(0.3 * 10.0 + 0.7 * 2.0))),
+        s"got $rows")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("anomaly flag: warm-up suppresses, genuine spike after warm-up fires") {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
