@@ -476,6 +476,93 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Hierarchical (two-level) semantic blocking — the form of
+    * [[embeddingNearDupsClustered]] that survives the NEXT order of
+    * magnitude. The flat path assigns every point against all k
+    * centroids as one broadcast literal: with k ∝ n (required for
+    * constant block size), that is O(n·k·dim) compute AND an
+    * n-proportional literal in the plan — both break before 100 TB.
+    * Here:
+    *
+    *  1. COARSE: one-round Lloyd with only k₁ = ⌈√k⌉ centroids — the
+    *     broadcast literal is √-sized and the argmin kernel pass is
+    *     O(n·√k·dim);
+    *  2. FINE: within each coarse cell, the ⌈cell/blockSize⌉
+    *     lowest-id members become representatives, and points meet
+    *     ONLY their own cell's representatives through a hash join
+    *     keyed on the cell — no global literal, per-point candidate
+    *     count ≈ cell/blockSize ≈ √k/ (amortized), total fine work
+    *     O(n·√k·dim) again;
+    *  3. blocks = (representative, sign bucket): expected block size
+    *     stays ≈ blockSize (constant in n), so pair enumeration
+    *     stays linear — the flat path's guarantee, at √ the
+    *     assignment cost.
+    *
+    * Deterministic end-to-end (lowest-id everything, (dist, rep)
+    * tie order), so the whole scheme restates as SQL CTEs for the
+    * oracle. Fine distances run in the native `graft_l2sq` kernel
+    * against the float→double-cast representative vector (exact).
+    */
+  def embeddingNearDupsHier(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blockSize: Int = 64, signBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = emb.count()
+    val k = math.max(8L, n / blockSize)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val coarse = graft.similarity.Similarity
+      .kmeansAssignments(emb, idCol, vecCol, k1, iters = 1)
+      .select(col(idCol), col("cluster"))
+    val byCell = emb.select(col(idCol), col(vecCol)).join(coarse, idCol)
+    // per-cell representative quota ∝ cell population → expected fine
+    // block ≈ blockSize whatever the coarse skew; the windows are
+    // cell-partitioned (cell size ≈ n/k₁ — salt the coarse key if a
+    // pathological corpus collapses into one cell)
+    val wCell = Window.partitionBy(col("cluster")).orderBy(col(idCol))
+    val cos = VectorOps.cosineFor(emb, vecCol)
+    val reps0 = byCell
+      .withColumn("rn", row_number().over(wCell))
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("rn") <= ceil(col("cn").cast("double") / blockSize))
+      .select(col("cluster"), col(idCol).as("rep"), col(vecCol).as("repf"))
+    // representative DEDUP: if two reps of one cell are themselves
+    // within τ of each other, drop the higher one — otherwise a
+    // near-dup pair in which BOTH members were picked as reps assigns
+    // each member to itself (dist 0 is unbeatable) and the pair
+    // splits across blocks, the one systematic recall hole of
+    // rep-keyed blocking. Quota-bounded sides: the per-cell rep×rep
+    // join is O((cell/blockSize)²), never corpus-scale.
+    val dropped = reps0.select(col("cluster"), col("rep").as("ra"),
+        col("repf").as("fa"))
+      .join(reps0.select(col("cluster"), col("rep").as("rb"),
+        col("repf").as("fb")), "cluster")
+      .filter(col("ra") < col("rb") && cos(col("fa"), col("fb")) >= threshold)
+      .select(col("rb").as("rep")).distinct()
+    val reps = reps0.join(dropped, Seq("rep"), "left_anti")
+      .select(col("cluster"), col("rep"),
+        col("repf").cast("array<double>").as("repv"))
+    val fine = byCell.join(reps, "cluster")
+      .select(col(idCol),
+        call_function("graft_l2sq",
+          col(vecCol).cast("array<float>"), col("repv")).as("d"),
+        col("rep"))
+      .filter(col("d").isNotNull)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d"), col("rep"))).as("m"))
+      .select(col(idCol), col("m.rep").as("block"))
+    val bucketed = emb.select(col(idCol), col(vecCol)).join(fine, idCol)
+      .select(col(idCol), col(vecCol), col("block"),
+        VectorOps.signBucket(col(vecCol), signBits).as("sb"))
+    val a = bucketed.select(col("block"), col("sb"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = bucketed.select(col("block"), col("sb"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("block", "sb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cos(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Exact embedding near-dup pairs: all-pairs cosine, no blocking.
     * The correctness baseline the bucketed variant is recall-checked
     * against — O(n²), so only for corpora small enough to cross-join

@@ -263,8 +263,8 @@ object TrainingData {
     * mirroring the engine's k = max(8, n/64). Ends with
     * `cells(vec_id, cluster)`.
     */
-  private val kmeansCellsCtes =
-    """params AS (SELECT greatest(8, count(*) // 64) AS k FROM embeddings),
+  private def kmeansCellsCtesFor(kSql: String): String =
+    s"""params AS (SELECT $kSql AS k FROM embeddings),
       |c0 AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -300,6 +300,11 @@ object TrainingData {
       |               (CAST(p[1] AS DOUBLE) - p[2]))), c.c) AS rn
       |    FROM embeddings e CROSS JOIN c1 c)
       |  WHERE rn = 1)""".stripMargin
+
+  /** The flat dynamic-k cells (k = max(8, n/64)) — q_embed_neardup /
+    * q_semdedup's blocking. */
+  private val kmeansCellsCtes: String =
+    kmeansCellsCtesFor("greatest(8, count(*) // 64)")
 
   /** Candidates share a k-means cell AND a 6-bit sign bucket; exact
     * cosine verifies — the whole clustered blocking restated, so the
@@ -359,6 +364,91 @@ object TrainingData {
       |  SELECT a.vec_id AS a, c.vec_id AS b
       |  FROM b a JOIN b c
       |    ON a.cluster = c.cluster AND a.sb = c.sb AND a.vec_id < c.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.embedding, c.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    >= 0.35),
+      |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+      |walk(node, lbl) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.node = e.a),
+      |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+      |SELECT vec_id, label
+      |FROM embeddings LEFT JOIN comp ON vec_id = node
+      |WHERE vec_id = coalesce(component, vec_id) ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------- Q-SEMDEDUP-HIER
+  /** q_semdedup through the HIERARCHICAL blocking
+    * ([[Dedup.embeddingNearDupsHier]]): coarse k₁ = ⌈√k⌉ Lloyd cells
+    * (√-sized broadcast literal, O(n·√k) argmin) → per-cell
+    * lowest-id representatives (quota ∝ cell population) → fine
+    * assignment through a hash join keyed on the cell — the form
+    * whose assignment cost and plan-literal size survive k ∝ n at
+    * 100 TB, where the flat path's single n-proportional centroid
+    * broadcast breaks. Same CC/representative tail as q_semdedup;
+    * the oracle restates the ENTIRE two-level scheme (every step is
+    * lowest-id/(dist, rep)-deterministic).
+    */
+  private val qSemdedupHier: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val edges = Dedup.embeddingNearDupsHier(emb, "vec_id", "embedding",
+      threshold = 0.35)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    ConnectedComponents.representatives(emb, "vec_id", edges)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  private val hierCellsCtes: String = kmeansCellsCtesFor(
+    "CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT)")
+
+  private val qSemdedupHierSql =
+    s"""WITH RECURSIVE $hierCellsCtes,
+      |reps0 AS (
+      |  SELECT cells.cluster, e.vec_id AS rep, e.embedding AS repv,
+      |         row_number() OVER (PARTITION BY cells.cluster
+      |                            ORDER BY e.vec_id) AS rn,
+      |         count(*) OVER (PARTITION BY cells.cluster) AS cn
+      |  FROM embeddings e JOIN cells USING (vec_id)),
+      |reps1 AS (
+      |  SELECT cluster, rep, repv FROM reps0
+      |  WHERE rn <= CAST(ceil(CAST(cn AS DOUBLE) / 64) AS BIGINT)),
+      |repdrop AS (
+      |  SELECT DISTINCT b.rep
+      |  FROM reps1 a JOIN reps1 b
+      |    ON a.cluster = b.cluster AND a.rep < b.rep
+      |  WHERE list_sum(list_transform(list_zip(a.repv, b.repv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.repv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(b.repv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    >= 0.35),
+      |reps AS (
+      |  SELECT cluster, rep, repv FROM reps1
+      |  WHERE rep NOT IN (SELECT rep FROM repdrop)),
+      |fine AS (
+      |  SELECT vec_id, rep AS block FROM (
+      |    SELECT e.vec_id, r.rep,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.embedding, r.repv),
+      |          p -> (CAST(p[2] AS DOUBLE) - CAST(p[1] AS DOUBLE)) *
+      |               (CAST(p[2] AS DOUBLE) - CAST(p[1] AS DOUBLE)))),
+      |        r.rep) AS rn
+      |    FROM embeddings e
+      |    JOIN cells USING (vec_id)
+      |    JOIN reps r ON r.cluster = cells.cluster)
+      |  WHERE rn = 1),
+      |b AS (
+      |  SELECT e.vec_id, e.embedding, fine.block,
+      |    CAST(list_sum(list_transform(e.embedding[1:6],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
+      |      AS BIGINT) AS sb
+      |  FROM embeddings e JOIN fine USING (vec_id)),
+      |edges0 AS (
+      |  SELECT a.vec_id AS a, c.vec_id AS b
+      |  FROM b a JOIN b c
+      |    ON a.block = c.block AND a.sb = c.sb AND a.vec_id < c.vec_id
       |  WHERE list_sum(list_transform(list_zip(a.embedding, c.embedding),
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
       |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
@@ -1720,6 +1810,7 @@ object TrainingData {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_embed_neardup" -> qEmbedNear,
     "q_semdedup" -> qSemdedup,
+    "q_semdedup_hier" -> qSemdedupHier,
     "q_embed_pairs" -> qEmbedPairs,
     "q_embed_generate" -> qEmbedGenerate,
     "q_embed_search" -> qEmbedSearch,
@@ -1773,6 +1864,7 @@ object TrainingData {
     "q_embed_pairs" -> qEmbedPairsSql,
     "q_embed_neardup" -> qEmbedNearSql,
     "q_semdedup" -> qSemdedupSql,
+    "q_semdedup_hier" -> qSemdedupHierSql,
     "q_embed_generate" -> qEmbedGenerateSql,
     "q_embed_search" -> qEmbedSearchSql,
     "q_embed_search_ivf" -> qEmbedSearchIvfSql,

@@ -97,6 +97,32 @@ class DedupSpec extends SparkTestBase {
       s"missed ${(exact -- clustered).take(5)} extra ${(clustered -- exact).take(5)}")
   }
 
+  test("hierarchical blocking recalls every planted near-dup pair") {
+    // same planted corpus as the flat clustered test: the two-level
+    // scheme (coarse √k cells → per-cell lowest-id representatives →
+    // fine join-assignment) must also contain every exact near-dup
+    // edge — near-identical vectors share coarse cell, representative
+    // and sign pattern except on knife-edge argmin ties
+    def basev(g: Int) =
+      Array.tabulate(16)(i => (math.sin(7.0 * g + i) + math.cos(3.0 * g * i + 1)).toFloat)
+    val rows = (0 until 40).flatMap { g =>
+      val v = basev(g)
+      val w = v.clone(); w(g % 16) = w(g % 16) + 0.0005f
+      Seq((g.toLong * 2, v.toSeq), (g.toLong * 2 + 1, w.toSeq))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding",
+      threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // small blockSize so the 80-vector corpus actually exercises the
+    // two levels (k = 80/8 = 10, k1 = 4, multiple reps per cell)
+    val hier = Dedup.embeddingNearDupsHier(emb, "vec_id", "embedding",
+      threshold = 0.999, blockSize = 8, signBits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hier == exact,
+      s"missed ${(exact -- hier).take(5)} extra ${(hier -- exact).take(5)}")
+  }
+
   test("dropNearDuplicates resolves transitive clusters to one representative") {
     val chain = Seq(
       (1L, base),
