@@ -167,7 +167,10 @@ object ScaleRehearsal {
     // CF co-occurrence), and the stateful streaming fold (per-user
     // EWMA state at K× users)
     "q_shortest_path", "q_communities", "q_cooccur", "q_recs",
-    "q_stream_anomaly")
+    "q_stream_anomaly",
+    // hierarchical semantic blocking: the √k-literal + cell-join form
+    // whose x-factor should BEAT the flat q_semdedup as k grows
+    "q_semdedup_hier")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
