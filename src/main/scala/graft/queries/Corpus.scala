@@ -189,6 +189,19 @@ object Corpus {
       |FROM b LEFT JOIN ce USING (ek) LEFT JOIN cn USING (nk)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- Q-STREAM-INGEST
+  /** Streaming twin of q_dedup_incremental
+    * ([[graft.streaming.IngestDedupStream]]): the 10% batch arrives
+    * as a real file stream and classifies against the static corpus
+    * index through a STATELESS stream-static join — no state store,
+    * no watermark, rows emit immediately; the production "check every
+    * incoming crawl batch before it lands" stage. The oracle is
+    * q_dedup_incremental's SQL verbatim (identical semantics by
+    * construction).
+    */
+  private val qStreamIngest: Q = (s, d) =>
+    graft.streaming.IngestDedupStream.classifyFile(s, d)
+
   // -------------------------------------------------------- Q-SHORTEST-PATH
   /** Single-source BFS shortest paths, bounded at 4 hops
     * ([[ShortestPaths]]), over a deterministically sparsified
@@ -786,7 +799,8 @@ object Corpus {
     "q_reconcile" -> qReconcile,
     "q_mix_apply" -> qMixApply,
     "q_attribution" -> qAttribution,
-    "q_stream_anomaly" -> qStreamAnomaly)
+    "q_stream_anomaly" -> qStreamAnomaly,
+    "q_stream_ingest" -> qStreamIngest)
 
   val oracles: Map[String, String] = Map(
     "q_drift" -> qDriftSql,
@@ -800,5 +814,6 @@ object Corpus {
     "q_reconcile" -> qReconcileSql,
     "q_mix_apply" -> qMixApplySql,
     "q_attribution" -> qAttributionSql,
-    "q_stream_anomaly" -> qStreamAnomalySql)
+    "q_stream_anomaly" -> qStreamAnomalySql,
+    "q_stream_ingest" -> qDedupIncrementalSql)
 }

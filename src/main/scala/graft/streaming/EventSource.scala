@@ -23,13 +23,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object EventSource {
 
-  def stream(spark: SparkSession, dir: String): DataFrame = {
-    val table = s"$dir/events.parquet"
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    streamTable(spark, dir, "events")
+
+  /** Layout-aware file stream for ANY of the sf-dir tables. */
+  def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val table = s"$dir/$name.parquet"
     val schema = spark.read.parquet(table).schema
     if (new java.io.File(table).isDirectory)
       spark.readStream.schema(schema).parquet(table)
     else
       spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
 }

@@ -310,6 +310,16 @@ class CorpusSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("streaming ingest classification equals the batch incremental dedup") {
+    val streamed = Corpus.defs("q_stream_ingest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val batch = Corpus.defs("q_dedup_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
