@@ -51,4 +51,36 @@ object ShortestPaths {
     e.unpersist()
     dist.select(col("node"), col("dist").cast("long").as("dist"))
   }
+
+  /** Weighted bounded-hop SSSP — Bellman-Ford with `maxHops` rounds:
+    * the minimum total edge weight over paths of at most `maxHops`
+    * edges. Unlike [[run]]'s BFS, a settled node can IMPROVE when a
+    * heavier-but-shorter prefix is beaten by a lighter longer path,
+    * so every round relaxes from the full distance table (O(rounds·m)
+    * join work — the classic Bellman-Ford bound; a frontier
+    * optimization would need improvement tracking, not worth it at 4
+    * rounds). Integer weights keep the min-merge exact — no float
+    * path-sum ordering concerns.
+    */
+  def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w")).cache()
+    var dist = source.select(col("node").cast("long").as("node"))
+      .withColumn("dist", lit(0L))
+    var prevRdd: Option[RDD[Row]] = None
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.join(e, dist("node") === e("u"))
+        .select(e("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val merged = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val (snap, rdd) = Snapshots.persistRound(merged, prevRdd)
+      prevRdd = Some(rdd)
+      dist = snap
+    }
+    e.unpersist()
+    dist.select(col("node"), col("dist"))
+  }
 }

@@ -312,6 +312,34 @@ object Corpus {
       |  ON prev.user_id = cur.user_id AND prev.rn = cur.rn - 1
       |ORDER BY cur.event_id""".stripMargin
 
+  // ------------------------------------------------------- Q-SSSP-WEIGHTED
+  /** Weighted bounded-hop shortest paths
+    * ([[ShortestPaths.runWeighted]], 4-round Bellman-Ford) over the
+    * shared sparsified co-purchase graph with deterministic integer
+    * weights w(u,v) = 1 + (u+v) mod 5 — a lighter 2-edge detour can
+    * beat a heavy direct edge, which BFS cannot express. The oracle
+    * walks (node, dist, hops) triples with UNION dedup — bounded by
+    * nodes × distinct-dists × hops, never path-enumeration.
+    */
+  private val qSsspWeighted: Q = (s, d) => {
+    val und = sparseCopurchaseEdges(s, d)
+      .withColumn("w", lit(1L) + (col("u") + col("v")) % 5)
+    val source = und.agg(min(col("u")).as("node"))
+    ShortestPaths.runWeighted(und, "u", "v", "w", source, maxHops = 4)
+      .orderBy(col("node"))
+  }
+
+  private val qSsspWeightedSql =
+    s"""WITH RECURSIVE $sparseEdgesSql,
+      |walk(node, dist, hops) AS (
+      |  SELECT (SELECT min(u) FROM e), CAST(0 AS BIGINT), 0
+      |  UNION
+      |  SELECT e.v, w.dist + 1 + (e.u + e.v) % 5, w.hops + 1
+      |  FROM walk w JOIN e ON e.u = w.node
+      |  WHERE w.hops < 4)
+      |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   // ---------------------------------------------------------- Q-COMMUNITIES
   /** Community detection via deterministic synchronous label
     * propagation ([[graft.operators.LabelPropagation]], 3 rounds)
@@ -793,6 +821,7 @@ object Corpus {
     "q_cooccur" -> qCooccur,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_shortest_path" -> qShortestPath,
+    "q_sssp_weighted" -> qSsspWeighted,
     "q_communities" -> qCommunities,
     "q_recs" -> qRecs,
     "q_ab_test" -> qAbTest,
@@ -808,6 +837,7 @@ object Corpus {
     "q_cooccur" -> qCooccurSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_shortest_path" -> qShortestPathSql,
+    "q_sssp_weighted" -> qSsspWeightedSql,
     "q_communities" -> qCommunitiesSql,
     "q_recs" -> qRecsSql,
     "q_ab_test" -> qAbTestSql,

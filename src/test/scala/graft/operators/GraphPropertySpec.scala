@@ -52,6 +52,39 @@ class GraphPropertySpec extends SparkTestBase {
     }
   }
 
+  test("weighted SSSP equals in-memory bounded Bellman-Ford on arbitrary graphs") {
+    for (edges <- samples(graphGen, 12) if edges.nonEmpty) {
+      def w(u: Long, v: Long) = 1L + (u + v) % 5
+      val adj = adjacency(edges)
+      val src = edges.map(_._1).min
+      // reference: bounded Bellman-Ford, 4 relaxation rounds
+      var dist = Map(src -> 0L)
+      for (_ <- 1 to 4) {
+        val relaxed = dist.toSeq.flatMap { case (u, du) =>
+          adj.getOrElse(u, Nil).map(v => v -> (du + w(u, v)))
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (n, ds) => n -> ds.map(_._2).min }
+      }
+      val e = edges.map { case (u, v) => (u, v, w(u, v)) }.toDF("u", "v", "w")
+      val source = Seq(src).toDF("node")
+      val got = ShortestPaths.runWeighted(e, "u", "v", "w", source, maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist, s"edges=$edges")
+    }
+  }
+
+  test("weighted SSSP: a light 2-edge detour beats a heavy direct edge") {
+    // direct edge 1-3 weighs 10; the detour 1-2-3 weighs 2+2=4 and
+    // must win — the case BFS (hop-minimal) cannot express
+    val raw = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 2L))
+    val e = (raw ++ raw.map { case (u, v, w) => (v, u, w) }).toDF("u", "v", "w")
+    val src = Seq(1L).toDF("node")
+    val got = ShortestPaths.runWeighted(e, "u", "v", "w", src, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 4L))
+  }
+
   test("LPA equals in-memory synchronous min-label reference on arbitrary graphs") {
     for (edges <- samples(graphGen, 12) if edges.nonEmpty) {
       val adj = adjacency(edges)
