@@ -913,6 +913,34 @@ object Core {
     s.sql(qSqlText)
   }
 
+  /** TPC-H Q5-shaped sibling of [[qSqlText]]: the 6-table star
+    * (local-supplier revenue by nation inside one region and one
+    * order-date year band), again written once in the shared dialect.
+    * Exercises the join-reorder-relevant shape — Catalyst is free to
+    * pick the join order; the dimension joins broadcast.
+    */
+  private val qSql2Text =
+    s"""SELECT n_name,
+       |       ${REVSUM.format("l_extendedprice", "l_discount")} AS revenue,
+       |       count(*) AS n_items
+       |FROM customer
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val qSql2: Q = (s, d) => {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+    s.sql(qSql2Text)
+  }
+
   // ----------------------------------------------------------- Q-DOCX/PIPE
   /** docx source census over the reference fixture (rows-only check —
     * DuckDB cannot read docx; golden-tested in DocxSourceSpec).
@@ -974,6 +1002,7 @@ object Core {
     "q_docx" -> qDocx,
     "q_pipeline" -> qPipeline,
     "q_sql" -> qSql,
+    "q_sql2" -> qSql2,
     "q_session" -> qSession,
     "q_range" -> qRange,
     "q_topk_grouped" -> qTopKGrouped,
@@ -1009,6 +1038,7 @@ object Core {
     "q_null" -> qNullSql,
     "q_regex" -> qRegexSql,
     "q_sql" -> qSqlText,
+    "q_sql2" -> qSql2Text,
     "q_session" -> qSessionSql,
     "q_range" -> qRangeSql,
     "q_topk_grouped" -> qTopKGroupedSql,
