@@ -456,6 +456,68 @@ object Curation {
     * noise that separates the engines' double folds, so the cosine
     * ranking over the casted features is bit-stable.
     */
+  // --------------------------------------------------- Q-AUDIO-SEARCH
+  /** Audio similarity search — the audio twin of q_image_search:
+    * REAL `javax.sound.sampled` decode of every audio payload →
+    * 8-segment mean-amplitude features → brute-force cosine top-10
+    * against the lowest audio doc_id's feature. The oracle recomputes
+    * the features from the synthetic sample formula (the WAV payloads
+    * are pure arithmetic in (doc_id, i) and PCM is lossless), so the
+    * REAL decoder is held to a closed-form answer. Sum-order float
+    * residue is absorbed by the double→float feature cast, the
+    * q_image_search precedent.
+    */
+  private val qAudioSearch: Q = (s, d) => {
+    val feats = Multimodal.extractFeatures(s,
+      Multimodal.asMedia(Tables.documentsParallel(s, d))
+        .filter(col("kind") === "audio"))
+      .toDF().select(col("doc_id"), col("feature"))
+      .cache()
+    try {
+      val probeRow = feats.orderBy("doc_id").limit(1).collect().headOption
+      val probe = probeRow.map(_.getSeq[Float](1)).filter(v => v != null && v.nonEmpty)
+      probe match {
+        case None =>
+          feats.select(col("doc_id"),
+            lit(null).cast("double").as("cosine")).limit(0).localCheckpoint()
+        case Some(p) =>
+          Similarity.bruteForceTopK(feats, "doc_id", "feature", p, k = 10)
+            .withColumn("cosine", round(col("cosine"), 6))
+            .localCheckpoint()
+      }
+    } finally feats.unpersist()
+  }
+
+  private val qAudioSearchSql =
+    """WITH aud AS (
+      |  SELECT doc_id, 160 + doc_id % 640 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |idx AS (SELECT unnest(range(0, 800)) AS i),
+      |smp AS (
+      |  SELECT doc_id, n, i,
+      |    abs(CAST((doc_id * 131 + i * 7919) % 65536 - 32768 AS DOUBLE))
+      |      / CAST(32768 AS DOUBLE) AS a,
+      |    CAST(i * 8 // n AS INTEGER) AS seg
+      |  FROM aud, idx WHERE i < n),
+      |f0 AS (SELECT doc_id, seg, sum(a) / count(*) AS m
+      |       FROM smp GROUP BY doc_id, seg),
+      |f AS (SELECT doc_id, list(CAST(m AS FLOAT) ORDER BY seg) AS feature
+      |      FROM f0 GROUP BY doc_id),
+      |qv AS (SELECT feature AS v FROM f
+      |       WHERE doc_id = (SELECT min(doc_id) FROM aud)),
+      |sims AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(list_zip(feature, (SELECT v FROM qv)),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(feature,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform((SELECT v FROM qv),
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM f)
+      |SELECT doc_id, round(cos_raw, 6) AS cosine FROM sims
+      |ORDER BY cos_raw DESC, doc_id LIMIT 10""".stripMargin
+
   private val qImageSearch: Q = (s, d) => {
     val feats = Multimodal.extractFeatures(s,
       Multimodal.asMedia(Tables.documentsParallel(s, d))
@@ -769,6 +831,7 @@ object Curation {
     "q_expectations" -> qExpectations,
     "q_split_leakproof" -> qSplitLeakproof,
     "q_image_search" -> qImageSearch,
+    "q_audio_search" -> qAudioSearch,
     "q_compact" -> qCompact)
 
   val oracles: Map[String, String] = Map(
@@ -782,5 +845,6 @@ object Curation {
     "q_expectations" -> qExpectationsSql,
     "q_split_leakproof" -> qSplitLeakproofSql,
     "q_image_search" -> qImageSearchSql,
+    "q_audio_search" -> qAudioSearchSql,
     "q_compact" -> qCompactSql)
 }
