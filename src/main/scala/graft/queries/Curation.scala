@@ -518,6 +518,103 @@ object Curation {
       |SELECT doc_id, round(cos_raw, 6) AS cosine FROM sims
       |ORDER BY cos_raw DESC, doc_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------- Q-VIDEO-SEARCH
+  /** Video similarity search — completes the image/audio/video search
+    * triple: RIFF/AVI demux + real per-frame `javax.imageio` decode →
+    * per-frame quadrant-luminance features (float-cast, exactly as
+    * the codec does) averaged over frames → brute-force cosine top-10
+    * against the lowest video doc_id. The oracle recomputes
+    * everything from the synthetic pixel formula, per frame, with the
+    * same double→float cast at the per-frame boundary — the REAL
+    * demux+decode pipeline is held to a closed-form answer.
+    */
+  private val qVideoSearch: Q = (s, d) => {
+    val feats = Multimodal.extractFeatures(s,
+      Multimodal.asMedia(Tables.documentsParallel(s, d))
+        .filter(col("kind") === "video"))
+      .toDF().select(col("doc_id"), col("feature"))
+      .cache()
+    try {
+      val probeRow = feats.orderBy("doc_id").limit(1).collect().headOption
+      val probe = probeRow.map(_.getSeq[Float](1)).filter(v => v != null && v.nonEmpty)
+      probe match {
+        case None =>
+          feats.select(col("doc_id"),
+            lit(null).cast("double").as("cosine")).limit(0).localCheckpoint()
+        case Some(p) =>
+          Similarity.bruteForceTopK(feats, "doc_id", "feature", p, k = 10)
+            .withColumn("cosine", round(col("cosine"), 6))
+            .localCheckpoint()
+      }
+    } finally feats.unpersist()
+  }
+
+  private val qVideoSearchSql =
+    """WITH vid AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id // 5) % 32 AS h,
+      |         2 + doc_id % 6 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (SELECT unnest(range(0, 8)) AS f),
+      |xs AS (SELECT unnest(range(0, 48)) AS x),
+      |ys AS (SELECT unnest(range(0, 48)) AS y),
+      |px AS (
+      |  SELECT doc_id, w, h, nf, f, x, y,
+      |    ((doc_id * 31 + f * 17 + x * 7 + y * 13) & 16777215) AS v,
+      |    (CASE WHEN y * 2 >= h THEN 2 ELSE 0 END
+      |     + CASE WHEN x * 2 >= w THEN 1 ELSE 0 END) AS q
+      |  FROM vid, fr, xs, ys WHERE f < nf AND x < w AND y < h),
+      |lum AS (
+      |  SELECT doc_id, w, h, nf, f, q,
+      |    (CAST(0.299 AS DOUBLE) * ((v >> 16) & 255)
+      |     + CAST(0.587 AS DOUBLE) * ((v >> 8) & 255)
+      |     + CAST(0.114 AS DOUBLE) * (v & 255)) / CAST(255.0 AS DOUBLE) AS l,
+      |    ((v >> 16) & 255) / CAST(255.0 AS DOUBLE) AS r,
+      |    ((v >> 8) & 255) / CAST(255.0 AS DOUBLE) AS g,
+      |    (v & 255) / CAST(255.0 AS DOUBLE) AS b
+      |  FROM px),
+      |fagg AS (
+      |  SELECT doc_id, w, h, nf, f,
+      |    CAST(sum(CASE WHEN q = 0 THEN l END)
+      |         / count(CASE WHEN q = 0 THEN 1 END) AS FLOAT) AS q0,
+      |    CAST(sum(CASE WHEN q = 1 THEN l END)
+      |         / count(CASE WHEN q = 1 THEN 1 END) AS FLOAT) AS q1,
+      |    CAST(sum(CASE WHEN q = 2 THEN l END)
+      |         / count(CASE WHEN q = 2 THEN 1 END) AS FLOAT) AS q2,
+      |    CAST(sum(CASE WHEN q = 3 THEN l END)
+      |         / count(CASE WHEN q = 3 THEN 1 END) AS FLOAT) AS q3,
+      |    CAST(sum(r) / (w * h) AS FLOAT) AS sr,
+      |    CAST(sum(g) / (w * h) AS FLOAT) AS sg,
+      |    CAST(sum(b) / (w * h) AS FLOAT) AS sb,
+      |    CAST(w AS FLOAT) / CAST(h AS FLOAT) AS ar
+      |  FROM lum GROUP BY doc_id, w, h, nf, f),
+      |favg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CAST(q0 AS DOUBLE)) / nf AS FLOAT) AS q0,
+      |    CAST(sum(CAST(q1 AS DOUBLE)) / nf AS FLOAT) AS q1,
+      |    CAST(sum(CAST(q2 AS DOUBLE)) / nf AS FLOAT) AS q2,
+      |    CAST(sum(CAST(q3 AS DOUBLE)) / nf AS FLOAT) AS q3,
+      |    CAST(sum(CAST(sr AS DOUBLE)) / nf AS FLOAT) AS sr,
+      |    CAST(sum(CAST(sg AS DOUBLE)) / nf AS FLOAT) AS sg,
+      |    CAST(sum(CAST(sb AS DOUBLE)) / nf AS FLOAT) AS sb,
+      |    CAST(sum(CAST(ar AS DOUBLE)) / nf AS FLOAT) AS ar
+      |  FROM fagg GROUP BY doc_id, nf),
+      |f AS (SELECT doc_id, [q0, q1, q2, q3, sr, sg, sb, ar] AS feature
+      |      FROM favg),
+      |qv AS (SELECT feature AS v FROM f
+      |       WHERE doc_id = (SELECT min(doc_id) FROM vid)),
+      |sims AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(list_zip(feature, (SELECT v FROM qv)),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(feature,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform((SELECT v FROM qv),
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM f)
+      |SELECT doc_id, round(cos_raw, 6) AS cosine FROM sims
+      |ORDER BY cos_raw DESC, doc_id LIMIT 10""".stripMargin
+
   private val qImageSearch: Q = (s, d) => {
     val feats = Multimodal.extractFeatures(s,
       Multimodal.asMedia(Tables.documentsParallel(s, d))
@@ -832,6 +929,7 @@ object Curation {
     "q_split_leakproof" -> qSplitLeakproof,
     "q_image_search" -> qImageSearch,
     "q_audio_search" -> qAudioSearch,
+    "q_video_search" -> qVideoSearch,
     "q_compact" -> qCompact)
 
   val oracles: Map[String, String] = Map(
@@ -846,5 +944,6 @@ object Curation {
     "q_split_leakproof" -> qSplitLeakproofSql,
     "q_image_search" -> qImageSearchSql,
     "q_audio_search" -> qAudioSearchSql,
+    "q_video_search" -> qVideoSearchSql,
     "q_compact" -> qCompactSql)
 }

@@ -170,6 +170,16 @@ class CurationSpec extends SparkTestBase {
     assert(cosines.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("video search: the probe ranks itself first at cosine 1") {
+    val rows = Curation.defs("q_video_search")(spark, sf).collect()
+    assert(rows.length == 10)
+    val probeId = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 2)
+      .agg(min("doc_id")).head().getLong(0)
+    assert(rows.head.getLong(0) == probeId)
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-6)
+  }
+
   test("hard negatives: exactly 5 per probe, never the probe's own label, ranked by cosine") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val labelOf = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
