@@ -476,6 +476,24 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact-text digest key (md5 of the raw text) — the strongest
+    * dedup level of the incremental-ingest classifiers. ONE shared
+    * definition: the batch classifier (q_dedup_incremental) and its
+    * streaming twin (q_stream_ingest) are held to the SAME oracle
+    * SQL, so their engine-side key computations must stay
+    * byte-identical by construction, not by parallel editing.
+    */
+  def exactTextKey(text: Column): Column = md5(text)
+
+  /** Order-insensitive distinct-token-set digest key (the
+    * q_fingerprint near-dup level) — see [[exactTextKey]] for why
+    * this lives here.
+    */
+  def tokenSetKey(text: Column): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    md5(concat_ws(" ", sort_array(array_distinct(toks))))
+  }
+
   /** Hierarchical (two-level) semantic blocking — the form of
     * [[embeddingNearDupsClustered]] that survives the NEXT order of
     * magnitude. The flat path assigns every point against all k

@@ -30,8 +30,11 @@ object LabelPropagation {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 0)
+    // distinct like PageRank: duplicate input edges would otherwise
+    // weight neighbour votes by multiplicity, silently changing the
+    // documented most-frequent/min-label semantics
     val e = edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v")).cache()
+      col(dstCol).cast("long").as("v")).distinct().cache()
     var labels = e.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevRdd: Option[RDD[Row]] = None

@@ -30,13 +30,46 @@ import org.apache.spark.sql.functions._
   */
 object ShortestPaths {
 
+  /** [[run]] seeded at the minimum node of the edge set — computed
+    * from the operator's own MATERIALIZED edge cache, so the (often
+    * expensive) edge-derivation lineage is never executed a second
+    * time just to pick the source (a caller-side `edges.agg(min)`
+    * would recompute it).
+    */
+  def runFromMin(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int): DataFrame =
+    run(edges, srcCol, dstCol, source = null, maxHops)
+
+  /** The caller's source frame, or the min node of the MATERIALIZED
+    * edge cache. The min is collected (one tiny job over the cached
+    * rows, bounded output) rather than left as an aggregate plan —
+    * an agg over `e` inside `dist`'s lineage would be a self-join
+    * with every round's frontier ⋈ e (ambiguous-attribute analysis
+    * error), and re-deriving from the RAW edges would re-execute the
+    * caller's whole derivation pipeline.
+    */
+  private def minSource(e: DataFrame, source: DataFrame): DataFrame = {
+    if (source != null)
+      source.select(col("node").cast("long").as("node"))
+    else {
+      val row = e.agg(min(col("u")).as("node")).head()
+      val spark = e.sparkSession
+      if (row.isNullAt(0)) // empty edge set → empty result, not an NPE
+        spark.range(0).select(col("id").as("node"))
+      else
+        spark.range(1).select(lit(row.getLong(0)).as("node"))
+    }
+  }
+
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       source: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v")).cache()
-    var dist = source.select(col("node").cast("long").as("node"))
-      .withColumn("dist", lit(0))
+    // materialize the cache NOW: every round's join AND any
+    // source-from-edges aggregate below must hit it, not re-derive
+    e.count()
+    var dist = minSource(e, source).withColumn("dist", lit(0))
     var prevRdd: Option[RDD[Row]] = None
     for (i <- 1 to maxHops) {
       val frontier = dist.filter(col("dist") === lit(i - 1))
@@ -62,14 +95,20 @@ object ShortestPaths {
     * rounds). Integer weights keep the min-merge exact — no float
     * path-sum ordering concerns.
     */
+  /** [[runWeighted]] seeded at the minimum node — same
+    * materialized-cache rationale as [[runFromMin]]. */
+  def runWeightedFromMin(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, maxHops: Int): DataFrame =
+    runWeighted(edges, srcCol, dstCol, weightCol, source = null, maxHops)
+
   def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"),
       col(weightCol).cast("long").as("w")).cache()
-    var dist = source.select(col("node").cast("long").as("node"))
-      .withColumn("dist", lit(0L))
+    e.count()
+    var dist = minSource(e, source).withColumn("dist", lit(0L))
     var prevRdd: Option[RDD[Row]] = None
     for (_ <- 1 to maxHops) {
       val relaxed = dist.join(e, dist("node") === e("u"))

@@ -987,23 +987,9 @@ object Analytics {
     * same count, tractable at oracle scale.
     */
   private val qTriangles: Q = (s, d) => {
-    // co-purchase edges with ONE shuffle: collect the (deduped,
-    // sorted) part set per order, explode pairs narrowly — the
-    // items-self-join alternative shuffles both sides AND joins.
-    // Within-order sets are small (a handful of parts), so the pair
-    // explosion is bounded per row.
-    val edges = Tables.lineitem(s, d)
-      // single-row-group test file → serial scan; key the exchange on
-      // the groupBy column so the collect_set aggregate (and the pair
-      // explosion above it) runs wide — same rationale as qPageRank
-      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
-        .as("e"))
-      .select(col("e.u"), col("e.v"))
+    // the shared one-shuffle co-purchase pair derivation (Core) — the
+    // items-self-join alternative would shuffle both sides AND join
+    val edges = Core.coPurchasePairs(s, d)
     val (nEdges, nTri) = graft.operators.TriangleCount.stats(edges)
     val s2 = s
     import s2.implicits._

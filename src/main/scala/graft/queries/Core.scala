@@ -70,6 +70,29 @@ object Core {
     when(b < 204, "train").when(b < 230, "val").otherwise("test")
   }
 
+  /** The shared per-order co-purchase pair derivation (ONE shuffle:
+    * collect the deduped, sorted part set per order, explode ordered
+    * pairs narrowly — within-order sets are small, so the explosion
+    * is bounded per row). Three consumers build on it with their own
+    * filters: q_triangles (triangle counting), the sparsified graph
+    * queries (BFS / LPA / weighted SSSP), and q_recs (co-occurrence
+    * counts — which NEEDS the per-order multiplicities, so no
+    * distinct here). The test corpus is a single-row-group file →
+    * serial scan; keying the exchange on the groupBy column makes the
+    * aggregate and explosion run wide (the qPageRank rationale).
+    */
+  private[queries] def coPurchasePairs(
+      s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .select(col("e.u"), col("e.v"))
+
   // ---------------------------------------------------------------- Q-SCAN
   /** Scan + project + filter with a string predicate (reference O1/O2,
     * syllabus_parser.py:48-70). Filter and 3-column projection both

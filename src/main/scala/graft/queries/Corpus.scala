@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.dedup.Dedup
 import graft.operators.ShortestPaths
 
 /** Round-8 corpus-analysis batch: vocabulary construction with
@@ -149,9 +150,8 @@ object Corpus {
     */
   private val qDedupIncremental: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    def exactKey = md5(col("text"))
-    def nearKey = md5(concat_ws(" ",
-      sort_array(array_distinct(expr("filter(split(text, ' '), x -> x != '')")))))
+    def exactKey = Dedup.exactTextKey(col("text"))
+    def nearKey = Dedup.tokenSetKey(col("text"))
     val batch = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), exactKey.as("ek"), nearKey.as("nk"))
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
@@ -226,18 +226,7 @@ object Corpus {
     */
   private def sparseCopurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    // single-row-group test file → serial scan; key the exchange on
-    // the groupBy column so the collect_set and pair explosion run
-    // wide (same rationale as qPageRank/qTriangles)
-    val pairs = Tables.lineitem(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
-        .as("e"))
-      .select(col("e.u"), col("e.v"))
+    val pairs = Core.coPurchasePairs(s, d)
       .filter((col("u") + col("v")) % 13 === 0)
     pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
@@ -254,12 +243,13 @@ object Corpus {
       |       WHERE (a.p + b.p) % 13 = 0),
       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)""".stripMargin
 
-  private val qShortestPath: Q = (s, d) => {
-    val und = sparseCopurchaseEdges(s, d)
-    val source = und.agg(min(col("u")).as("node"))
-    ShortestPaths.run(und, "u", "v", source, maxHops = 4)
+  private val qShortestPath: Q = (s, d) =>
+    // source = min node, derived INSIDE the operator from its
+    // materialized edge cache — a caller-side agg would re-execute
+    // the whole pair-derivation lineage a second time
+    ShortestPaths.runFromMin(sparseCopurchaseEdges(s, d), "u", "v",
+      maxHops = 4)
       .orderBy(col("node"))
-  }
 
   private val qShortestPathSql =
     s"""WITH RECURSIVE $sparseEdgesSql,
@@ -321,13 +311,12 @@ object Corpus {
     * walks (node, dist, hops) triples with UNION dedup — bounded by
     * nodes × distinct-dists × hops, never path-enumeration.
     */
-  private val qSsspWeighted: Q = (s, d) => {
-    val und = sparseCopurchaseEdges(s, d)
-      .withColumn("w", lit(1L) + (col("u") + col("v")) % 5)
-    val source = und.agg(min(col("u")).as("node"))
-    ShortestPaths.runWeighted(und, "u", "v", "w", source, maxHops = 4)
+  private val qSsspWeighted: Q = (s, d) =>
+    ShortestPaths.runWeightedFromMin(
+      sparseCopurchaseEdges(s, d)
+        .withColumn("w", lit(1L) + (col("u") + col("v")) % 5),
+      "u", "v", "w", maxHops = 4)
       .orderBy(col("node"))
-  }
 
   private val qSsspWeightedSql =
     s"""WITH RECURSIVE $sparseEdgesSql,
@@ -387,16 +376,7 @@ object Corpus {
     * no cross join.
     */
   private val qRecs: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    val pairs = li
-      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
-        .as("e"))
-      .select(col("e.u"), col("e.v"))
+    val pairs = Core.coPurchasePairs(s, d)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= 2)
     val sym = pairs.union(
@@ -406,7 +386,8 @@ object Corpus {
     // state for the query's lifetime — recomputing the cheap scan is
     // the better trade (and at scale the two aggregates pipeline
     // independently)
-    val cnt = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val cnt = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct().groupBy(col("p")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("s").desc, col("rec"))
@@ -657,8 +638,12 @@ object Corpus {
           col("value").cast("decimal(18,2)")).cast("double").as("s2"))
       .select(col("event_type"), col("period"), col("n"),
         (col("s") / col("n").cast("double")).as("mean"),
-        ((col("s2") - col("s") * col("s") / col("n").cast("double")) /
-          (col("n").cast("double") - 1)).as("var"))
+        // n = 1 would divide by zero — and the two engines disagree
+        // on double x/0 (NULL vs Inf/NaN), so guard to NULL on BOTH
+        // sides rather than rely on either's convention
+        when(col("n") > 1,
+          (col("s2") - col("s") * col("s") / col("n").cast("double")) /
+            (col("n").cast("double") - 1)).as("var"))
     val r = g.filter(col("period") === "ref").select(
       col("event_type"), col("n").as("n_ref"), col("mean").as("m_ref"),
       (col("var") / col("n").cast("double")).as("a"),
@@ -667,15 +652,19 @@ object Corpus {
       col("event_type"), col("n").as("n_cur"), col("mean").as("m_cur"),
       (col("var") / col("n").cast("double")).as("b"),
       col("n").cast("double").as("nc"))
-    val t = (col("m_ref") - col("m_cur")) / sqrt(col("a") + col("b"))
+    // constant data in both halves gives a = b = 0 → zero standard
+    // error; guard t/df to NULL symmetrically (see the var guard)
+    val t = when(col("a") + col("b") > 0,
+      (col("m_ref") - col("m_cur")) / sqrt(col("a") + col("b")))
     r.join(c, "event_type")
       .select(col("event_type"), col("n_ref"), col("n_cur"),
         round(col("m_ref"), 6).as("mean_ref"),
         round(col("m_cur"), 6).as("mean_cur"),
         round(t, 6).as("t_stat"),
-        round((col("a") + col("b")) * (col("a") + col("b")) /
-          (col("a") * col("a") / (col("nr") - 1) +
-            col("b") * col("b") / (col("nc") - 1)), 2).as("df_welch"),
+        round(when(col("a") + col("b") > 0,
+          (col("a") + col("b")) * (col("a") + col("b")) /
+            (col("a") * col("a") / (col("nr") - 1) +
+              col("b") * col("b") / (col("nc") - 1))), 2).as("df_welch"),
         (abs(t) > lit(1.96)).as("significant"))
       .orderBy(col("event_type"))
   }
@@ -694,7 +683,9 @@ object Corpus {
       |m AS (
       |  SELECT event_type, period, n,
       |         s / CAST(n AS DOUBLE) AS mean,
-      |         (s2 - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var
+      |         CASE WHEN n > 1 THEN
+      |           (s2 - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+      |         END AS var
       |  FROM g),
       |p AS (
       |  SELECT r.event_type, r.n AS n_ref, c.n AS n_cur,
@@ -706,10 +697,15 @@ object Corpus {
       |   AND r.period = 'ref' AND c.period = 'cur')
       |SELECT event_type, n_ref, n_cur,
       |       round(m_ref, 6) AS mean_ref, round(m_cur, 6) AS mean_cur,
-      |       round((m_ref - m_cur) / sqrt(a + b), 6) AS t_stat,
-      |       round((a + b) * (a + b)
-      |             / (a * a / (nr - 1) + b * b / (nc - 1)), 2) AS df_welch,
-      |       abs((m_ref - m_cur) / sqrt(a + b)) > CAST(1.96 AS DOUBLE) AS significant
+      |       round(CASE WHEN a + b > 0
+      |             THEN (m_ref - m_cur) / sqrt(a + b) END, 6) AS t_stat,
+      |       round(CASE WHEN a + b > 0
+      |             THEN (a + b) * (a + b)
+      |                  / (a * a / (nr - 1) + b * b / (nc - 1)) END, 2)
+      |         AS df_welch,
+      |       abs(CASE WHEN a + b > 0
+      |           THEN (m_ref - m_cur) / sqrt(a + b) END)
+      |         > CAST(1.96 AS DOUBLE) AS significant
       |FROM p ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- Q-DRIFT

@@ -456,6 +456,37 @@ object Curation {
     * noise that separates the engines' double folds, so the cosine
     * ranking over the casted features is bit-stable.
     */
+  /** The one shared media-search body all three kinds run through:
+    * decode+featurize the kind's payloads (REAL codecs), probe with
+    * the lowest doc_id's feature, brute-force cosine top-10. One
+    * copy of the probe-selection / degraded-probe / cache-release
+    * logic — a fix here fixes all three searches.
+    */
+  private def mediaSearch(kind: String): Q = (s, d) => {
+    val feats = Multimodal.extractFeatures(s,
+      Multimodal.asMedia(Tables.documentsParallel(s, d))
+        .filter(col("kind") === kind))
+      .toDF().select(col("doc_id"), col("feature"))
+      // decode+featurize is the dominant cost and feeds TWO actions
+      // (probe lookup, ranked scan) — cache for their duration, then
+      // release; the k-row result is snapshotted first so it never
+      // recomputes the codec pipeline (the ivfTopK pattern)
+      .cache()
+    try {
+      val probeRow = feats.orderBy("doc_id").limit(1).collect().headOption
+      val probe = probeRow.map(_.getSeq[Float](1)).filter(v => v != null && v.nonEmpty)
+      probe match {
+        case None => // no rows of this kind, or the probe decoded degraded
+          feats.select(col("doc_id"),
+            lit(null).cast("double").as("cosine")).limit(0).localCheckpoint()
+        case Some(p) =>
+          Similarity.bruteForceTopK(feats, "doc_id", "feature", p, k = 10)
+            .withColumn("cosine", round(col("cosine"), 6))
+            .localCheckpoint()
+      }
+    } finally feats.unpersist()
+  }
+
   // --------------------------------------------------- Q-AUDIO-SEARCH
   /** Audio similarity search — the audio twin of q_image_search:
     * REAL `javax.sound.sampled` decode of every audio payload →
@@ -467,26 +498,7 @@ object Curation {
     * residue is absorbed by the double→float feature cast, the
     * q_image_search precedent.
     */
-  private val qAudioSearch: Q = (s, d) => {
-    val feats = Multimodal.extractFeatures(s,
-      Multimodal.asMedia(Tables.documentsParallel(s, d))
-        .filter(col("kind") === "audio"))
-      .toDF().select(col("doc_id"), col("feature"))
-      .cache()
-    try {
-      val probeRow = feats.orderBy("doc_id").limit(1).collect().headOption
-      val probe = probeRow.map(_.getSeq[Float](1)).filter(v => v != null && v.nonEmpty)
-      probe match {
-        case None =>
-          feats.select(col("doc_id"),
-            lit(null).cast("double").as("cosine")).limit(0).localCheckpoint()
-        case Some(p) =>
-          Similarity.bruteForceTopK(feats, "doc_id", "feature", p, k = 10)
-            .withColumn("cosine", round(col("cosine"), 6))
-            .localCheckpoint()
-      }
-    } finally feats.unpersist()
-  }
+  private val qAudioSearch: Q = mediaSearch("audio")
 
   private val qAudioSearchSql =
     """WITH aud AS (
@@ -528,26 +540,7 @@ object Curation {
     * same double→float cast at the per-frame boundary — the REAL
     * demux+decode pipeline is held to a closed-form answer.
     */
-  private val qVideoSearch: Q = (s, d) => {
-    val feats = Multimodal.extractFeatures(s,
-      Multimodal.asMedia(Tables.documentsParallel(s, d))
-        .filter(col("kind") === "video"))
-      .toDF().select(col("doc_id"), col("feature"))
-      .cache()
-    try {
-      val probeRow = feats.orderBy("doc_id").limit(1).collect().headOption
-      val probe = probeRow.map(_.getSeq[Float](1)).filter(v => v != null && v.nonEmpty)
-      probe match {
-        case None =>
-          feats.select(col("doc_id"),
-            lit(null).cast("double").as("cosine")).limit(0).localCheckpoint()
-        case Some(p) =>
-          Similarity.bruteForceTopK(feats, "doc_id", "feature", p, k = 10)
-            .withColumn("cosine", round(col("cosine"), 6))
-            .localCheckpoint()
-      }
-    } finally feats.unpersist()
-  }
+  private val qVideoSearch: Q = mediaSearch("video")
 
   private val qVideoSearchSql =
     """WITH vid AS (
@@ -615,32 +608,7 @@ object Curation {
       |SELECT doc_id, round(cos_raw, 6) AS cosine FROM sims
       |ORDER BY cos_raw DESC, doc_id LIMIT 10""".stripMargin
 
-  private val qImageSearch: Q = (s, d) => {
-    val feats = Multimodal.extractFeatures(s,
-      Multimodal.asMedia(Tables.documentsParallel(s, d))
-        .filter(col("kind") === "image"))
-      .toDF().select(col("doc_id"), col("feature"))
-      // decode+featurize is the dominant cost and feeds TWO actions
-      // (probe lookup, ranked scan) — cache for their duration, then
-      // release; the k-row result is snapshotted first so it never
-      // recomputes the codec pipeline (the ivfTopK pattern)
-      .cache()
-    try {
-      // lowest image doc_id, by order — the docstring's contract
-      // (oracle: WHERE doc_id = (SELECT min(doc_id) FROM img))
-      val probeRow = feats.orderBy("doc_id").limit(1).collect().headOption
-      val probe = probeRow.map(_.getSeq[Float](1)).filter(v => v != null && v.nonEmpty)
-      probe match {
-        case None => // no images, or the probe decoded degraded
-          feats.select(col("doc_id"),
-            lit(null).cast("double").as("cosine")).limit(0).localCheckpoint()
-        case Some(p) =>
-          Similarity.bruteForceTopK(feats, "doc_id", "feature", p, k = 10)
-            .withColumn("cosine", round(col("cosine"), 6))
-            .localCheckpoint()
-      }
-    } finally feats.unpersist()
-  }
+  private val qImageSearch: Q = mediaSearch("image")
 
   private val qImageSearchSql =
     """WITH img AS (

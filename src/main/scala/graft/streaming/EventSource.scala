@@ -26,11 +26,21 @@ private[graft] object EventSource {
   def stream(spark: SparkSession, dir: String): DataFrame =
     streamTable(spark, dir, "events")
 
-  /** Layout-aware file stream for ANY of the sf-dir tables. */
+  /** Layout-aware file stream for ANY of the sf-dir tables. The
+    * directory test goes through the Hadoop FileSystem of the PATH
+    * (not java.io.File): on hdfs://, s3a://, etc. a local-FS check
+    * answers false for every path, which would silently route a
+    * Spark-written directory table into the glob branch — an empty
+    * stream with no error, the exact failure this class exists to
+    * prevent.
+    */
   def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     val table = s"$dir/$name.parquet"
     val schema = spark.read.parquet(table).schema
-    if (new java.io.File(table).isDirectory)
+    val p = new org.apache.hadoop.fs.Path(table)
+    val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    if (isDir)
       spark.readStream.schema(schema).parquet(table)
     else
       spark.readStream.schema(schema)

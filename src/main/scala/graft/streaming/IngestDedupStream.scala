@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object IngestDedupStream {
 
-  private def exactKey = md5(col("text"))
-  private def nearKey = md5(concat_ws(" ",
-    sort_array(array_distinct(expr("filter(split(text, ' '), x -> x != '')")))))
+  // ONE definition of both digest keys (graft.dedup.Dedup) — this
+  // stream shares q_dedup_incremental's oracle verbatim, so the two
+  // engine-side computations must be the same code, not two copies
+  private def exactKey = graft.dedup.Dedup.exactTextKey(col("text"))
+  private def nearKey = graft.dedup.Dedup.tokenSetKey(col("text"))
 
   def classifyFile(spark: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = {

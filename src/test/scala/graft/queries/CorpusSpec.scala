@@ -82,9 +82,8 @@ class CorpusSpec extends SparkTestBase {
 
   test("dedup incremental: near-dup pairs share the distinct-token-set fingerprint") {
     val docs = Tables.documents(spark, sf)
-    def nk = md5(concat_ws(" ",
-      sort_array(array_distinct(expr("filter(split(text, ' '), x -> x != '')")))))
-    val keyed = docs.select(col("doc_id"), nk.as("nk"))
+    val keyed = docs.select(col("doc_id"),
+      graft.dedup.Dedup.tokenSetKey(col("text")).as("nk"))
     val dups = Corpus.defs("q_dedup_incremental")(spark, sf)
       .filter(col("status") === "near_dup")
       .select(col("doc_id"), col("dup_of"))
