@@ -559,6 +559,66 @@ object Corpus {
       |             / CAST((SELECT ts FROM tot) AS DOUBLE), 6) AS share_after
       |FROM p LEFT JOIN s USING (source) ORDER BY p.source""".stripMargin
 
+  // ---------------------------------------------------------------- Q-CHISQ
+  /** Chi-square independence test over the source × lang contingency
+    * table — the categorical sibling of q_ab_test (is language
+    * distribution independent of source?). Zero cells are included
+    * (full row-total × col-total cross, observed coalesced to 0 —
+    * omitting them understates the statistic). The cell terms are
+    * summed as an ORDER-FIXED fold — both engines build the term
+    * list sorted by (source, lang) and fold it left-to-right, so the
+    * float reduction is order-insensitive structurally (the q_drift
+    * rule, at 100 cells where literal unrolling stops scaling).
+    */
+  private val qChisq: Q = (s, d) => {
+    val c = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+    val r = c.groupBy(col("source")).agg(sum(col("o")).as("ro"))
+    val l = c.groupBy(col("lang")).agg(sum(col("o")).as("co"))
+    val n = c.agg(sum(col("o")).cast("double").as("n"),
+      count(lit(1)).as("n_cells_obs"))
+    val cells = r.crossJoin(l).join(c, Seq("source", "lang"), "left")
+      .crossJoin(n)
+      .select(col("source"), col("lang"),
+        coalesce(col("o"), lit(0L)).cast("double").as("o"),
+        (col("ro").cast("double") * col("co").cast("double") / col("n"))
+          .as("e"))
+      .select(col("source"), col("lang"),
+        ((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("term"))
+    val nr = r.count()
+    val nc = l.count()
+    cells
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("source"), col("lang"),
+          col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2_raw"))
+      .crossJoin(n.select(col("n").cast("long").as("n_docs")))
+      .select(col("n_docs"), lit(nr).as("n_sources"), lit(nc).as("n_langs"),
+        lit((nr - 1) * (nc - 1)).as("df"),
+        round(col("chi2_raw"), 6).as("chi2"))
+  }
+
+  private val qChisqSql =
+    """WITH c AS (SELECT source, lang, count(*) AS o
+      |           FROM documents GROUP BY 1, 2),
+      |r AS (SELECT source, sum(o) AS ro FROM c GROUP BY 1),
+      |l AS (SELECT lang, sum(o) AS co FROM c GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c),
+      |cells AS (
+      |  SELECT r.source, l.lang,
+      |    CAST(coalesce(c.o, 0) AS DOUBLE) AS o,
+      |    CAST(r.ro AS DOUBLE) * CAST(l.co AS DOUBLE) / (SELECT n FROM n) AS e
+      |  FROM r CROSS JOIN l LEFT JOIN c USING (source, lang)),
+      |terms AS (
+      |  SELECT source, lang, (o - e) * (o - e) / e AS term FROM cells)
+      |SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_docs,
+      |       (SELECT count(*) FROM r) AS n_sources,
+      |       (SELECT count(*) FROM l) AS n_langs,
+      |       ((SELECT count(*) FROM r) - 1)
+      |         * ((SELECT count(*) FROM l) - 1) AS df,
+      |       round(list_sum(list(term ORDER BY source, lang)), 6) AS chi2
+      |FROM terms""".stripMargin
+
   // ------------------------------------------------------------ Q-RECONCILE
   /** Cross-system reconciliation — the data-quality report every
     * pipeline with two bookkeeping paths runs: orders' recorded
@@ -822,6 +882,7 @@ object Corpus {
     "q_recs" -> qRecs,
     "q_ab_test" -> qAbTest,
     "q_reconcile" -> qReconcile,
+    "q_chisq" -> qChisq,
     "q_mix_apply" -> qMixApply,
     "q_attribution" -> qAttribution,
     "q_stream_anomaly" -> qStreamAnomaly,
@@ -838,6 +899,7 @@ object Corpus {
     "q_recs" -> qRecsSql,
     "q_ab_test" -> qAbTestSql,
     "q_reconcile" -> qReconcileSql,
+    "q_chisq" -> qChisqSql,
     "q_mix_apply" -> qMixApplySql,
     "q_attribution" -> qAttributionSql,
     "q_stream_anomaly" -> qStreamAnomalySql,

@@ -319,6 +319,32 @@ class CorpusSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("chisq: independent planted table scores ~0, dependent one scores high") {
+    import spark.implicits._
+    // identical construction as the query, run on planted frames
+    def chi2(rows: Seq[(String, String)]): Double = {
+      val c = rows.toDF("source", "lang")
+        .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      val r = c.groupBy("source").agg(sum("o").as("ro"))
+      val l = c.groupBy("lang").agg(sum("o").as("co"))
+      val n = c.agg(sum("o").cast("double").as("n"))
+      r.crossJoin(l).join(c, Seq("source", "lang"), "left").crossJoin(n)
+        .select(((coalesce(col("o"), lit(0L)).cast("double") -
+          col("ro") * col("co") / col("n")) *
+          (coalesce(col("o"), lit(0L)).cast("double") -
+            col("ro") * col("co") / col("n")) /
+          (col("ro") * col("co") / col("n"))).as("t"))
+        .agg(sum("t")).head().getDouble(0)
+    }
+    // perfectly independent: every (s, l) cell equal
+    val indep = for (s <- Seq("a", "b"); l <- Seq("x", "y"); _ <- 1 to 25)
+      yield (s, l)
+    // perfectly dependent: source determines lang
+    val dep = Seq.fill(50)(("a", "x")) ++ Seq.fill(50)(("b", "y"))
+    assert(math.abs(chi2(indep)) < 1e-9)
+    assert(chi2(dep) > 90.0) // n=100, perfect association → chi2 = n
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
