@@ -317,6 +317,52 @@ object Analytics {
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------ Q-DPP
+  /** DYNAMIC partition pruning — q_partition_prune's static predicate
+    * promoted to the join-driven form that is THE 100 TB fact-join
+    * optimization: orders written partitioned by month, joined on the
+    * partition column against a month dimension derived from a
+    * DIFFERENT table under a selective filter (shipment months of
+    * 1996). Spark plans a DynamicPruning subquery on the fact scan —
+    * only matching month partitions are LISTED, not post-filtered;
+    * PlanSpec pins the `dynamicpruning` expression so a silent
+    * regression to a full scan fails structurally (a row-equality
+    * check cannot see it: the join filters the same rows either way).
+    */
+  private lazy val dppBase: String =
+    java.nio.file.Files.createTempDirectory("graft_dpp").toString
+
+  private val qDpp: Q = (s, d) => {
+    val base = dppBase
+    Tables.orders(s, d)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      // one file per partition: the write is re-read immediately, so
+      // keep the layout minimal
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(base)
+    val fact = s.read.parquet(base)
+    val dim = Tables.lineitem(s, d)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .distinct()
+      .filter(col("month").startsWith("1996"))
+    fact.join(broadcast(dim), "month")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        Core.dsum(col("o_totalprice")).as("total"))
+      .orderBy("month")
+  }
+
+  private val qDppSql =
+    s"""WITH dim AS (
+       |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS month
+       |  FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') LIKE '1996%')
+       |SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |       count(*) AS n_orders,
+       |       ${Core.DSUM.format("o_totalprice")} AS total
+       |FROM orders
+       |WHERE strftime(o_orderdate, '%Y-%m') IN (SELECT month FROM dim)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------- Q-MULTIMODAL2
   /** The remaining multimodal plumbing ops (resize + frame sampling)
     * surfaced as one driver-checkable query: per-document resized
@@ -1848,6 +1894,7 @@ object Analytics {
     "q_array" -> qArray,
     "q_agg3" -> qAgg3,
     "q_partition_prune" -> qPartitionPrune,
+    "q_dpp" -> qDpp,
     "q_multimodal2" -> qMultimodal2,
     "q_window_range" -> qWindowRange,
     "q_upsert" -> qUpsert,
@@ -1897,6 +1944,7 @@ object Analytics {
     "q_array" -> qArraySql,
     "q_agg3" -> qAgg3Sql,
     "q_partition_prune" -> qPartitionPruneSql,
+    "q_dpp" -> qDppSql,
     "q_multimodal2" -> qMultimodal2Sql,
     "q_window_range" -> qWindowRangeText,
     "q_upsert" -> qUpsertSql,

@@ -88,6 +88,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p.take(1200))
   }
 
+  test("q_dpp prunes fact partitions DYNAMICALLY from the dim subquery") {
+    val p = plan("q_dpp")
+    // the fact scan's partition filters must carry a dynamic-pruning
+    // subquery — without it the join still returns the same rows
+    // (which is why only a plan assertion can catch the regression)
+    assert(p.contains("dynamicpruning"), p.take(1500))
+  }
+
   test("q_funnel pushes stage filters into the event scans") {
     val p = plan("q_funnel")
     assert(p.contains("EqualTo(event_type,signup)"), p.take(1200))
