@@ -132,6 +132,32 @@ final class SyllabusPipeline(
     questions
   }
 
+  /** [[run]] with in-flight observability: the question count, total
+    * question characters and difficulty bounds are collected through
+    * Spark's Observation API — accumulator-backed metrics computed by
+    * the SAME job that materializes the result (the sink write, or
+    * whatever action the caller triggers), NOT a second pass. At
+    * corpus scale a metrics `.count()` after the write would re-run
+    * the whole generation; this is the production pattern for
+    * pipeline health counters (rows emitted, payload size, value
+    * bounds) at zero extra cost. Returns the dataset plus a callback
+    * that yields the metrics once an action has run.
+    */
+  def runObserved(spark: SparkSession, docxPath: String,
+      sink: Option[OutputManager] = None,
+      topicsNum: Option[Int] = None)
+      : (Dataset[Question], () => Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation("syllabus_pipeline")
+    val questions = run(spark, docxPath, sink = None, topicsNum)
+    val observed = questions.observe(obs,
+      count(lit(1)).as("n_questions"),
+      sum(length(col("text")).cast("long")).as("question_chars"),
+      min(col("difficulty")).as("min_difficulty"),
+      max(col("difficulty")).as("max_difficulty"))
+    sink.foreach(_.save(observed))
+    (observed, () => obs.get)
+  }
+
   /** Crash-resumable run — the engine's analogue of the reference's
     * `langgraph-checkpoint-sqlite` dependency (requirements.txt):
     * LangGraph checkpoints per-topic graph state so a crashed run

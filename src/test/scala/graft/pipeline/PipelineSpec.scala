@@ -85,6 +85,17 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.json(out).count() == 2 * n)
   }
 
+  test("observed run: metrics come from the materializing action, and agree with the data") {
+    val (ds, metrics) = pipeline.runObserved(spark, fixture)
+    val n = ds.count() // the one action — it both materializes AND meters
+    val m = metrics()
+    assert(m("n_questions") == n && n > 0)
+    val chars = ds.collect().map(_.text.length.toLong).sum
+    assert(m("question_chars") == chars)
+    // lexicographic min/max over the cycling {easy, medium, hard}
+    assert(m("min_difficulty") == "easy" && m("max_difficulty") == "medium")
+  }
+
   test("golden: committed sample + schema DDL match exactly (SURVEY §5.2(2))") {
     val qs = pipeline.run(spark, fixture).toDF()
     assert(qs.schema.toDDL ==
