@@ -170,7 +170,11 @@ object ScaleRehearsal {
     "q_stream_anomaly",
     // hierarchical semantic blocking: the √k-literal + cell-join form
     // whose x-factor should BEAT the flat q_semdedup as k grows
-    "q_semdedup_hier")
+    "q_semdedup_hier",
+    // dynamic partition pruning: per-call partitioned write + pruned
+    // join — the write scales with data, the join with matching
+    // partitions
+    "q_dpp")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
