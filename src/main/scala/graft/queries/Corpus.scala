@@ -9,10 +9,15 @@ import graft.operators.ShortestPaths
 
 /** Round-8 corpus-analysis batch: vocabulary construction with
   * coverage accounting, PMI token co-occurrence, incremental ingest
-  * dedup against an existing corpus index, and bounded-hop BFS
-  * shortest paths (the third iterative graph dataflow). Same driver
-  * contract as the other query modules: every entry has a DuckDB
-  * oracle, float parity rules per the queries/Core.scala header.
+  * dedup (batch + its streaming twin), the iterative graph family
+  * (bounded-hop BFS, weighted Bellman-Ford SSSP, label-propagation
+  * communities), item-item co-occurrence recommendations, the
+  * statistics trio (PSI drift, Welch's t A/B test, chi-square
+  * independence), full-outer reconciliation, deterministic
+  * mixing-weight sampling, first/last-touch attribution, and the
+  * streaming EWMA anomaly query. Same driver contract as the other
+  * query modules: every entry has a DuckDB oracle, float parity
+  * rules per the queries/Core.scala header.
   */
 object Corpus {
   import Core.Q

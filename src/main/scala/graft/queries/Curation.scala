@@ -9,13 +9,14 @@ import graft.functions.VectorOps
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 
-/** Round-7 training-data curation queries: exact substring dedup
+/** Round-7/8 training-data curation queries: exact substring dedup
   * (rolling-window), retrieval-quality evaluation metrics, the
   * oracle-parity k-means census, LM training-example construction,
   * the declarative data-quality expectations suite, the
-  * leakage-proof cluster-aware split, and multimodal image
-  * similarity search. Same driver contract as the other query
-  * modules: every entry has a DuckDB oracle.
+  * leakage-proof cluster-aware split, and the multimodal similarity
+  * search triple (image / audio / video — one shared search body,
+  * three real JDK codecs, closed-form oracles). Same driver contract
+  * as the other query modules: every entry has a DuckDB oracle.
   */
 object Curation {
   import Core.Q
