@@ -404,8 +404,12 @@ object TrainingData {
   private val hierCellsCtes: String = kmeansCellsCtesFor(
     "CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT)")
 
-  private val qSemdedupHierSql =
-    s"""WITH RECURSIVE $hierCellsCtes,
+  /** Shared CTE prefix of the two hierarchical-blocking oracles:
+    * coarse cells → quota reps → rep-dedup → fine assignment →
+    * sign-bucketed blocks, ending in `b(vec_id, embedding, block,
+    * sb)`. */
+  private val hierBlockCtes =
+    s"""$hierCellsCtes,
       |reps0 AS (
       |  SELECT cells.cluster, e.vec_id AS rep, e.embedding AS repv,
       |         row_number() OVER (PARTITION BY cells.cluster
@@ -444,7 +448,10 @@ object TrainingData {
       |    CAST(list_sum(list_transform(e.embedding[1:6],
       |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
       |      AS BIGINT) AS sb
-      |  FROM embeddings e JOIN fine USING (vec_id)),
+      |  FROM embeddings e JOIN fine USING (vec_id))""".stripMargin
+
+  private val qSemdedupHierSql =
+    s"""WITH RECURSIVE $hierBlockCtes,
       |edges0 AS (
       |  SELECT a.vec_id AS a, c.vec_id AS b
       |  FROM b a JOIN b c
@@ -463,6 +470,32 @@ object TrainingData {
       |SELECT vec_id, label
       |FROM embeddings LEFT JOIN comp ON vec_id = node
       |WHERE vec_id = coalesce(component, vec_id) ORDER BY vec_id""".stripMargin
+
+  /** The PAIRS view of the hierarchical blocking — q_embed_neardup's
+    * scale-path sibling the way q_semdedup_hier is q_semdedup's: the
+    * candidate edges with their verified cosines, before any CC
+    * resolution. Closes the last O(n·k) holdout (the flat pairs view
+    * keeps its n-proportional centroid broadcast).
+    */
+  private val qEmbedNearHier: Q = (s, d) =>
+    Dedup.embeddingNearDupsHier(Tables.embeddings(s, d),
+      "vec_id", "embedding", threshold = 0.35)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+
+  private val qEmbedNearHierSql =
+    s"""WITH RECURSIVE $hierBlockCtes,
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+      |    list_sum(list_transform(list_zip(a.embedding, c.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM b a JOIN b c
+      |    ON a.block = c.block AND a.sb = c.sb AND a.vec_id < c.vec_id)
+      |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM pairs
+      |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
   /** Exact all-pairs twin of q_embed_neardup — SQL-expressible, so it
     * carries a full DuckDB oracle (the LSH variant is approximate and
@@ -1811,6 +1844,7 @@ object TrainingData {
     "q_embed_neardup" -> qEmbedNear,
     "q_semdedup" -> qSemdedup,
     "q_semdedup_hier" -> qSemdedupHier,
+    "q_embed_neardup_hier" -> qEmbedNearHier,
     "q_embed_pairs" -> qEmbedPairs,
     "q_embed_generate" -> qEmbedGenerate,
     "q_embed_search" -> qEmbedSearch,
@@ -1865,6 +1899,7 @@ object TrainingData {
     "q_embed_neardup" -> qEmbedNearSql,
     "q_semdedup" -> qSemdedupSql,
     "q_semdedup_hier" -> qSemdedupHierSql,
+    "q_embed_neardup_hier" -> qEmbedNearHierSql,
     "q_embed_generate" -> qEmbedGenerateSql,
     "q_embed_search" -> qEmbedSearchSql,
     "q_embed_search_ivf" -> qEmbedSearchIvfSql,
