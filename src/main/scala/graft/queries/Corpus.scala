@@ -564,6 +564,56 @@ object Corpus {
       |             / CAST((SELECT ts FROM tot) AS DOUBLE), 6) AS share_after
       |FROM p LEFT JOIN s USING (source) ORDER BY p.source""".stripMargin
 
+  // ----------------------------------------------------------------- Q-GINI
+  /** Gini concentration coefficient of customer spend — the
+    * inequality metric concentration dashboards run (and the same
+    * arithmetic grades corpus-source concentration):
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spends sorted ascending.
+    * Both Σ terms stay EXACT: xᵢ are 2-decimal customer totals
+    * (decimal sums), and i·xᵢ sums as DECIMAL(38,2) — so the two
+    * engines derive G from identical doubles with the identical
+    * expression, no float-reduction ordering anywhere.
+    *
+    * Scale shape: one map-side-combined per-customer aggregation,
+    * then a rank window over the CUSTOMER domain (not the fact
+    * table) ordered by (spend, custkey) — domain-sized, the
+    * documented trade of any exact rank statistic.
+    */
+  private val qGini: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+    val w = Window.orderBy(col("x"), col("o_custkey"))
+    spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("total"),
+        sum((col("i") * col("x")).cast("decimal(38,2)")).cast("double")
+          .as("s1"))
+      .select(col("n").as("n_customers"),
+        round(col("total"), 2).as("total_spend"),
+        round(lit(2.0) * col("s1") / (col("n").cast("double") * col("total"))
+          - (col("n").cast("double") + 1) / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
+  private val qGiniSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+      |  FROM spend),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS DOUBLE) AS total,
+      |         CAST(sum(CAST(i * x AS DECIMAL(38,2))) AS DOUBLE) AS s1
+      |  FROM ranked)
+      |SELECT n AS n_customers, round(total, 2) AS total_spend,
+      |       round(CAST(2.0 AS DOUBLE) * s1 / (CAST(n AS DOUBLE) * total)
+      |             - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+      |FROM agg""".stripMargin
+
   // ---------------------------------------------------------------- Q-CHISQ
   /** Chi-square independence test over the source × lang contingency
     * table — the categorical sibling of q_ab_test (is language
@@ -888,6 +938,7 @@ object Corpus {
     "q_ab_test" -> qAbTest,
     "q_reconcile" -> qReconcile,
     "q_chisq" -> qChisq,
+    "q_gini" -> qGini,
     "q_mix_apply" -> qMixApply,
     "q_attribution" -> qAttribution,
     "q_stream_anomaly" -> qStreamAnomaly,
@@ -905,6 +956,7 @@ object Corpus {
     "q_ab_test" -> qAbTestSql,
     "q_reconcile" -> qReconcileSql,
     "q_chisq" -> qChisqSql,
+    "q_gini" -> qGiniSql,
     "q_mix_apply" -> qMixApplySql,
     "q_attribution" -> qAttributionSql,
     "q_stream_anomaly" -> qStreamAnomalySql,

@@ -345,6 +345,26 @@ class CorpusSpec extends SparkTestBase {
     assert(chi2(dep) > 90.0) // n=100, perfect association → chi2 = n
   }
 
+  test("gini: 0 for perfectly equal spends, near 1 for total concentration") {
+    import spark.implicits._
+    def gini(xs: Seq[Double]): Double = {
+      val spend = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("k", "v")
+        .select(col("k"), col("v").cast("decimal(18,2)").as("x"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("k"))
+      spend.withColumn("i", row_number().over(w).cast("long"))
+        .agg((lit(2.0) * sum((col("i") * col("x")).cast("decimal(38,2)")).cast("double")
+          / (count(lit(1)).cast("double") * sum(col("x")).cast("double"))
+          - (count(lit(1)).cast("double") + 1) / count(lit(1)).cast("double")).as("g"))
+        .head().getDouble(0)
+    }
+    assert(math.abs(gini(Seq.fill(100)(10.0))) < 1e-9)
+    assert(gini(Seq.fill(99)(0.01) ++ Seq(10000.0)) > 0.95)
+    // the real query lands strictly inside (0, 1)
+    val g = Corpus.defs("q_gini")(spark, sf).head().getDouble(2)
+    assert(g > 0.0 && g < 1.0)
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
