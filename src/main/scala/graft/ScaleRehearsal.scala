@@ -159,8 +159,9 @@ object ScaleRehearsal {
     // worst-case cluster shape for the split), and image search =
     // 20× real decode+featurize feeding the rank
     "q_split_leakproof", "q_image_search",
-    // round-8: cluster-keyed semantic dedup (the scale-adaptive
-    // blocking under test) and the stats-pruned z-order scan
+    // round-8/9: semantic dedup — since r9 on the hierarchical
+    // blocking (coarse sqrt(k) literal + cell-keyed fine hash join) —
+    // and the stats-pruned z-order scan
     "q_semdedup", "q_zorder_prune",
     // late round-8: the new iterative graph ops (BFS frontier joins,
     // LPA argmax rounds), the corpus pair generators (PMI self-join,
@@ -168,9 +169,10 @@ object ScaleRehearsal {
     // EWMA state at K× users)
     "q_shortest_path", "q_communities", "q_cooccur", "q_recs",
     "q_stream_anomaly",
-    // hierarchical semantic blocking: the √k-literal + cell-join form
-    // whose x-factor should BEAT the flat q_semdedup as k grows
-    "q_semdedup_hier",
+    // the demoted flat single-level blocking, kept in the rehearsal
+    // as the CONTRAST row: its O(n·k) broadcast argmin should show
+    // the super-linear x-factor the hier q_semdedup no longer has
+    "q_semdedup_flat",
     // dynamic partition pruning: per-call partitioned write + pruned
     // join — the write scales with data, the join with matching
     // partitions

@@ -233,28 +233,89 @@ object TrainingData {
       |               CAST(shared AS DOUBLE) / nb.n) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** Shared semantic-blocking edges for q_embed_neardup/q_semdedup:
-    * [[Dedup.embeddingNearDupsClustered]] with k ∝ corpus
-    * (k = max(8, n/64) ⇒ expected block size stays constant as the
-    * corpus grows — the round-7 fixed-domain sign-bucket defect
-    * fixed at its root) and the 6-bit sign bucket demoted to a
-    * within-cell refinement. threshold tuned to the synthetic
-    * corpus: its max pairwise cosine is ~0.51 (no true near-dups
-    * exist), so a production 0.9 threshold would provably return 0
-    * rows — no evidence the operator works; 0.35 yields a nonzero,
-    * stable pair set at every SF.
+  /** Shared semantic-blocking edges for q_embed_neardup/q_semdedup —
+    * the HIERARCHICAL path ([[Dedup.embeddingNearDupsHier]]): coarse
+    * k1 = ceil(sqrt(k)) Lloyd cells (sqrt-sized broadcast literal,
+    * O(n*sqrt(k)) argmin) -> per-cell lowest-id representatives
+    * (quota proportional to cell population) -> fine assignment via a
+    * hash join keyed on the coarse cell -> sign-bucket refinement
+    * within the fine block. k = n/64 keeps expected block size
+    * constant as the corpus grows, and no plan literal ever exceeds
+    * sqrt(k) — the form whose assignment cost survives k grow-with-n
+    * at 100 TB. The flat single-level blocking these two queries ran
+    * on through round 8 (rehearsal: 25x work at 20x data — its
+    * n-proportional centroid broadcast is O(n*k)) is demoted to
+    * [[flatClusteredEdges]] / q_embed_neardup_flat.
+    *
+    * threshold tuned to the synthetic corpus: its max pairwise
+    * cosine is ~0.51 (no true near-dups exist), so a production 0.9
+    * threshold would provably return 0 rows — no evidence the
+    * operator works; 0.35 yields a nonzero, stable pair set at every
+    * SF.
     */
-  private def clusteredEdges(s: SparkSession, d: String): DataFrame = {
+  private def hierEdges(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupsHier(Tables.embeddings(s, d), "vec_id",
+      "embedding", threshold = 0.35)
+
+  private val qEmbedNear: Q = (s, d) =>
+    hierEdges(s, d)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): embedding
+    * near-dup EDGES ([[hierEdges]] — hierarchical blocking, exact
+    * cosine >= tau verification) resolved into duplicate CLUSTERS via
+    * connected components, keeping the min-id representative per
+    * cluster — pairs alone leave A~B, B~C triples half-deduped, the
+    * same argument as q_dedup_drop on the text side. Output is the
+    * surviving corpus (ids + labels; the vectors ride along in the
+    * library call, dropped here to keep the dump narrow). At scale
+    * every stage is the already-rehearsed shape: O(n*sqrt(k)) coarse
+    * pass, cell-keyed hash-join fine assignment, constant-size block
+    * join, per-pair cosine, HashMin rounds with persisted-snapshot
+    * frees.
+    */
+  private val qSemdedup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val edges = hierEdges(s, d)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    ConnectedComponents.representatives(emb, "vec_id", edges)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  /** The demoted FLAT single-level blocking
+    * ([[Dedup.embeddingNearDupsClustered]] with k = max(8, n/64)) —
+    * kept as a documented small-corpus fast path: one Lloyd pass and
+    * one block join beat the hierarchy's two-level assignment while
+    * the k-centroid literal still broadcasts comfortably (k up to
+    * ~10^4, i.e. corpora up to ~10^6 vectors). Past that its O(n*k)
+    * argmin and n-proportional plan literal are exactly what the
+    * hierarchical path exists to avoid — production callers at scale
+    * use [[hierEdges]] (q_embed_neardup / q_semdedup).
+    */
+  private def flatClusteredEdges(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val k = math.max(8L, emb.count() / 64).toInt
     Dedup.embeddingNearDupsClustered(emb, "vec_id", "embedding",
       threshold = 0.35, k = k, iters = 1, signBits = 6)
   }
 
-  private val qEmbedNear: Q = (s, d) =>
-    clusteredEdges(s, d)
+  private val qEmbedNearFlat: Q = (s, d) =>
+    flatClusteredEdges(s, d)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id_a", "id_b")
+
+  /** q_semdedup through the flat fast path — same CC/representative
+    * tail, [[flatClusteredEdges]] blocking. */
+  private val qSemdedupFlat: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val edges = flatClusteredEdges(s, d)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    ConnectedComponents.representatives(emb, "vec_id", edges)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
 
   /** Dynamic-k one-round Lloyd cell assignment as DuckDB CTEs — the
     * q_cluster oracle's proven arithmetic (lowest-id init, exact
@@ -306,101 +367,6 @@ object TrainingData {
   private val kmeansCellsCtes: String =
     kmeansCellsCtesFor("greatest(8, count(*) // 64)")
 
-  /** Candidates share a k-means cell AND a 6-bit sign bucket; exact
-    * cosine verifies — the whole clustered blocking restated, so the
-    * former sign-bucket oracle upgrades in place.
-    */
-  private val qEmbedNearSql =
-    s"""WITH $kmeansCellsCtes,
-      |b AS (
-      |  SELECT e.vec_id, e.embedding, cells.cluster,
-      |    CAST(list_sum(list_transform(e.embedding[1:6],
-      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
-      |      AS BIGINT) AS sb
-      |  FROM embeddings e JOIN cells USING (vec_id)),
-      |pairs AS (
-      |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-      |    list_sum(list_transform(list_zip(a.embedding, c.embedding),
-      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
-      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-      |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-      |    AS cos_raw
-      |  FROM b a JOIN b c
-      |    ON a.cluster = c.cluster AND a.sb = c.sb AND a.vec_id < c.vec_id)
-      |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM pairs
-      |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
-
-  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): embedding
-    * near-dup EDGES ([[clusteredEdges]] — k-means cells with
-    * k ∝ corpus, sign-bucket refinement within cells, exact cosine
-    * ≥ τ — the paper's own cluster-first shape) resolved into
-    * duplicate CLUSTERS via connected components, keeping the min-id
-    * representative per cluster — pairs alone leave A~B, B~C triples
-    * half-deduped, the same argument as q_dedup_drop on the text
-    * side. Output is the surviving corpus (ids + labels; the vectors
-    * ride along in the library call, dropped here to keep the dump
-    * narrow). At scale every stage is the already-rehearsed shape:
-    * linear k-means pass, constant-size block join, per-pair cosine,
-    * HashMin rounds with persisted-snapshot frees.
-    */
-  private val qSemdedup: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val edges = clusteredEdges(s, d)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
-    ConnectedComponents.representatives(emb, "vec_id", edges)
-      .select(col("vec_id"), col("label"))
-      .orderBy("vec_id")
-  }
-
-  private val qSemdedupSql =
-    s"""WITH RECURSIVE $kmeansCellsCtes,
-      |b AS (
-      |  SELECT e.vec_id, e.embedding, cells.cluster,
-      |    CAST(list_sum(list_transform(e.embedding[1:6],
-      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
-      |      AS BIGINT) AS sb
-      |  FROM embeddings e JOIN cells USING (vec_id)),
-      |edges0 AS (
-      |  SELECT a.vec_id AS a, c.vec_id AS b
-      |  FROM b a JOIN b c
-      |    ON a.cluster = c.cluster AND a.sb = c.sb AND a.vec_id < c.vec_id
-      |  WHERE list_sum(list_transform(list_zip(a.embedding, c.embedding),
-      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
-      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-      |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-      |    >= 0.35),
-      |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
-      |walk(node, lbl) AS (
-      |  SELECT DISTINCT a, a FROM edges
-      |  UNION
-      |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.node = e.a),
-      |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
-      |SELECT vec_id, label
-      |FROM embeddings LEFT JOIN comp ON vec_id = node
-      |WHERE vec_id = coalesce(component, vec_id) ORDER BY vec_id""".stripMargin
-
-  // ---------------------------------------------------- Q-SEMDEDUP-HIER
-  /** q_semdedup through the HIERARCHICAL blocking
-    * ([[Dedup.embeddingNearDupsHier]]): coarse k₁ = ⌈√k⌉ Lloyd cells
-    * (√-sized broadcast literal, O(n·√k) argmin) → per-cell
-    * lowest-id representatives (quota ∝ cell population) → fine
-    * assignment through a hash join keyed on the cell — the form
-    * whose assignment cost and plan-literal size survive k ∝ n at
-    * 100 TB, where the flat path's single n-proportional centroid
-    * broadcast breaks. Same CC/representative tail as q_semdedup;
-    * the oracle restates the ENTIRE two-level scheme (every step is
-    * lowest-id/(dist, rep)-deterministic).
-    */
-  private val qSemdedupHier: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val edges = Dedup.embeddingNearDupsHier(emb, "vec_id", "embedding",
-      threshold = 0.35)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
-    ConnectedComponents.representatives(emb, "vec_id", edges)
-      .select(col("vec_id"), col("label"))
-      .orderBy("vec_id")
-  }
-
   private val hierCellsCtes: String = kmeansCellsCtesFor(
     "CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT)")
 
@@ -450,9 +416,43 @@ object TrainingData {
       |      AS BIGINT) AS sb
       |  FROM embeddings e JOIN fine USING (vec_id))""".stripMargin
 
-  private val qSemdedupHierSql =
-    s"""WITH RECURSIVE $hierBlockCtes,
-      |edges0 AS (
+  /** The flat dialect's block CTEs, ending in the SAME
+    * `b(vec_id, embedding, block, sb)` shape as [[hierBlockCtes]]
+    * (the dynamic-k cell IS the block) — so the two blocking
+    * dialects share their pair/consolidation tails verbatim
+    * (VERDICT r8 #6: one definition, four green rows).
+    */
+  private val flatBlockCtes =
+    s"""$kmeansCellsCtes,
+      |b AS (
+      |  SELECT e.vec_id, e.embedding, cells.cluster AS block,
+      |    CAST(list_sum(list_transform(e.embedding[1:6],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
+      |      AS BIGINT) AS sb
+      |  FROM embeddings e JOIN cells USING (vec_id))""".stripMargin
+
+  /** Shared PAIRS tail over any `b(vec_id, embedding, block, sb)`
+    * prefix: blocked candidates, exact-cosine verify, rounded dump.
+    */
+  private val embedPairsTail =
+    """pairs AS (
+      |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+      |    list_sum(list_transform(list_zip(a.embedding, c.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM b a JOIN b c
+      |    ON a.block = c.block AND a.sb = c.sb AND a.vec_id < c.vec_id)
+      |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM pairs
+      |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared CONNECTED-COMPONENTS tail over the same `b` prefix:
+    * blocked + verified edges -> recursive min-label walk -> min-id
+    * survivors (requires WITH RECURSIVE on the full statement).
+    */
+  private val semdedupTail =
+    """edges0 AS (
       |  SELECT a.vec_id AS a, c.vec_id AS b
       |  FROM b a JOIN b c
       |    ON a.block = c.block AND a.sb = c.sb AND a.vec_id < c.vec_id
@@ -471,31 +471,28 @@ object TrainingData {
       |FROM embeddings LEFT JOIN comp ON vec_id = node
       |WHERE vec_id = coalesce(component, vec_id) ORDER BY vec_id""".stripMargin
 
-  /** The PAIRS view of the hierarchical blocking — q_embed_neardup's
-    * scale-path sibling the way q_semdedup_hier is q_semdedup's: the
-    * candidate edges with their verified cosines, before any CC
-    * resolution. Closes the last O(n·k) holdout (the flat pairs view
-    * keeps its n-proportional centroid broadcast).
+  /** The four oracles = {hier, flat} block prefix x {pairs, CC}
+    * tail. Each restates its ENTIRE blocking scheme (every step is
+    * lowest-id / (dist, rep)-deterministic), so the driver hash
+    * checks the exact candidate structure, not just the verified
+    * cosines.
     */
-  private val qEmbedNearHier: Q = (s, d) =>
-    Dedup.embeddingNearDupsHier(Tables.embeddings(s, d),
-      "vec_id", "embedding", threshold = 0.35)
-      .withColumn("cosine", round(col("cosine"), 6))
-      .orderBy("id_a", "id_b")
-
-  private val qEmbedNearHierSql =
+  private val qEmbedNearSql =
     s"""WITH RECURSIVE $hierBlockCtes,
-      |pairs AS (
-      |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-      |    list_sum(list_transform(list_zip(a.embedding, c.embedding),
-      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
-      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-      |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-      |    AS cos_raw
-      |  FROM b a JOIN b c
-      |    ON a.block = c.block AND a.sb = c.sb AND a.vec_id < c.vec_id)
-      |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM pairs
-      |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
+      |$embedPairsTail""".stripMargin
+
+  private val qSemdedupSql =
+    s"""WITH RECURSIVE $hierBlockCtes,
+      |$semdedupTail""".stripMargin
+
+  private val qEmbedNearFlatSql =
+    s"""WITH $flatBlockCtes,
+      |$embedPairsTail""".stripMargin
+
+  private val qSemdedupFlatSql =
+    s"""WITH RECURSIVE $flatBlockCtes,
+      |$semdedupTail""".stripMargin
+
 
   /** Exact all-pairs twin of q_embed_neardup — SQL-expressible, so it
     * carries a full DuckDB oracle (the LSH variant is approximate and
@@ -1843,8 +1840,8 @@ object TrainingData {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_embed_neardup" -> qEmbedNear,
     "q_semdedup" -> qSemdedup,
-    "q_semdedup_hier" -> qSemdedupHier,
-    "q_embed_neardup_hier" -> qEmbedNearHier,
+    "q_semdedup_flat" -> qSemdedupFlat,
+    "q_embed_neardup_flat" -> qEmbedNearFlat,
     "q_embed_pairs" -> qEmbedPairs,
     "q_embed_generate" -> qEmbedGenerate,
     "q_embed_search" -> qEmbedSearch,
@@ -1898,8 +1895,8 @@ object TrainingData {
     "q_embed_pairs" -> qEmbedPairsSql,
     "q_embed_neardup" -> qEmbedNearSql,
     "q_semdedup" -> qSemdedupSql,
-    "q_semdedup_hier" -> qSemdedupHierSql,
-    "q_embed_neardup_hier" -> qEmbedNearHierSql,
+    "q_semdedup_flat" -> qSemdedupFlatSql,
+    "q_embed_neardup_flat" -> qEmbedNearFlatSql,
     "q_embed_generate" -> qEmbedGenerateSql,
     "q_embed_search" -> qEmbedSearchSql,
     "q_embed_search_ivf" -> qEmbedSearchIvfSql,
