@@ -297,13 +297,20 @@ object Analytics {
     */
   // one scratch dir per JVM (see Extended.sinkBase: per-call temp dirs
   // leak a table copy per bench/verify pass)
-  private lazy val partBase: String =
-    java.nio.file.Files.createTempDirectory("graft_part").toString
+  // one written layout PER DATASET (ADVICE r8: a JVM-wide shared dir
+  // lets a second dataset's overwrite hijack the first's lazy
+  // readers); shutdown-hook-registered so scratch never outlives the
+  // JVM
+  private val partBases =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val qPartitionPrune: Q = (s, d) => {
-    val base = partBase
-    Tables.documents(s, d).write.mode("overwrite")
-      .partitionBy("lang").parquet(base)
+    val base = partBases.getOrElseUpdate(d, {
+      val p = TrainingData.benchScratchDir("graft_part")
+      Tables.documents(s, d).write.mode("overwrite")
+        .partitionBy("lang").parquet(p)
+      p
+    })
     s.read.parquet(base)
       .filter(col("lang") === "en")
       .groupBy(col("source"))
@@ -329,17 +336,21 @@ object Analytics {
     * regression to a full scan fails structurally (a row-equality
     * check cannot see it: the join filters the same rows either way).
     */
-  private lazy val dppBase: String =
-    java.nio.file.Files.createTempDirectory("graft_dpp").toString
+  // per-dataset layout dirs, same rationale as [[partBases]]
+  private val dppBases =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val qDpp: Q = (s, d) => {
-    val base = dppBase
-    Tables.orders(s, d)
-      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
-      // one file per partition: the write is re-read immediately, so
-      // keep the layout minimal
-      .repartition(col("month"))
-      .write.mode("overwrite").partitionBy("month").parquet(base)
+    val base = dppBases.getOrElseUpdate(d, {
+      val p = TrainingData.benchScratchDir("graft_dpp")
+      Tables.orders(s, d)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        // one file per partition: the write is re-read immediately, so
+        // keep the layout minimal
+        .repartition(col("month"))
+        .write.mode("overwrite").partitionBy("month").parquet(p)
+      p
+    })
     val fact = s.read.parquet(base)
     val dim = Tables.lineitem(s, d)
       .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"))

@@ -76,8 +76,9 @@ object Core {
     * is bounded per row). Three consumers build on it with their own
     * filters: q_triangles (triangle counting), the sparsified graph
     * queries (BFS / LPA / weighted SSSP), and q_recs (co-occurrence
-    * counts — which NEEDS the per-order multiplicities, so no
-    * distinct here). The test corpus is a single-row-group file →
+    * counts — collect_set keeps ONE row per (order, pair), so its
+    * groupBy counts order-level co-occurrence, exactly the oracle's
+    * DISTINCT-items derivation). The test corpus is a single-row-group file →
     * serial scan; keying the exchange on the groupBy column makes the
     * aggregate and explosion run wide (the qPageRank rationale).
     */

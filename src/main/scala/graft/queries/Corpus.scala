@@ -256,10 +256,13 @@ object Corpus {
       maxHops = 4)
       .orderBy(col("node"))
 
+  // both walk anchors carry HAVING so an EMPTY sparsified edge set
+  // yields zero rows, matching the engine's empty frame (ADVICE r8:
+  // a bare scalar subquery anchor emits a spurious (NULL, 0) row)
   private val qShortestPathSql =
     s"""WITH RECURSIVE $sparseEdgesSql,
       |walk(node, dist) AS (
-      |  SELECT (SELECT min(u) FROM e), 0
+      |  SELECT min(u), 0 FROM e HAVING min(u) IS NOT NULL
       |  UNION
       |  SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node
       |  WHERE w.dist < 4)
@@ -326,7 +329,7 @@ object Corpus {
   private val qSsspWeightedSql =
     s"""WITH RECURSIVE $sparseEdgesSql,
       |walk(node, dist, hops) AS (
-      |  SELECT (SELECT min(u) FROM e), CAST(0 AS BIGINT), 0
+      |  SELECT min(u), CAST(0 AS BIGINT), 0 FROM e HAVING min(u) IS NOT NULL
       |  UNION
       |  SELECT e.v, w.dist + 1 + (e.u + e.v) % 5, w.hops + 1
       |  FROM walk w JOIN e ON e.u = w.node
