@@ -194,6 +194,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q_sql2 broadcasts every dimension side of the Q5 star (no SMJ on dim keys)") {
+    // TPC-H Q5 shape relies on stock join selection — pin it so a
+    // broadcast-threshold or stats drift can't silently demote the
+    // four dimension joins (supplier/nation/region/customer) to
+    // shuffles. sf0.01 (not the suite default) so the fact tables are
+    // big enough that the choice is non-trivial.
+    val p = graft.SparkEntry.queries("q_sql2")(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q_cluster's census is one partial aggregation over the assignment scan") {
     val p = plan("q_cluster")
     assert(!p.contains("Join"), p.take(600))
