@@ -1,0 +1,118 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding MERGE LEARNING (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") —
+  * the iterative pair-count → best-merge → re-segment loop that
+  * turns corpus statistics into a tokenizer vocabulary. This is the
+  * trained counterpart of the fixed BPE-ish segmentation q_text_bpe
+  * applies, and the workload q_vocab's coverage curve feeds.
+  *
+  * Segmentation state is a MARKED STRING, one per word type:
+  * `<h><e><y>` for "hey", each symbol wrapped in `<`…`>`. Applying a
+  * learned merge (l, r) is then ONE literal string replace —
+  * `<l><r>` → `<lr>` — and because training words are restricted to
+  * `[a-z]`, the markers can never collide with symbol content.
+  * `replace` substitutes non-overlapping occurrences left-to-right,
+  * which is exactly BPE's greedy merge-application order, and the
+  * same call exists verbatim in DuckDB — so the oracle can restate
+  * every training round with the same arithmetic instead of
+  * approximating the loop.
+  *
+  * Scale shape: the corpus-sized work is ONE aggregation (word-type
+  * counts — the classic BPE trick of training on types weighted by
+  * frequency, not tokens; the state table is vocab-domain, ~10⁵–10⁷
+  * rows at 100 TB, partitioned like any other table). Each round is
+  * a narrow pair-explode over that table, a pair-domain partial-agg
+  * shuffle, a TakeOrdered(1) for the argmax (the driver sees ONE
+  * row, never the pair table), and a codegen'd `replace` to
+  * re-segment — no UDFs, no driver-side corpus. Rounds snapshot via
+  * [[graft.operators.Snapshots.persistRound]] so lineage stays flat
+  * across the iterations.
+  */
+object BpeTrainer {
+
+  /** The marked initial segmentation `<c1><c2>…<cn>` of `token`. */
+  private def initialMarked(token: Column): Column =
+    concat(lit("<"),
+      array_join(
+        transform(sequence(lit(1), length(token)),
+          i => token.substr(i, lit(1))),
+        "><"),
+      lit(">"))
+
+  /** Word-type training table: lowercase-alpha tokens of length ≥ 2
+    * (single chars carry no pairs) with corpus frequencies and the
+    * per-character initial segmentation.
+    */
+  def wordTypes(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token").rlike("^[a-z]{2,}$"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("marked", initialMarked(col("token")))
+
+  /** Symbols of the current segmentation: strip the outer markers,
+    * split on the inter-symbol boundary (a regex in Spark's `split`,
+    * but `><` carries no metacharacters).
+    */
+  def symbols(markedCol: String): Column =
+    split(expr(s"substring($markedCol, 2, length($markedCol) - 2)"), "><")
+
+  /** One learned merge: the round it was learned in, its two sides,
+    * and the weighted adjacent-pair count that won it the round.
+    */
+  final case class Merge(round: Int, left: String, right: String,
+      pairCount: Long)
+
+  /** Result of [[train]]: the learned merges in order, the final
+    * word-type segmentation (token, cnt, marked), and `release` to
+    * drop the snapshot cache backing `words` once the caller has
+    * materialized (or finished with) it.
+    */
+  final case class TrainResult(merges: Seq[Merge], words: DataFrame,
+      release: () => Unit)
+
+  /** Learn up to `nMerges` merges from `docs(textCol)`. Deterministic
+    * end to end: integer pair counts, (count desc, left, right)
+    * tie-break.
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): TrainResult = {
+    import graft.operators.Snapshots
+    var words = wordTypes(docs, textCol)
+    var snap = Snapshots.persistRound(words, None)
+    words = snap._1
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (round <- 1 to nMerges if !exhausted) {
+      val best = words
+        .select(col("cnt"), symbols("marked").as("s"))
+        // fully-merged words carry one symbol and no pairs — and an
+        // unguarded sequence(1, 0) is DESCENDING in Spark, which
+        // would fabricate out-of-range element_at probes
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("l"),
+            element_at(col("s"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += Merge(round, l, r, c)
+        words = words.withColumn("marked",
+          replace(col("marked"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
+        snap = Snapshots.persistRound(words, Some(snap._2))
+        words = snap._1
+      }
+    }
+    val last = snap._2
+    TrainResult(merges.toSeq, words, () => { last.unpersist(false); () })
+  }
+}
