@@ -176,7 +176,15 @@ object ScaleRehearsal {
     // dynamic partition pruning: per-call partitioned write + pruned
     // join — the write scales with data, the join with matching
     // partitions
-    "q_dpp")
+    "q_dpp",
+    // round-9 coverage (VERDICT r8 #5): the remaining round-8 family —
+    // vocab heap-k, digest-keyed incremental dedup, probe-bounded
+    // hard negatives, md5-coin mixture apply, first/last-touch
+    // windows, stateless stream-static ingest dedup — plus the new
+    // round-9 operators (20-round BPE training over the word-type
+    // table, incremental stats refresh + pruned read)
+    "q_vocab", "q_dedup_incremental", "q_hard_negatives", "q_mix_apply",
+    "q_attribution", "q_stream_ingest", "q_bpe_train", "q_stats_refresh")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
@@ -237,6 +245,18 @@ object ScaleRehearsal {
       println(f"[scale] $n base=$base%.2fs scaled=$scaled%.2fs x=$x%.1f rows=$rows")
       System.gc() // drain ContextCleaner debris between queries
     }
+    sb ++= "\nAttributions for rows whose x-factor needs context:\n\n"
+    sb ++= "- `q_recs`: co-purchase pair growth is basket-size-bounded\n" +
+      "  (pairs per order ≤ C(|basket|, 2) and baskets do not grow with\n" +
+      "  SF), so the pair stream — and the output — grow LINEARLY in\n" +
+      "  orders; the x-factor prices the K× pair/aggregation domain on a\n" +
+      "  fixed core count, not a super-linear plan.\n"
+    sb ++= "- `q_bpe_train`: disjoint-mode `_r<rep>` token suffixes fall\n" +
+      "  outside the `^[a-z]{2,}$` training filter, so reps 1..K-1\n" +
+      "  contribute no word types and the 20 merge rounds run on a\n" +
+      "  base-sized vocabulary — the measured growth is the corpus-side\n" +
+      "  word-count scan, the one stage that is corpus-proportional by\n" +
+      "  design (in production the whole corpus IS the training set).\n"
 
     // --- shape check 1: triangle broadcast cutoff ------------------
     // run the scaled graph through BOTH plan shapes: the default
