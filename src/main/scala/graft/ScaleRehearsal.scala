@@ -251,6 +251,11 @@ object ScaleRehearsal {
       "  SF), so the pair stream — and the output — grow LINEARLY in\n" +
       "  orders; the x-factor prices the K× pair/aggregation domain on a\n" +
       "  fixed core count, not a super-linear plan.\n"
+    sb ++= "- `q_semdedup_flat`: the DEMOTED single-level blocking, kept in\n" +
+      "  the rehearsal as the contrast row — its O(n·k) broadcast argmin is\n" +
+      "  EXPECTED to go super-linear here; the production `q_semdedup` /\n" +
+      "  `q_embed_neardup` rows above run the hierarchical path that\n" +
+      "  replaced it (r8: 11.1x/25.0x on the flat path; now ~3-4x).\n"
     sb ++= "- `q_bpe_train`: disjoint-mode `_r<rep>` token suffixes fall\n" +
       "  outside the `^[a-z]{2,}$` training filter, so reps 1..K-1\n" +
       "  contribute no word types and the 20 merge rounds run on a\n" +
