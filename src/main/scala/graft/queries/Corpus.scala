@@ -737,6 +737,79 @@ object Corpus {
       |             - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
       |FROM agg""".stripMargin
 
+  // -------------------------------------------------------------- Q-KS-TEST
+  /** Exact two-sample Kolmogorov–Smirnov test: is the o_totalprice
+    * distribution of pre-1998 orders the same as 1998+? D = max over
+    * the pooled support of |F1(v) - F2(v)|, computed EXACTLY in
+    * integers by cross-multiplying the ECDF numerators
+    * (|c1·n2 - c2·n1|, one division at the very end) — no float
+    * accumulates anywhere, so the oracle is bit-trivial. The
+    * continuous sibling of q_drift's binned PSI: PSI sees what the
+    * bin edges let it see; KS is binning-free.
+    *
+    * Scale shape: one value-domain aggregation (map-side combine),
+    * then the distributed two-phase prefix scan
+    * ([[graft.operators.PrefixScan]]): range exchange → per-partition
+    * offsets (driver sees one row per PARTITION) → parallel
+    * within-partition windows. No single-partition global window
+    * anywhere (the plan spec pins that), which is what makes an
+    * EXACT ECDF viable at 100 TB. The 5% rejection uses the
+    * large-sample critical value c(.05) = 1.358 squared against the
+    * integer statistic, composed with the same IEEE operation order
+    * in both engines.
+    */
+  private val qKsTest: Q = (s, d) => {
+    val t = Tables.orders(s, d).select(col("o_totalprice").as("v"),
+      when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1)
+        .otherwise(2).as("smp"))
+    val g = t.groupBy(col("v")).agg(
+      sum(when(col("smp") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("smp") === 2, 1L).otherwise(0L)).as("c2"))
+    val cum = graft.operators.PrefixScan.withCumSums(g, "v", Seq("c1", "c2"))
+    val n = t.agg(
+      sum(when(col("smp") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("smp") === 2, 1L).otherwise(0L)).as("n2"))
+    cum.crossJoin(n)
+      .agg(max(abs(col("cum_c1") * col("n2") - col("cum_c2") * col("n1")))
+        .as("d_num"))
+      .crossJoin(n)
+      .select(col("n1"), col("n2"), col("d_num"),
+        round(col("d_num").cast("double") / (col("n1") * col("n2")), 6)
+          .as("ks_d"),
+        (col("d_num").cast("double") * col("d_num") >
+          lit(1.844164) * (col("n1") + col("n2")) * col("n1") * col("n2"))
+          .as("reject_05"))
+  }
+
+  private val qKsTestSql =
+    """WITH t AS (
+      |  SELECT o_totalprice AS v,
+      |         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+      |              THEN 1 ELSE 2 END AS smp
+      |  FROM orders),
+      |n AS (
+      |  SELECT CAST(sum(CASE WHEN smp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN smp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM t),
+      |g AS (
+      |  SELECT v,
+      |         CAST(sum(CASE WHEN smp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |         CAST(sum(CASE WHEN smp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM t GROUP BY v),
+      |c AS (
+      |  SELECT sum(c1) OVER (ORDER BY v) AS f1,
+      |         sum(c2) OVER (ORDER BY v) AS f2
+      |  FROM g),
+      |d AS (
+      |  SELECT CAST(max(abs(f1 * (SELECT n2 FROM n)
+      |                      - f2 * (SELECT n1 FROM n))) AS BIGINT) AS d_num
+      |  FROM c)
+      |SELECT n1, n2, d_num,
+      |       round(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+      |       CAST(d_num AS DOUBLE) * d_num >
+      |         1.844164 * (n1 + n2) * n1 * n2 AS reject_05
+      |FROM d, n""".stripMargin
+
   // ---------------------------------------------------------------- Q-CHISQ
   /** Chi-square independence test over the source × lang contingency
     * table — the categorical sibling of q_ab_test (is language
@@ -1063,6 +1136,7 @@ object Corpus {
     "q_ab_test" -> qAbTest,
     "q_reconcile" -> qReconcile,
     "q_chisq" -> qChisq,
+    "q_ks_test" -> qKsTest,
     "q_gini" -> qGini,
     "q_mix_apply" -> qMixApply,
     "q_attribution" -> qAttribution,
@@ -1083,6 +1157,7 @@ object Corpus {
     "q_ab_test" -> qAbTestSql,
     "q_reconcile" -> qReconcileSql,
     "q_chisq" -> qChisqSql,
+    "q_ks_test" -> qKsTestSql,
     "q_gini" -> qGiniSql,
     "q_mix_apply" -> qMixApplySql,
     "q_attribution" -> qAttributionSql,
