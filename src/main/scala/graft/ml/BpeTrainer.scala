@@ -78,17 +78,29 @@ object BpeTrainer {
   /** Learn up to `nMerges` merges from `docs(textCol)`. Deterministic
     * end to end: integer pair counts, (count desc, left, right)
     * tie-break.
+    *
+    * The word-type base is cached ONCE; each round's segmentation is
+    * the base's initial marking with the merges-so-far replayed as a
+    * lazily-chained `replace` expression (depth ≤ nMerges — cheap
+    * string ops inside whole-stage codegen over the cached vocab
+    * table). One job per round (the TakeOrdered argmax) instead of
+    * re-materializing the state table every round: at 100 TB that is
+    * nMerges fewer vocab-table writes, and the replay cost is CPU on
+    * already-cached rows.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int): TrainResult = {
-    import graft.operators.Snapshots
-    var words = wordTypes(docs, textCol)
-    var snap = Snapshots.persistRound(words, None)
-    words = snap._1
+    val base = wordTypes(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // materialize the one corpus-sized aggregation
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    def markedNow: Column = merges.foldLeft(col("marked")) { (e, m) =>
+      replace(e, lit(s"<${m.left}><${m.right}>"), lit(s"<${m.left}${m.right}>"))
+    }
     var exhausted = false
     for (round <- 1 to nMerges if !exhausted) {
-      val best = words
-        .select(col("cnt"), symbols("marked").as("s"))
+      val best = base
+        .select(col("cnt"),
+          split(markedNow.substr(lit(2), length(markedNow) - 2), "><").as("s"))
         // fully-merged words carry one symbol and no pairs — and an
         // unguarded sequence(1, 0) is DESCENDING in Spark, which
         // would fabricate out-of-range element_at probes
@@ -102,17 +114,10 @@ object BpeTrainer {
         .orderBy(col("pair_cnt").desc, col("l"), col("r"))
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
-      else {
-        val (l, r, c) = (best.head.getString(0), best.head.getString(1),
-          best.head.getLong(2))
-        merges += Merge(round, l, r, c)
-        words = words.withColumn("marked",
-          replace(col("marked"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
-        snap = Snapshots.persistRound(words, Some(snap._2))
-        words = snap._1
-      }
+      else merges += Merge(round, best.head.getString(0),
+        best.head.getString(1), best.head.getLong(2))
     }
-    val last = snap._2
-    TrainResult(merges.toSeq, words, () => { last.unpersist(false); () })
+    val words = base.withColumn("marked", markedNow)
+    TrainResult(merges.toSeq, words, () => { base.unpersist(false); () })
   }
 }
