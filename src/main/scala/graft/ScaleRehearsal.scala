@@ -184,7 +184,11 @@ object ScaleRehearsal {
     // round-9 operators (20-round BPE training over the word-type
     // table, incremental stats refresh + pruned read)
     "q_vocab", "q_dedup_incremental", "q_hard_negatives", "q_mix_apply",
-    "q_attribution", "q_stream_ingest", "q_bpe_train", "q_stats_refresh")
+    "q_attribution", "q_stream_ingest", "q_bpe_train", "q_stats_refresh",
+    // late round-9: trained-tokenizer apply (vocab-domain hash join at
+    // K× corpus) and the exact-ECDF prefix scan (range exchange +
+    // per-partition offsets at K× distinct values)
+    "q_bpe_apply", "q_ks_test")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
