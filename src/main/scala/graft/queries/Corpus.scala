@@ -163,7 +163,10 @@ object Corpus {
     Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token").rlike("^[a-z]{2,}$"))
-      .join(wordSyms, "token")
+      // the vocab side is bounded BY DESIGN (it is the tokenizer's
+      // word-type table) — broadcast explicitly rather than trusting
+      // checkpoint-backed stats to clear the threshold
+      .join(broadcast(wordSyms), "token")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("token")).cast("long")).as("n_chars"),
