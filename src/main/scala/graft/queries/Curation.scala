@@ -21,6 +21,63 @@ import graft.similarity.Similarity
 object Curation {
   import Core.Q
 
+  // ------------------------------------------------ Q-LENGTH-BUCKETS
+  /** Length-bucketed batching analysis — the padding-efficiency
+    * question behind every LLM training batcher: group documents
+    * into power-of-2 token-length buckets and price the padding
+    * waste of batching WITHIN the bucket (pad to the bucket cap)
+    * against padding everything to the global max. The bucket cap is
+    * computed in INTEGERS on both sides — cap(n) = 1 << bitlen(n-1),
+    * the smallest power of two ≥ n, via the binary-string length
+    * trick the q_zorder oracle established — so no log2 float
+    * knife-edges exist at exact powers of two.
+    *
+    * Scale shape: one narrow per-doc projection (token count → cap),
+    * one vocab-of-buckets aggregation (≤ ~32 buckets regardless of
+    * corpus size, map-side combined), one broadcast of the global
+    * max. Output is bucket-domain.
+    */
+  private val qLengthBuckets: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket_cap",
+        when(col("n_tokens") <= 1L, 1L).otherwise(
+          expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1)))")))
+    val g = toks.agg(max(col("n_tokens")).as("gmax"))
+    toks.groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .crossJoin(broadcast(g))
+      .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket_cap")).as("padded_bucket"),
+        round(lit(1.0) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("bucket_cap")), 6).as("waste_bucketed"),
+        round(lit(1.0) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("gmax")), 6).as("waste_global"))
+      .orderBy("bucket_cap")
+  }
+
+  private val qLengthBucketsSql =
+    """WITH t AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN n_tokens <= 1 THEN 1
+      |         ELSE (CAST(1 AS BIGINT) << length(printf('%b', n_tokens - 1)))
+      |    END AS bucket_cap
+      |  FROM (SELECT CAST(len(list_filter(string_split(text, ' '),
+      |                x -> x <> '')) AS BIGINT) AS n_tokens
+      |        FROM documents)
+      |  WHERE n_tokens > 0),
+      |g AS (SELECT max(n_tokens) AS gmax FROM t)
+      |SELECT bucket_cap, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  count(*) * bucket_cap AS padded_bucket,
+      |  round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+      |        / (count(*) * bucket_cap), 6) AS waste_bucketed,
+      |  round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+      |        / (count(*) * (SELECT gmax FROM g)), 6) AS waste_global
+      |FROM t GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
+
   // -------------------------------------------------- Q-SUBSTR-DEDUP
   /** Exact substring dedup ([[Dedup.substringDedup]], the rolling
     * 16-token-window form of Lee et al. ACL 2022): windows duplicated
@@ -887,6 +944,7 @@ object Curation {
 
   // ----------------------------------------------------------- maps
   val defs: Map[String, Q] = Map(
+    "q_length_buckets" -> qLengthBuckets,
     "q_hard_negatives" -> qHardNegatives,
     "q_mix_weights" -> qMixWeights,
     "q_decon_semantic" -> qDeconSemantic,
@@ -902,6 +960,7 @@ object Curation {
     "q_compact" -> qCompact)
 
   val oracles: Map[String, String] = Map(
+    "q_length_buckets" -> qLengthBucketsSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_mix_weights" -> qMixWeightsSql,
     "q_decon_semantic" -> qDeconSemanticSql,
