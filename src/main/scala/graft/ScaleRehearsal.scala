@@ -186,9 +186,10 @@ object ScaleRehearsal {
     "q_vocab", "q_dedup_incremental", "q_hard_negatives", "q_mix_apply",
     "q_attribution", "q_stream_ingest", "q_bpe_train", "q_stats_refresh",
     // late round-9: trained-tokenizer apply (vocab-domain hash join at
-    // K× corpus) and the exact-ECDF prefix scan (range exchange +
-    // per-partition offsets at K× distinct values)
-    "q_bpe_apply", "q_ks_test")
+    // K× corpus), the exact-ECDF prefix scan (range exchange +
+    // per-partition offsets at K× distinct values), and the custom
+    // sorted-merge as-of SparkPlan (per-key merge state at K× events)
+    "q_bpe_apply", "q_ks_test", "q_asof_native", "q_length_buckets")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
