@@ -297,20 +297,20 @@ object Analytics {
     */
   // one scratch dir per JVM (see Extended.sinkBase: per-call temp dirs
   // leak a table copy per bench/verify pass)
-  // one written layout PER DATASET (ADVICE r8: a JVM-wide shared dir
-  // lets a second dataset's overwrite hijack the first's lazy
-  // readers); shutdown-hook-registered so scratch never outlives the
-  // JVM
+  // scratch dir PER DATASET (ADVICE r8: a JVM-wide shared dir lets a
+  // second dataset's overwrite hijack the first's lazy readers);
+  // shutdown-hook-registered so scratch never outlives the JVM. The
+  // WRITE stays per-call — it is part of the measured workload the
+  // committed floors and the rehearsal row describe; only the dir
+  // allocation is cached.
   private val partBases =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val qPartitionPrune: Q = (s, d) => {
-    val base = partBases.getOrElseUpdate(d, {
-      val p = TrainingData.benchScratchDir("graft_part")
-      Tables.documents(s, d).write.mode("overwrite")
-        .partitionBy("lang").parquet(p)
-      p
-    })
+    val base = partBases.getOrElseUpdate(d,
+      TrainingData.benchScratchDir("graft_part"))
+    Tables.documents(s, d).write.mode("overwrite")
+      .partitionBy("lang").parquet(base)
     s.read.parquet(base)
       .filter(col("lang") === "en")
       .groupBy(col("source"))
@@ -336,21 +336,20 @@ object Analytics {
     * regression to a full scan fails structurally (a row-equality
     * check cannot see it: the join filters the same rows either way).
     */
-  // per-dataset layout dirs, same rationale as [[partBases]]
+  // per-dataset scratch dirs, same rationale as [[partBases]] (write
+  // per call, dir allocation cached)
   private val dppBases =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val qDpp: Q = (s, d) => {
-    val base = dppBases.getOrElseUpdate(d, {
-      val p = TrainingData.benchScratchDir("graft_dpp")
-      Tables.orders(s, d)
-        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
-        // one file per partition: the write is re-read immediately, so
-        // keep the layout minimal
-        .repartition(col("month"))
-        .write.mode("overwrite").partitionBy("month").parquet(p)
-      p
-    })
+    val base = dppBases.getOrElseUpdate(d,
+      TrainingData.benchScratchDir("graft_dpp"))
+    Tables.orders(s, d)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      // one file per partition: the write is re-read immediately, so
+      // keep the layout minimal
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(base)
     val fact = s.read.parquet(base)
     val dim = Tables.lineitem(s, d)
       .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"))

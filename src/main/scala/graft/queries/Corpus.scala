@@ -110,7 +110,15 @@ object Corpus {
       .orderBy("merge_round")
   }
 
-  private val qBpeTrainSql: String = {
+  /** The full unrolled training dialect (w, s0, then p/b/s per
+    * round), shared by BOTH BPE oracles as the one WITH-prefix —
+    * never derived by string surgery on a finished statement. Each
+    * s_r guards on b_r being non-empty: if the corpus exhausts its
+    * pairs before round `bpeRounds`, replace(marked, NULL, NULL)
+    * would NULL-poison every later segmentation while the engine
+    * keeps the valid partial one.
+    */
+  private val bpeCtePrefix: String = {
     val sb = new StringBuilder
     sb ++= """WITH w AS (
       |  SELECT token, count(*) AS cnt FROM (
@@ -135,16 +143,21 @@ object Corpus {
         |b$r AS MATERIALIZED (SELECT l, r, pair_cnt FROM p$r
         |        ORDER BY pair_cnt DESC, l, r LIMIT 1),
         |s$r AS MATERIALIZED (
-        |  SELECT token, cnt, replace(marked,
-        |    '<' || (SELECT l FROM b$r) || '><' || (SELECT r FROM b$r) || '>',
-        |    '<' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || '>') AS marked
+        |  SELECT token, cnt,
+        |    CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN marked
+        |         ELSE replace(marked,
+        |           '<' || (SELECT l FROM b$r) || '><' || (SELECT r FROM b$r) || '>',
+        |           '<' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || '>')
+        |    END AS marked
         |  FROM s${r - 1})""".stripMargin
     }
-    sb ++= "\n" + (1 to bpeRounds).map(r =>
-      s"SELECT $r AS merge_round, l AS lhs, r AS rhs, pair_cnt AS pair_count FROM b$r")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_round")
     sb.toString
   }
+
+  private val qBpeTrainSql: String =
+    bpeCtePrefix + "\n" + (1 to bpeRounds).map(r =>
+      s"SELECT $r AS merge_round, l AS lhs, r AS rhs, pair_cnt AS pair_count FROM b$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_round")
 
   // ------------------------------------------------------------ Q-BPE-APPLY
   /** The learned tokenizer APPLIED: per-source subword statistics of
@@ -174,10 +187,8 @@ object Corpus {
       .orderBy("source")
   }
 
-  private val qBpeApplySql: String = {
-    val prefix = qBpeTrainSql.substring(0, qBpeTrainSql.indexOf(
-      s"\nSELECT 1 AS merge_round"))
-    s"""$prefix
+  private val qBpeApplySql: String =
+    s"""$bpeCtePrefix
       |SELECT source, count(*) AS n_words,
       |       CAST(sum(length(t.token)) AS BIGINT) AS n_chars,
       |       CAST(sum(len(string_split(
@@ -188,7 +199,6 @@ object Corpus {
       |JOIN s$bpeRounds f ON t.token = f.token
       |WHERE regexp_matches(t.token, '^[a-z]{2,}$$')
       |GROUP BY source ORDER BY source""".stripMargin
-  }
 
   // -------------------------------------------------------------- Q-COOCCUR
   /** Token co-occurrence with pointwise mutual information — the
@@ -769,17 +779,23 @@ object Corpus {
       sum(when(col("smp") === 1, 1L).otherwise(0L)).as("c1"),
       sum(when(col("smp") === 2, 1L).otherwise(0L)).as("c2"))
     val cum = graft.operators.PrefixScan.withCumSums(g, "v", Seq("c1", "c2"))
-    val n = t.agg(
-      sum(when(col("smp") === 1, 1L).otherwise(0L)).as("n1"),
-      sum(when(col("smp") === 2, 1L).otherwise(0L)).as("n2"))
-    cum.crossJoin(n)
-      .agg(max(abs(col("cum_c1") * col("n2") - col("cum_c2") * col("n1")))
-        .as("d_num"))
-      .crossJoin(n)
-      .select(col("n1"), col("n2"), col("d_num"),
-        round(col("d_num").cast("double") / (col("n1") * col("n2")), 6)
-          .as("ks_d"),
-        (col("d_num").cast("double") * col("d_num") >
+    // sample sizes read off the (checkpoint-backed) scan itself — the
+    // final running count IS the total; no second pass over orders
+    val n = cum.agg(max(col("cum_c1")).as("n1"), max(col("cum_c2")).as("n2"))
+    // cross-multiplication in DECIMAL(38,0): at ~10¹¹-row samples the
+    // cum×n products pass 2⁶³, where Long wraps/errors and decimal
+    // (like the oracle's int128 promotion) stays exact; the dumped
+    // d_num column stays BIGINT (its bound is the product itself, so
+    // the cast is for the sf-bounded dump contract, not the math)
+    cum.crossJoin(broadcast(n))
+      .agg(max(abs(col("cum_c1").cast("decimal(38,0)") * col("n2") -
+        col("cum_c2").cast("decimal(38,0)") * col("n1"))).as("dn"))
+      .crossJoin(broadcast(n))
+      .select(col("n1"), col("n2"),
+        col("dn").cast("long").as("d_num"),
+        round(col("dn").cast("double") /
+          (col("n1").cast("double") * col("n2")), 6).as("ks_d"),
+        (col("dn").cast("double") * col("dn").cast("double") >
           lit(1.844164) * (col("n1") + col("n2")) * col("n1") * col("n2"))
           .as("reject_05"))
   }
@@ -808,9 +824,9 @@ object Corpus {
       |                      - f2 * (SELECT n1 FROM n))) AS BIGINT) AS d_num
       |  FROM c)
       |SELECT n1, n2, d_num,
-      |       round(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS ks_d,
-      |       CAST(d_num AS DOUBLE) * d_num >
-      |         1.844164 * (n1 + n2) * n1 * n2 AS reject_05
+      |       round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
+      |       CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) >
+      |         CAST(1.844164 AS DOUBLE) * (n1 + n2) * n1 * n2 AS reject_05
       |FROM d, n""".stripMargin
 
   // ---------------------------------------------------------------- Q-CHISQ
