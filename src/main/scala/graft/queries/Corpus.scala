@@ -159,6 +159,32 @@ object Corpus {
       s"SELECT $r AS merge_round, l AS lhs, r AS rhs, pair_cnt AS pair_count FROM b$r")
       .mkString("", "\nUNION ALL\n", "\nORDER BY merge_round")
 
+  // ---------------------------------------------------------- Q-BPE-SEGMENT
+  /** The learned segmentations themselves, dumped for a BOUNDED probe
+    * set (the 50 lowest qualifying tokens) — the artifact a tokenizer
+    * user actually inspects: token → ordered subword array + counts.
+    * Bounded by construction (the probe cut is a TakeOrdered heap, so
+    * the dump never scales with the corpus); the segmentation comes
+    * from the same trained state q_bpe_apply joins against.
+    */
+  private val qBpeSegment: Q = (s, d) => {
+    val words = trainedBpe(s, d)._2
+    words
+      .select(col("token"), col("cnt"),
+        graft.ml.BpeTrainer.symbols("marked").as("subwords"))
+      .withColumn("n_subwords", size(col("subwords")).cast("long"))
+      .orderBy("token").limit(50)
+  }
+
+  private val qBpeSegmentSql =
+    s"""$bpeCtePrefix
+      |SELECT token, cnt,
+      |       string_split(substr(marked, 2, length(marked) - 2), '><')
+      |         AS subwords,
+      |       CAST(len(string_split(substr(marked, 2, length(marked) - 2),
+      |         '><')) AS BIGINT) AS n_subwords
+      |FROM s$bpeRounds ORDER BY token LIMIT 50""".stripMargin
+
   // ------------------------------------------------------------ Q-BPE-APPLY
   /** The learned tokenizer APPLIED: per-source subword statistics of
     * the corpus under the trained merges — the train→apply roundtrip
@@ -1146,6 +1172,7 @@ object Corpus {
     "q_vocab" -> qVocab,
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_apply" -> qBpeApply,
+    "q_bpe_segment" -> qBpeSegment,
     "q_cooccur" -> qCooccur,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_shortest_path" -> qShortestPath,
@@ -1167,6 +1194,7 @@ object Corpus {
     "q_vocab" -> qVocabSql,
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_apply" -> qBpeApplySql,
+    "q_bpe_segment" -> qBpeSegmentSql,
     "q_cooccur" -> qCooccurSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_shortest_path" -> qShortestPathSql,
