@@ -75,6 +75,21 @@ object BpeTrainer {
   final case class TrainResult(merges: Seq[Merge], words: DataFrame,
       release: () => Unit)
 
+  /** Re-derive the final word-type segmentation from a learned merge
+    * list as a PLAIN LAZY PLAN (word aggregation + chained replaces)
+    * — no persisted state, so it survives cache scrubs and session
+    * hygiene that would kill a checkpoint-backed frame; callers that
+    * hold only the merges (the durable artifact) can rebuild the
+    * segmentation anywhere.
+    */
+  def segmentationFor(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    wordTypes(docs, textCol).withColumn("marked",
+      merges.foldLeft(col("marked")) { (e, m) =>
+        replace(e, lit(s"<${m.left}><${m.right}>"),
+          lit(s"<${m.left}${m.right}>"))
+      })
+
   /** Learn up to `nMerges` merges from `docs(textCol)`. Deterministic
     * end to end: integer pair counts, (count desc, left, right)
     * tie-break.

@@ -83,28 +83,34 @@ object Corpus {
     */
   private val bpeRounds = 20
 
-  /** Trained state per dataset dir: the merge table and the FINAL
-    * word-type segmentation (localCheckpoint'ed so the per-round
-    * snapshots can be freed). Shared by q_bpe_train and q_bpe_apply —
-    * training is deterministic, so reuse is safe, and the bench then
-    * prices apply as apply, not apply + retrain.
+  /** Trained MERGES per dataset dir — plain Scala data, the durable
+    * tokenizer artifact. Only the merges are cached: the consuming
+    * queries rebuild the word-type segmentation as a lazy plan
+    * ([[graft.ml.BpeTrainer.segmentationFor]]) per execution. A
+    * cached checkpoint-backed frame here died the first time a
+    * DIFFERENT query read it in a bench pass — the between-query
+    * cache scrub unpersists every RDD, and a scrubbed localCheckpoint
+    * is unrecoverable. Training is deterministic, so reuse is safe,
+    * and the bench prices apply/segment as themselves, not + retrain.
     */
   private val bpeTrained = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[graft.ml.BpeTrainer.Merge],
-      org.apache.spark.sql.DataFrame)]
+    .empty[String, Seq[graft.ml.BpeTrainer.Merge]]
 
   private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String) =
     bpeTrained.getOrElseUpdate(d, {
       val t = graft.ml.BpeTrainer.train(Tables.documents(s, d), "text",
         bpeRounds)
-      val words = t.words.localCheckpoint() // eager — then free the rounds
       t.release()
-      (t.merges, words)
+      t.merges
     })
+
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ml.BpeTrainer.segmentationFor(Tables.documents(s, d), "text",
+      trainedBpe(s, d))
 
   private val qBpeTrain: Q = (s, d) => {
     import s.implicits._
-    trainedBpe(s, d)._1
+    trainedBpe(s, d)
       .map(m => (m.round, m.left, m.right, m.pairCount))
       .toDF("merge_round", "lhs", "rhs", "pair_count")
       .orderBy("merge_round")
@@ -167,14 +173,12 @@ object Corpus {
     * the dump never scales with the corpus); the segmentation comes
     * from the same trained state q_bpe_apply joins against.
     */
-  private val qBpeSegment: Q = (s, d) => {
-    val words = trainedBpe(s, d)._2
-    words
+  private val qBpeSegment: Q = (s, d) =>
+    bpeWords(s, d)
       .select(col("token"), col("cnt"),
         graft.ml.BpeTrainer.symbols("marked").as("subwords"))
       .withColumn("n_subwords", size(col("subwords")).cast("long"))
       .orderBy("token").limit(50)
-  }
 
   private val qBpeSegmentSql =
     s"""$bpeCtePrefix
@@ -196,8 +200,7 @@ object Corpus {
     * s20's segmentation sizes.
     */
   private val qBpeApply: Q = (s, d) => {
-    val words = trainedBpe(s, d)._2
-    val wordSyms = words.select(col("token"),
+    val wordSyms = bpeWords(s, d).select(col("token"),
       size(graft.ml.BpeTrainer.symbols("marked")).cast("long").as("n_syms"))
     Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
