@@ -4,6 +4,28 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Checked dump contract: every top-level column of a dumped result
+    * must be an ATOMIC type. The driver canonicalizes dumps by
+    * sorting all columns in pandas, which cannot order
+    * array/map/struct cells (r9: q_bpe_segment's raw array<string>
+    * threw "unhashable type: numpy.ndarray" driver-side while the
+    * local mimic str()-ed it past the gate). Enforced at dump time,
+    * plan-only — no job runs. House fix for a violation: stringify
+    * via array_join / to_json.
+    */
+  def assertScalarDump(schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType]
+        || f.dataType.isInstanceOf[MapType]
+        || f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(bad.isEmpty,
+      s"non-scalar dump columns (driver canonicalizer cannot sort " +
+        s"them — stringify via array_join/to_json): ${bad.mkString(", ")}")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,9 +43,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        assertScalarDump(df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -168,23 +168,28 @@ object Corpus {
   // ---------------------------------------------------------- Q-BPE-SEGMENT
   /** The learned segmentations themselves, dumped for a BOUNDED probe
     * set (the 50 lowest qualifying tokens) — the artifact a tokenizer
-    * user actually inspects: token → ordered subword array + counts.
+    * user actually inspects: token → ordered subwords + counts.
     * Bounded by construction (the probe cut is a TakeOrdered heap, so
     * the dump never scales with the corpus); the segmentation comes
-    * from the same trained state q_bpe_apply joins against.
+    * from the same trained state q_bpe_apply joins against. The
+    * subword sequence is dumped as a `><`-joined STRING (house
+    * scalar-only dump convention — the driver's canonicalizer sorts
+    * columns and cannot order raw array cells), which on the oracle
+    * side is exactly the interior of `marked`.
     */
   private val qBpeSegment: Q = (s, d) =>
     bpeWords(s, d)
       .select(col("token"), col("cnt"),
-        graft.ml.BpeTrainer.symbols("marked").as("subwords"))
-      .withColumn("n_subwords", size(col("subwords")).cast("long"))
+        graft.ml.BpeTrainer.symbols("marked").as("syms"))
+      .select(col("token"), col("cnt"),
+        array_join(col("syms"), "><").as("subwords"),
+        size(col("syms")).cast("long").as("n_subwords"))
       .orderBy("token").limit(50)
 
   private val qBpeSegmentSql =
     s"""$bpeCtePrefix
       |SELECT token, cnt,
-      |       string_split(substr(marked, 2, length(marked) - 2), '><')
-      |         AS subwords,
+      |       substr(marked, 2, length(marked) - 2) AS subwords,
       |       CAST(len(string_split(substr(marked, 2, length(marked) - 2),
       |         '><')) AS BIGINT) AS n_subwords
       |FROM s$bpeRounds ORDER BY token LIMIT 50""".stripMargin

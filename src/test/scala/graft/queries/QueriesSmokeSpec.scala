@@ -26,8 +26,25 @@ class QueriesSmokeSpec extends SparkTestBase {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
-      val n = fn(spark, sf).count()
+      val df = fn(spark, sf)
+      // checked dump contract: scalar-only top-level columns (the
+      // driver's pandas canonicalizer cannot sort array/map/struct
+      // cells — r9's q_bpe_segment regression)
+      graft.Verify.assertScalarDump(df.schema)
+      val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
+  }
+
+  test("assertScalarDump rejects a top-level array column") {
+    import org.apache.spark.sql.functions._
+    val bad = spark.range(1).select(array(lit("a"), lit("b")).as("xs"))
+    val e = intercept[IllegalArgumentException] {
+      graft.Verify.assertScalarDump(bad.schema)
+    }
+    assert(e.getMessage.contains("xs: array<string>"))
+    // and the stringified form passes — the house fix
+    graft.Verify.assertScalarDump(
+      bad.select(array_join(col("xs"), "><").as("xs")).schema)
   }
 }

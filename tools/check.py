@@ -14,6 +14,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+class NonScalarValue(Exception):
+    """A dumped/oracle cell holds a collection. The DRIVER's pandas
+    canonicalizer cannot sort such columns (unhashable numpy.ndarray)
+    — so the mimic must fail here too, not str() its way past it
+    (that divergence is exactly how r9's q_bpe_segment shipped red)."""
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -21,6 +28,10 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
+            if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+                raise NonScalarValue(
+                    f"column {cols[i]!r} holds {type(v).__name__} — "
+                    "dump contract is scalar-only (use array_join/to_json)")
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
@@ -64,7 +75,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: dtype mismatch {dt}")
             fail += 1
             continue
-        g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
+        try:
+            g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
+        except NonScalarValue as ns:
+            print(f"FAIL {name}: {ns}")
+            fail += 1
+            continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             fail += 1
