@@ -234,6 +234,12 @@ object ScaleRehearsal {
     def time(n: String, d: String): (Double, Long) = {
       var rows = 0L
       val ts = (0 until 2).map { _ =>
+        // q_bpe_train's product IS the trained merges, which Corpus
+        // caches per dataset dir — without this clear, every timed
+        // pass after the first times a toDF over 20 cached tuples,
+        // not training (ADVICE r9). Only the train row pays retrain;
+        // apply/segment rows deliberately price serving, not training.
+        if (n == "q_bpe_train") graft.queries.Corpus.clearBpeCache()
         val t0 = System.nanoTime()
         rows = qs(n)(spark, d).count()
         val t = (System.nanoTime() - t0) / 1e9
@@ -261,12 +267,14 @@ object ScaleRehearsal {
       "  EXPECTED to go super-linear here; the production `q_semdedup` /\n" +
       "  `q_embed_neardup` rows above run the hierarchical path that\n" +
       "  replaced it (r8: 11.1x/25.0x on the flat path; now ~3-4x).\n"
-    sb ++= "- `q_bpe_train`: disjoint-mode `_r<rep>` token suffixes fall\n" +
-      "  outside the `^[a-z]{2,}$` training filter, so reps 1..K-1\n" +
-      "  contribute no word types and the 20 merge rounds run on a\n" +
-      "  base-sized vocabulary — the measured growth is the corpus-side\n" +
-      "  word-count scan, the one stage that is corpus-proportional by\n" +
-      "  design (in production the whole corpus IS the training set).\n"
+    sb ++= "- `q_bpe_train`: the trained-merges cache is CLEARED before each\n" +
+      "  timed pass, so both passes pay full training (corpus word-count\n" +
+      "  scan + 20 argmax rounds) — ADVICE r9 flagged the earlier row as\n" +
+      "  timing only the post-cache artifact read. Disjoint-mode `_r<rep>`\n" +
+      "  token suffixes fall outside the `^[a-z]{2,}$` training filter, so\n" +
+      "  reps 1..K-1 add no word types: the 20 rounds run on a base-sized\n" +
+      "  vocabulary and the expected growth is the corpus-side word-count\n" +
+      "  scan, the one stage that is corpus-proportional by design.\n"
 
     // --- shape check 1: triangle broadcast cutoff ------------------
     // run the scaled graph through BOTH plan shapes: the default

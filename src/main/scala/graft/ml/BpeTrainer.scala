@@ -103,6 +103,33 @@ object BpeTrainer {
     * nMerges fewer vocab-table writes, and the replay cost is CPU on
     * already-cached rows.
     */
+  /** Persist a learned merge list as the DURABLE tokenizer artifact —
+    * one parquet of (merge_round, lhs, rhs, pair_count), mirroring
+    * [[graft.similarity.IvfIndex.save]]. A tokenizer is the canonical
+    * train-once / ship-everywhere object: the merges are all the
+    * state BPE has ([[segmentationFor]] and apply-side joins rebuild
+    * everything else as lazy plans), so the artifact is tiny
+    * (nMerges rows) regardless of corpus size, and loading it on a
+    * different cluster/JVM reproduces the exact tokenizer with zero
+    * corpus access.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.round, m.left, m.right, m.pairCount))
+      .toDF("merge_round", "lhs", "rhs", "pair_count")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge list saved by [[save]], in learned order. Bounded
+    * driver collect by construction: the artifact has one row per
+    * merge round.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy("merge_round").collect().toSeq
+      .map(r => Merge(r.getAs[Int]("merge_round"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+
   def train(docs: DataFrame, textCol: String, nMerges: Int): TrainResult = {
     val base = wordTypes(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

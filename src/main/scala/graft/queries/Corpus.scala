@@ -92,21 +92,49 @@ object Corpus {
     * cache scrub unpersists every RDD, and a scrubbed localCheckpoint
     * is unrecoverable. Training is deterministic, so reuse is safe,
     * and the bench prices apply/segment as themselves, not + retrain.
+    *
+    * The merges round-trip through [[graft.ml.BpeTrainer.save]]/
+    * [[graft.ml.BpeTrainer.load]] on first train (the IvfIndex bench
+    * precedent, [[TrainingData.benchScratchDir]]): consuming queries
+    * read the DURABLE parquet artifact, not trainer closure state —
+    * the exact path a second cluster/JVM would take.
     */
   private val bpeTrained = scala.collection.concurrent.TrieMap
     .empty[String, Seq[graft.ml.BpeTrainer.Merge]]
+
+  /** Drop the trained-merges cache — for harnesses that must time the
+    * TRAINING itself (ScaleRehearsal's q_bpe_train row: with the cache
+    * in place, a min-of-2 in one JVM always times the post-cache pass,
+    * a toDF over 20 cached tuples — ADVICE r9).
+    */
+  private[graft] def clearBpeCache(): Unit = bpeTrained.clear()
 
   private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String) =
     bpeTrained.getOrElseUpdate(d, {
       val t = graft.ml.BpeTrainer.train(Tables.documents(s, d), "text",
         bpeRounds)
       t.release()
-      t.merges
+      val p = TrainingData.benchScratchDir("graft_bpe_merges")
+      graft.ml.BpeTrainer.save(s, t.merges, s"$p/merges")
+      graft.ml.BpeTrainer.load(s, s"$p/merges")
     })
 
   private def bpeWords(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.ml.BpeTrainer.segmentationFor(Tables.documents(s, d), "text",
       trainedBpe(s, d))
+
+  /** Bench-path override for q_bpe_train: drop the cache first so
+    * every timed pass pays FULL training (corpus word-type scan + 20
+    * argmax rounds + artifact save/load) — without it, min-of-2 in
+    * one JVM always records the post-cache pass, a toDF over 20
+    * cached tuples (the ADVICE r9 rehearsal finding, same mechanism).
+    * q_bpe_apply / q_bpe_segment keep the cache and deliberately
+    * price SERVING a trained tokenizer, not training one.
+    */
+  private[queries] val qBpeTrainBench: Q = (s, d) => {
+    clearBpeCache()
+    qBpeTrain(s, d)
+  }
 
   private val qBpeTrain: Q = (s, d) => {
     import s.implicits._

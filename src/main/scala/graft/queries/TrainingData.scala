@@ -975,7 +975,11 @@ object TrainingData {
     "q_sim_ivf" -> qSimIvfServe,
     "q_sim_pq" -> qSimPqServe,
     "q_embed_search_ivf" -> qEmbedSearchIvfServe,
-    "q_zorder_prune" -> Analytics.qZorderPruneServe)
+    "q_zorder_prune" -> Analytics.qZorderPruneServe,
+    // inverse of the serve overrides above: the correctness body is
+    // CHEAPER than what a user pays (cached merges), so the bench
+    // clears the cache to time real training (ADVICE r9)
+    "q_bpe_train" -> Corpus.qBpeTrainBench)
 
   // ------------------------------------------- embedding generation (MLlib)
   /** MLlib embedding GENERATION (ml.feature.IDF over deterministic

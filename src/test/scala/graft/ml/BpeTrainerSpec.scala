@@ -74,6 +74,29 @@ class BpeTrainerSpec extends SparkTestBase {
     out.toSeq
   }
 
+  test("save/load round-trips the durable artifact and reproduces segmentation") {
+    val docs = docsOf(Seq("low" -> 5, "lower" -> 2,
+      "newest" -> 6, "widest" -> 3))
+    val t = BpeTrainer.train(docs, "text", 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_artifact")
+      .toString
+    try {
+      BpeTrainer.save(spark, t.merges, s"$dir/merges")
+      val loaded = BpeTrainer.load(spark, s"$dir/merges")
+      assert(loaded == t.merges) // rounds, sides, counts — in order
+      // the loaded artifact rebuilds the EXACT segmentation with no
+      // trainer state (train-once / ship-everywhere)
+      val fromLoaded = BpeTrainer.segmentationFor(docs, "text", loaded)
+        .select("token", "marked").as[(String, String)].collect().toMap
+      val fromTrain = t.words.select("token", "marked")
+        .as[(String, String)].collect().toMap
+      assert(fromLoaded == fromTrain)
+    } finally {
+      t.release()
+      graft.tools.Scratch.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("trainer agrees with the in-memory reference on random corpora") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 6) {
