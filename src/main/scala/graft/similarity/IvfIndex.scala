@@ -73,6 +73,34 @@ object IvfIndex {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental maintenance: assign ONLY the new vectors to the
+    * FROZEN centroid layout and append them to the cell-partitioned
+    * corpus — cost ∝ |newVectors|, never a retrain or corpus
+    * re-encode (the `refreshStats` scans-only-what-changed property
+    * applied to the vector index; daily ingest on a 100 TB corpus
+    * cannot pay a full rebuild per batch). Centroids are read from
+    * the saved artifact (nCells×dim values, bounded) and NOT
+    * retrained, so cell assignment of the new vectors is the same
+    * pure function of (vector, centroids) the original build used:
+    * a probe over the appended index is EXACTLY the probe over a
+    * rebuild of corpus ∪ Δ at the same centroids (spec-proven in
+    * IvfIndexSpec, alongside an old-files-untouched assertion).
+    *
+    * The layout consequence of freezing: cell occupancy can drift
+    * from the trained balance as the distribution shifts — the
+    * standard IVF production trade; retrain on a cadence (full
+    * [[build]]) when drift materializes, append between cadences.
+    */
+  def append(spark: SparkSession, path: String, newVectors: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    newVectors.select(col(idCol), col(vecCol))
+      .withColumn("cell", Similarity.cellColumn(col(vecCol), centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
   def load(spark: SparkSession, path: String,
       idCol: String, vecCol: String): Index = {
     val centroids = spark.read.parquet(s"$path/centroids")

@@ -55,6 +55,82 @@ class IvfIndexSpec extends SparkTestBase {
     assert(dirs.length > 2, s"expected cell= partition dirs, got ${dirs.toSeq}")
   }
 
+  /** Walk the corpus layout and list data files as (relative path,
+    * size) — the unit of the append cost assertion.
+    */
+  private def dataFiles(path: String): Map[String, Long] = {
+    val base = java.nio.file.Paths.get(path)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    java.nio.file.Files.walk(base).forEach { p =>
+      val name = p.getFileName.toString
+      if (java.nio.file.Files.isRegularFile(p) && name.endsWith(".parquet"))
+        out(base.relativize(p).toString) = java.nio.file.Files.size(p)
+    }
+    out.toMap
+  }
+
+  test("append assigns new vectors at frozen centroids; probe equals rebuild at those centroids") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    // split: build on the low-id 80%, append the high-id 20% (the
+    // daily-ingest shape q_dedup_incremental / q_stats_refresh model)
+    val cut = emb.selectExpr("percentile(vec_id, 0.8)").head().getDouble(0).toLong
+    val base = emb.filter($"vec_id" <= cut)
+    val delta = emb.filter($"vec_id" > cut)
+    assert(delta.count() > 0)
+
+    val path = tmpDir()
+    IvfIndex.save(
+      IvfIndex.build(base, "vec_id", "embedding", nCentroids = 8, iters = 2), path)
+    val centroidBytes = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$path/centroids")).toArray.length
+    val before = dataFiles(s"$path/corpus")
+
+    IvfIndex.append(spark, path, delta, "vec_id", "embedding")
+
+    // --- scanned/written work ∝ Δ: every pre-existing corpus file is
+    // untouched (same path, same size — append never rewrites the
+    // 80%), and the new files land only in cells Δ occupies
+    val after = dataFiles(s"$path/corpus")
+    before.foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz), s"append rewrote existing file $f")
+    }
+    val appended = IvfIndex.load(spark, path, "vec_id", "embedding")
+    val deltaCells = appended.corpus.filter($"vec_id" > cut)
+      .select("cell").distinct().as[Int].collect().toSet
+    val newFiles = (after.keySet -- before.keySet).toSeq
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { f =>
+      val cell = "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)
+      assert(cell.exists(deltaCells), s"new file $f outside Δ's cells $deltaCells")
+    }
+    // centroid artifact untouched: frozen layout, no retrain
+    assert(java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$path/centroids")).toArray.length == centroidBytes)
+
+    // --- probe equivalence: append(idx, Δ) ≡ rebuild over base ∪ Δ at
+    // the SAME frozen centroids (assignment is a pure function of
+    // (vector, centroids), so only the layout differs — the probe
+    // must not care)
+    val rebuilt = IvfIndex.Index(appended.centroids,
+      emb.select($"vec_id", $"embedding").withColumn("cell",
+        Similarity.cellColumn($"embedding", appended.centroids)),
+      "vec_id", "embedding", pruned = false)
+    val q = emb.filter($"vec_id" === 3).select("embedding").as[Seq[Float]].head()
+    for (nProbe <- Seq(2, 8)) { // a pruned cut AND the exact all-cells probe
+      val viaAppend = IvfIndex.topK(appended, q, k = 10, nProbe = nProbe)
+        .as[(Long, Double)].collect().toSeq
+      val viaRebuild = IvfIndex.topK(rebuilt, q, k = 10, nProbe = nProbe)
+        .as[(Long, Double)].collect().toSeq
+      assert(viaAppend == viaRebuild, s"nProbe=$nProbe")
+    }
+    // and an appended vector is actually servable: probing every cell
+    // must surface the exact-match duplicate of the query itself
+    val qd = delta.select("embedding").as[Seq[Float]].head()
+    val hit = IvfIndex.topK(appended, qd, k = 1, nProbe = 8)
+      .as[(Long, Double)].collect().head
+    assert(hit._2 > 0.9999)
+  }
+
   test("fresh (unsaved) index serves the same ranks as the brute force on probed cells") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 2).select("embedding").as[Seq[Float]].head()
