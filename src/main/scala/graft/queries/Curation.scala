@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{ConnectedComponents, Dedup}
 import graft.functions.VectorOps
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -668,8 +668,16 @@ object Curation {
 
   private val qImageSearch: Q = mediaSearch("image")
 
-  private val qImageSearchSql =
-    """WITH img AS (
+  /** Synthesis-formula recomputation of the REAL decoder's 8-dim
+    * image features as CTEs ending in `f(doc_id, feature)` — pixel
+    * (x,y) of doc d is (d*31 + x*7 + y*13) & 0xffffff, dims
+    * (16 + d%48, 16 + (d/7)%48), per-feature double→float cast at
+    * the same boundary as the codec. Shared by q_image_search and
+    * q_image_neardup: one statement of the feature arithmetic, two
+    * oracles held to it.
+    */
+  private val imageFeatureCtes =
+    """img AS (
       |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id // 7) % 48 AS h
       |  FROM documents WHERE doc_id % 3 = 0),
       |xs AS (SELECT unnest(range(0, 64)) AS x),
@@ -702,7 +710,10 @@ object Curation {
       |    CAST(q2 AS FLOAT), CAST(q3 AS FLOAT), CAST(sr AS FLOAT),
       |    CAST(sg AS FLOAT), CAST(sb AS FLOAT),
       |    CAST(w AS FLOAT) / CAST(h AS FLOAT)] AS feature
-      |  FROM agg),
+      |  FROM agg)""".stripMargin
+
+  private val qImageSearchSql =
+    s"""WITH $imageFeatureCtes,
       |qv AS (SELECT feature AS v FROM f
       |       WHERE doc_id = (SELECT min(doc_id) FROM img)),
       |sims AS (
@@ -717,6 +728,70 @@ object Curation {
       |  FROM f)
       |SELECT doc_id, round(cos_raw, 6) AS cosine FROM sims
       |ORDER BY cos_raw DESC, doc_id LIMIT 10""".stripMargin
+
+  // --------------------------------------------------- Q-IMAGE-NEARDUP
+  /** Image NEAR-DEDUP — the multimodal member of the dedup family
+    * (VERDICT r9 #5): REAL `javax.imageio` decode → 8-dim
+    * pixel-statistics features → hierarchical semantic blocking
+    * ([[Dedup.embeddingNearDupsHier]], the same coarse-√k / quota-rep
+    * / sign-bucket machinery q_semdedup runs on text embeddings) →
+    * exact-cosine verify at τ → connected components → min-id
+    * survivor per duplicate cluster, dumped with its cluster size.
+    * τ = 0.9999 is tuned to the synthetic image population: feature
+    * cosines are all-positive pixel statistics crowding 1.0 (median
+    * ~0.97, max ~0.9999994), so a text-style 0.35 would collapse the
+    * corpus into one cluster and 0.999999 would find a single pair;
+    * 0.9999 yields a stable nonzero duplicate set at every SF. The
+    * oracle recomputes the features from the synthesis formula
+    * ([[imageFeatureCtes]]) and SHADOWS the `embeddings` table name
+    * with them, so the shared hier-blocking + CC oracle dialect
+    * ([[TrainingData.hierBlockCtesFor]]/[[TrainingData.ccCompCtesFor]])
+    * applies verbatim — the driver hash-checks the exact candidate
+    * structure over decoder-produced features.
+    *
+    * Scale shape: decode+featurize is embarrassingly parallel
+    * (documentsParallel pre-split), blocking is the rehearsed
+    * O(n·√k) hier path, CC is HashMin over near-dup-sized edge sets.
+    */
+  private val qImageNeardup: Q = (s, d) => {
+    val feats = Multimodal.extractFeatures(s,
+      Multimodal.asMedia(Tables.documentsParallel(s, d))
+        .filter(col("kind") === "image"))
+      .toDF().select(col("doc_id"), col("feature"))
+      // decode feeds count + kmeans passes + two join sides — cache
+      // for the query's duration, snapshot the tiny result, release
+      .cache()
+    try {
+      val edges = Dedup.embeddingNearDupsHier(feats, "doc_id", "feature",
+        threshold = 0.9999)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = ConnectedComponents.components(edges)
+        .select(col("id"), col("component"))
+      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
+      feats.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .filter(col("doc_id") === coalesce(col("component"), col("doc_id")))
+        .join(sizes, Seq("component"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(1L)).cast("long").as("n_members"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally feats.unpersist()
+  }
+
+  private val qImageNeardupSql =
+    s"""WITH RECURSIVE $imageFeatureCtes,
+      |embeddings AS (SELECT doc_id AS vec_id, feature AS embedding FROM f),
+      |${TrainingData.hierBlockCtesFor("0.9999")},
+      |${TrainingData.ccCompCtesFor("0.9999")},
+      |sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+      |SELECT e.vec_id AS doc_id,
+      |       CAST(coalesce(s.n, 1) AS BIGINT) AS n_members
+      |FROM embeddings e
+      |LEFT JOIN comp ON e.vec_id = comp.node
+      |LEFT JOIN sizes s ON comp.component = s.component
+      |WHERE e.vec_id = coalesce(comp.component, e.vec_id)
+      |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- Q-COMPACT
   /** Small-file compaction — the OPTIMIZE operation every long-lived
@@ -955,6 +1030,7 @@ object Curation {
     "q_expectations" -> qExpectations,
     "q_split_leakproof" -> qSplitLeakproof,
     "q_image_search" -> qImageSearch,
+    "q_image_neardup" -> qImageNeardup,
     "q_audio_search" -> qAudioSearch,
     "q_video_search" -> qVideoSearch,
     "q_compact" -> qCompact)
@@ -971,6 +1047,7 @@ object Curation {
     "q_expectations" -> qExpectationsSql,
     "q_split_leakproof" -> qSplitLeakproofSql,
     "q_image_search" -> qImageSearchSql,
+    "q_image_neardup" -> qImageNeardupSql,
     "q_audio_search" -> qAudioSearchSql,
     "q_video_search" -> qVideoSearchSql,
     "q_compact" -> qCompactSql)

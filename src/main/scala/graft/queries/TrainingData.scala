@@ -370,11 +370,17 @@ object TrainingData {
   private val hierCellsCtes: String = kmeansCellsCtesFor(
     "CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT)")
 
-  /** Shared CTE prefix of the two hierarchical-blocking oracles:
-    * coarse cells → quota reps → rep-dedup → fine assignment →
-    * sign-bucketed blocks, ending in `b(vec_id, embedding, block,
-    * sb)`. */
-  private val hierBlockCtes =
+  /** Shared CTE prefix of the hierarchical-blocking oracles: coarse
+    * cells → quota reps → rep-dedup → fine assignment → sign-bucketed
+    * blocks, ending in `b(vec_id, embedding, block, sb)`. Reads a
+    * relation named `embeddings(vec_id, embedding)` — the base table
+    * for the embedding queries, or a SHADOWING CTE for any other
+    * vector source (q_image_neardup shadows it with the
+    * synthesis-recomputed image features). `tau` is the rep-dedup
+    * threshold — the SAME τ the pair/CC tails verify at, or the
+    * blocking and verification disagree on which reps collapse.
+    */
+  private[queries] def hierBlockCtesFor(tau: String): String =
     s"""$hierCellsCtes,
       |reps0 AS (
       |  SELECT cells.cluster, e.vec_id AS rep, e.embedding AS repv,
@@ -393,7 +399,7 @@ object TrainingData {
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
       |    (sqrt(list_sum(list_transform(a.repv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
       |     sqrt(list_sum(list_transform(b.repv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-      |    >= 0.35),
+      |    >= $tau),
       |reps AS (
       |  SELECT cluster, rep, repv FROM reps1
       |  WHERE rep NOT IN (SELECT rep FROM repdrop)),
@@ -415,6 +421,8 @@ object TrainingData {
       |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
       |      AS BIGINT) AS sb
       |  FROM embeddings e JOIN fine USING (vec_id))""".stripMargin
+
+  private val hierBlockCtes = hierBlockCtesFor("0.35")
 
   /** The flat dialect's block CTEs, ending in the SAME
     * `b(vec_id, embedding, block, sb)` shape as [[hierBlockCtes]]
@@ -447,12 +455,15 @@ object TrainingData {
       |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM pairs
       |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
-  /** Shared CONNECTED-COMPONENTS tail over the same `b` prefix:
-    * blocked + verified edges -> recursive min-label walk -> min-id
-    * survivors (requires WITH RECURSIVE on the full statement).
+  /** Shared CONNECTED-COMPONENTS CTEs over any `b(vec_id, embedding,
+    * block, sb)` prefix: blocked + τ-verified edges -> recursive
+    * min-label walk -> `comp(node, component)` (requires WITH
+    * RECURSIVE on the full statement). The final SELECT is the
+    * caller's — q_semdedup keeps min-id survivors with labels,
+    * q_image_neardup survivors with component sizes.
     */
-  private val semdedupTail =
-    """edges0 AS (
+  private[queries] def ccCompCtesFor(tau: String): String =
+    s"""edges0 AS (
       |  SELECT a.vec_id AS a, c.vec_id AS b
       |  FROM b a JOIN b c
       |    ON a.block = c.block AND a.sb = c.sb AND a.vec_id < c.vec_id
@@ -460,13 +471,16 @@ object TrainingData {
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
       |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
       |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-      |    >= 0.35),
+      |    >= $tau),
       |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
       |walk(node, lbl) AS (
       |  SELECT DISTINCT a, a FROM edges
       |  UNION
       |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.node = e.a),
-      |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+      |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)""".stripMargin
+
+  private val semdedupTail =
+    s"""${ccCompCtesFor("0.35")}
       |SELECT vec_id, label
       |FROM embeddings LEFT JOIN comp ON vec_id = node
       |WHERE vec_id = coalesce(component, vec_id) ORDER BY vec_id""".stripMargin
