@@ -86,6 +86,81 @@ final class ResilientQuestionModel(inner: QuestionModel,
       withRetry(Seq.empty[Question])(inner.generateQuestions(sub, context)))
 }
 
+/** Token-bucket PACING decorator — the last of the reference's three
+  * promised API-hardening features (rate limiting + retry logic +
+  * request batching, /root/reference/README.md:325-328;
+  * [[ResilientQuestionModel]] carries the other two; compose as
+  * `new ResilientQuestionModel(new PacedQuestionModel(api, rps), …)`
+  * so retries are ALSO paced — a retry storm is exactly the moment
+  * the limiter must hold).
+  *
+  * Classic token bucket: capacity `burst`, refill `requestsPerSecond`
+  * tokens/s. Each model call acquires one token, BLOCKING until one
+  * accrues — so any window of length W seconds carries at most
+  * `burst + rps·W` calls (spec-proven under a virtual clock). State
+  * is per-instance and `@transient`: after task deserialization each
+  * Spark task gets a fresh full bucket, so the bound is per
+  * TASK/partition — size `rps = apiLimit / spark.executor.cores ×
+  * executors` (the partition-level placement SURVEY §4.2 assigns this
+  * seam; a cluster-global limiter would need an external coordinator,
+  * which an embarrassingly-parallel map stage deliberately avoids).
+  *
+  * `nanoTime`/`sleeper` are injectable for deterministic tests; the
+  * defaults are the real clock. Thread-safe (synchronized acquire):
+  * driver-side local pipelines may share one instance across threads.
+  */
+final class PacedQuestionModel(inner: QuestionModel,
+    requestsPerSecond: Double, burst: Int = 1,
+    nanoTime: () => Long = () => System.nanoTime(),
+    sleeper: Long => Unit = Thread.sleep(_)) extends QuestionModel {
+  require(requestsPerSecond > 0 && burst >= 1)
+
+  // Long.MinValue = "bucket not initialized" — survives BOTH fresh
+  // construction and deserialization into a task (transient primitives
+  // reset to 0, which is a VALID nanoTime; the sentinel is restored by
+  // readObject below)
+  @transient private var last: Long = Long.MinValue
+  @transient private var tokens: Double = 0.0
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    last = Long.MinValue
+  }
+
+  /** Blocks until a token is available, then consumes it. */
+  private def acquire(): Unit = synchronized {
+    val now = nanoTime()
+    if (last == Long.MinValue) { last = now; tokens = burst.toDouble }
+    else {
+      tokens = math.min(burst.toDouble,
+        tokens + (now - last) / 1e9 * requestsPerSecond)
+      last = now
+    }
+    if (tokens >= 1.0) tokens -= 1.0
+    else {
+      val waitMs = math.ceil((1.0 - tokens) / requestsPerSecond * 1000).toLong
+      sleeper(waitMs)
+      val after = nanoTime()
+      // accrue for the actual slept span (virtual or real), then spend
+      tokens = math.min(burst.toDouble,
+        tokens + (after - last) / 1e9 * requestsPerSecond) - 1.0
+      last = after
+    }
+  }
+
+  override def extractSubtopics(topic: SyllabusTopic, subject: String,
+      academicClass: String): Seq[Subtopic] = {
+    acquire()
+    inner.extractSubtopics(topic, subject, academicClass)
+  }
+
+  override def generateQuestions(batch: Seq[PlannedQuestion],
+      context: Option[Subtopic]): Seq[Question] = {
+    acquire()
+    inner.generateQuestions(batch, context)
+  }
+}
+
 /** Deterministic, pure-Scala QuestionModel: content is hash-seeded
   * from the inputs, so the same document always yields the same
   * questions (same spirit as the reference's temperature=0, but
