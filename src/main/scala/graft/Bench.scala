@@ -103,6 +103,7 @@ object Bench {
       scrub(spark) // outside the timed window
       t
     }
+    val allPasses = scala.collection.mutable.Map.empty[String, Seq[Double]]
     val results = ordered.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.fill(runs)(timedPass(name, fn))
       while (times.exists(t => t >= 0.0 && t < noiseBandSec) &&
@@ -111,6 +112,7 @@ object Bench {
       // a GC per query drains the ContextCleaner weak-ref queue so
       // broadcast/accumulator debris can't compound down the alphabet
       System.gc()
+      allPasses(name) = times.toSeq
       // min over the SUCCESSFUL passes — a transient failure must not
       // discard a valid timing; -1 only when every pass failed
       val good = times.filter(_ >= 0.0)
@@ -156,8 +158,14 @@ object Bench {
     }
     val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // publish EVERY pass of a flagged query, not just recorded/re-run
+    // (VERDICT r9 #6): when the guard fires, the full pass sequence is
+    // what makes host noise attributable at a glance — a stall shows
+    // as one outlier among normal passes, a regression as uniformity
     val stalls = stallReruns.map { case (k, (rec, re)) =>
-      "\"" + k + "\":{\"recorded\":" + rec + ",\"rerun\":" + re + "}"
+      val passes = allPasses.getOrElse(k, Nil).map(_.toString).mkString("[", ",", "]")
+      "\"" + k + "\":{\"recorded\":" + rec + ",\"rerun\":" + re +
+        ",\"passes\":" + passes + "}"
     }.mkString("{", ",", "}")
     // total = sum of measured queries only (the -1 sentinels would
     // subtract from it and skew the round-over-round comparison)

@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   *     scan: cum(x) = offset(partition) + running(x within
   *     partition).
   *
-  * The result is identical to the single-partition window for ANY
-  * physical partitioning (offsets absorb the layout), so correctness
-  * does not depend on RangePartitioner's sampled bounds — only the
-  * balance does. Input is materialized once (localCheckpoint) so the
-  * partition ids seen by phase 2 and phase 3 are the same physical
-  * layout.
+  * The RANGE partitioning in step 1 is LOAD-BEARING for correctness,
+  * not just balance (ADVICE r9): the offset of partition p is the sum
+  * of partitions 0..p-1, which equals the true prefix only because
+  * partition-id order coincides with `orderCol` value order under
+  * repartitionByRange — under hash partitioning the same offsets
+  * would be wrong. What correctness does NOT depend on is WHERE the
+  * sampled range bounds fall (any split of the sorted domain yields
+  * the same result; only balance rides on the sampling). Input is
+  * materialized once (localCheckpoint) so the partition ids seen by
+  * phase 2 and phase 3 are the same physical layout.
   *
   * This is the engine's primitive for exact ECDFs / rank statistics
   * at 100 TB (see q_ks_test): everything downstream of the one range

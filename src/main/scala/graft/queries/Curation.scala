@@ -765,7 +765,12 @@ object Curation {
       val edges = Dedup.embeddingNearDupsHier(feats, "doc_id", "feature",
         threshold = 0.9999)
         .select(col("id_a").as("a"), col("id_b").as("b"))
-      val comp = ConnectedComponents.components(edges)
+      // alternating star, not HashMin: image statistics drift smoothly
+      // with doc_id, so near-dup edges CHAIN (A~B~C~…) and component
+      // diameter grows with the corpus — HashMin pays one round per
+      // hop (and would blow maxIter at scale), the star ops halve
+      // depth every round (O(log n))
+      val comp = ConnectedComponents.componentsAlternating(edges)
         .select(col("id"), col("component"))
       val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
       feats.select(col("doc_id"))
