@@ -189,7 +189,11 @@ object ScaleRehearsal {
     // K× corpus), the exact-ECDF prefix scan (range exchange +
     // per-partition offsets at K× distinct values), and the custom
     // sorted-merge as-of SparkPlan (per-key merge state at K× events)
-    "q_bpe_apply", "q_ks_test", "q_asof_native", "q_length_buckets")
+    "q_bpe_apply", "q_ks_test", "q_asof_native", "q_length_buckets",
+    // round-10: image near-dedup (decode → hier blocking → alternating
+    // star CC — the multimodal dedup member; edge chains grow with the
+    // corpus, which is exactly what the star rounds are for)
+    "q_image_neardup")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
@@ -309,6 +313,9 @@ object ScaleRehearsal {
 
     // --- shape check 3: IVF build-once serving path ----------------
     sb ++= ivfServeCheck(spark, dir)
+
+    // --- shape check 3a: IVF incremental append (cost ∝ Δ) ---------
+    sb ++= ivfAppendCheck(spark, dir)
 
     // --- shape check 3b: PQ encode-once serving path ---------------
     sb ++= pqServeCheck(spark, dir)
@@ -442,6 +449,61 @@ object ScaleRehearsal {
           println(f"[scale] ivf build=$buildSec%.1fs probe=${probes.min}%.2fs")
       }
     } finally { // the index is rehearsal scratch — never leave it behind
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+    sb.toString
+  }
+
+  /** Incremental IVF maintenance at scale — the daily-ingest shape:
+    * build+save the index on ~95% of the scaled corpus, then APPEND
+    * the held-out ~5% at the frozen centroid layout
+    * ([[graft.similarity.IvfIndex.append]]). The number that matters
+    * is the ratio: append must cost ~Δ's share of a rebuild, not a
+    * retrain — plus the layout proof that no pre-existing corpus
+    * file was rewritten (IvfIndexSpec proves probe equivalence at
+    * fixed centroids; this section prices it at scale).
+    */
+  def ivfAppendCheck(spark: SparkSession, dir: String): String = {
+    import graft.similarity.IvfIndex
+    Bench.scrub(spark)
+    val sb = new StringBuilder
+    sb ++= "\n## IVF incremental append at scale (cost ∝ Δ)\n\n"
+    val emb = Tables.embeddings(spark, dir)
+    val cut = emb.selectExpr("percentile(vec_id, 0.95)").collect()(0)
+      .getDouble(0).toLong
+    val base = emb.filter(col("vec_id") <= cut)
+    val delta = emb.filter(col("vec_id") > cut)
+    val (nBase, nDelta) = (base.count(), delta.count())
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+      .toAbsolutePath.toString
+    try {
+      val t0 = System.nanoTime()
+      IvfIndex.save(
+        IvfIndex.build(base, "vec_id", "embedding", nCentroids = 16, iters = 2), path)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      def corpusFiles() = {
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/corpus"))
+          .forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+              out(p.toString) = java.nio.file.Files.size(p)
+          }
+        out.toMap
+      }
+      val before = corpusFiles()
+      val t1 = System.nanoTime()
+      IvfIndex.append(spark, path, delta, "vec_id", "embedding")
+      val appendSec = (System.nanoTime() - t1) / 1e9
+      val after = corpusFiles()
+      val untouched = before.forall { case (f, sz) => after.get(f).contains(sz) }
+      sb ++= f"- base $nBase vectors: build+save $buildSec%.1f s; Δ $nDelta vectors (${100.0 * nDelta / (nBase + nDelta)}%.1f%%): append $appendSec%.1f s (${100.0 * appendSec / buildSec}%.1f%% of build)\n"
+      sb ++= s"- pre-existing corpus files untouched by append: ${if (untouched) "OK" else "VIOLATED"}; new files: ${(after.keySet -- before.keySet).size}\n"
+      println(f"[scale] ivf append build=$buildSec%.1fs append=$appendSec%.1fs untouched=$untouched")
+    } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
