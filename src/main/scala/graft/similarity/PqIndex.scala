@@ -115,6 +115,56 @@ object PqIndex {
     codes.select(col(idCol), scoreU(col("codes")).as("adc"))
   }
 
+  /** Persist the PQ serving artifact: the codes table (M ints per
+    * vector — the thing that must be cheap to store and scan) plus
+    * the codebook as a tiny (subspace, code, centroid) table. The
+    * durable-artifact triple-precedent: [[IvfIndex.save]] for the
+    * cell layout, `BpeTrainer.save` for the tokenizer, this for the
+    * compressed serving index.
+    */
+  def save(cb: Codebook, codes: DataFrame, path: String): Unit = {
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    (for (s <- cb.centroids.indices; c <- cb.centroids(s).indices)
+      yield (s, c, cb.centroids(s)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Load a saved artifact: (codebook, codes). Codebook collect is
+    * bounded by M×K rows.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Codebook, DataFrame) = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .orderBy("subspace", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Array[Double]](m, k)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) =
+      r.getSeq[Double](2).toArray)
+    val subDim = cents(0)(0).length
+    (Codebook(subDim, cents), spark.read.parquet(s"$path/codes"))
+  }
+
+  /** Incremental maintenance, the [[IvfIndex.append]] twin: encode
+    * ONLY the new vectors against the FROZEN codebook (read from the
+    * artifact, never retrained) and append their codes — cost ∝ Δ,
+    * no corpus re-encode. Because [[encode]] is a deterministic pure
+    * function of (vector, codebook), ADC scores over the appended
+    * codes table are EXACTLY those over a full re-encode of
+    * corpus ∪ Δ at the same codebook (spec-proven in PqIndexSpec).
+    * Same drift trade as the IVF append: codebook quality ages as
+    * the distribution shifts; retrain on a cadence, append between.
+    */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (cb, _) = load(spark, path)
+    encode(cb, newVectors, idCol, vecCol)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** End-to-end PQ top-k: ADC top-C candidate cut over the codes
     * (per-partition heap, merge of C rows), then exact cosine re-rank
     * of the C survivors against their true vectors via a broadcast

@@ -39,6 +39,59 @@ class PqIndexSpec extends SparkTestBase {
     assert(pq.head._1 == 0L)
   }
 
+  test("save/load round-trips the artifact; append encodes only Δ at the frozen codebook") {
+    val cut = emb.selectExpr("percentile(vec_id, 0.8)").head().getDouble(0).toLong
+    val base = emb.filter($"vec_id" <= cut)
+    val delta = emb.filter($"vec_id" > cut)
+    assert(delta.count() > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_artifact").toString
+    try {
+      val cb = PqIndex.train(base, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      PqIndex.save(cb, PqIndex.encode(cb, base, "vec_id", "embedding"), dir)
+      val (cbLoaded, _) = PqIndex.load(spark, dir)
+      assert(cbLoaded.subDim == cb.subDim &&
+        cbLoaded.centroids.flatten.flatten.toSeq ==
+          cb.centroids.flatten.flatten.toSeq)
+
+      def files() = {
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/codes"))
+          .forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+              out(p.toString) = java.nio.file.Files.size(p)
+          }
+        out.toMap
+      }
+      val before = files()
+      PqIndex.append(spark, dir, delta, "vec_id", "embedding")
+      val after = files()
+      // pre-existing code files untouched: append never re-encodes
+      before.foreach { case (f, sz) =>
+        assert(after.get(f).contains(sz), s"append rewrote $f")
+      }
+      assert((after.keySet -- before.keySet).nonEmpty)
+
+      // encode is a pure function of (vector, codebook), so the
+      // appended codes table equals a full re-encode of base ∪ Δ at
+      // the same codebook — row for row
+      val (_, codesAppended) = PqIndex.load(spark, dir)
+      val full = PqIndex.encode(cb, emb, "vec_id", "embedding")
+      val a = codesAppended.select($"vec_id", $"codes").as[(Long, Seq[Int])]
+        .collect().toMap
+      val b = full.select($"vec_id", $"codes").as[(Long, Seq[Int])]
+        .collect().toMap
+      assert(a == b)
+
+      // and the serving path over the appended artifact surfaces an
+      // appended vector: its own exact-dup query ranks it first
+      val qd = delta.orderBy($"vec_id").select("embedding").as[Seq[Float]].head()
+      val hit = PqIndex.topK(cbLoaded, codesAppended, emb, "vec_id",
+        "embedding", qd, k = 1, c = 50).as[(Long, Double)].collect().head
+      assert(hit._2 > 0.9999)
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(dir))
+  }
+
   test("plan shape: candidate cut heaps over codes; re-rank is a broadcast semi join") {
     val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
     val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 0)
