@@ -110,6 +110,38 @@ object IvfIndex {
       idCol, vecCol, pruned = true)
   }
 
+  /** Cell-occupancy view of an index: (cell, n) for every trained
+    * cell, including empties — the observable that drives the
+    * retrain-vs-append decision for a frozen-centroid index. One
+    * cell-domain aggregate (nCentroids rows), never corpus-shaped.
+    */
+  def occupancy(index: Index): DataFrame = {
+    val spark = index.corpus.sparkSession
+    import spark.implicits._
+    val counted = index.corpus.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+    index.centroids.indices.toDF("cell")
+      .join(counted, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Balance diagnostic over [[occupancy]]: (maxCell / mean) — 1.0 is
+    * perfect balance; drift under appends shows as this ratio
+    * climbing, which degrades probe cost (the biggest cell bounds a
+    * probe's worst case) and recall (a bloated cell means its
+    * centroid no longer describes its members). Production cadence:
+    * append while the ratio holds, full [[build]] retrain when it
+    * crosses the caller's threshold (2–4 is the usual band). Bounded:
+    * one aggregate over the nCentroids-row occupancy.
+    */
+  def skewRatio(index: Index): Double = {
+    val occ = occupancy(index).agg(
+      max(col("n")).cast("double").as("mx"),
+      avg(col("n")).as("mean")).collect()(0)
+    val mean = occ.getDouble(1)
+    if (mean == 0.0) 0.0 else occ.getDouble(0) / mean
+  }
+
   /** Approximate top-k: scan only the nProbe cells nearest the query.
     * On a loaded index the `cell` predicate is a partition filter —
     * non-probed cells are never read.

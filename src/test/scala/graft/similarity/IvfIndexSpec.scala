@@ -131,6 +131,23 @@ class IvfIndexSpec extends SparkTestBase {
     assert(hit._2 > 0.9999)
   }
 
+  test("occupancy covers every trained cell and sums to the corpus; skewRatio >= 1") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCentroids = 8, iters = 1)
+    val occ = IvfIndex.occupancy(idx).as[(Int, Long)].collect().toMap
+    assert(occ.keySet == (0 until 8).toSet) // empties included
+    assert(occ.values.sum == emb.count())
+    val ratio = IvfIndex.skewRatio(idx)
+    assert(ratio >= 1.0) // max/mean is never below 1 on nonempty data
+    idx.unpersist()
+    // drift mechanics: appending a mass of vectors into ONE cell's
+    // region must raise the ratio — the retrain trigger moving
+    val skewedCell = occ.maxBy(_._2)._1
+    val heavy = idx.corpus.filter($"cell" === skewedCell)
+    val drifted = idx.copy(corpus = idx.corpus.union(heavy).union(heavy))
+    assert(IvfIndex.skewRatio(drifted) > ratio)
+  }
+
   test("fresh (unsaved) index serves the same ranks as the brute force on probed cells") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 2).select("embedding").as[Seq[Float]].head()
