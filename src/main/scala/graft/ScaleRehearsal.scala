@@ -213,7 +213,16 @@ object ScaleRehearsal {
     sb ++= "THIS run (same JVM, same session) — linear-or-better at 10x data\n"
     sb ++= s"on a fixed 32-core box means the plan has no super-linear shuffle.\n\n"
     sb ++= "| query | sf0.1 s | scale s | x | rows(scale) |\n|---|---|---|---|---|\n"
-    val qs = SparkEntry.queries
+    // correctness bodies, EXCEPT q_bpe_train, which takes its bench
+    // override (clear-cache-then-train): the rehearsal row must price
+    // real training, and using the same override as Bench keeps the
+    // cache-clear inside the timed window with ONE definition (the
+    // other serve-path overrides are deliberately NOT taken — their
+    // rehearsal rows measure the build/training body by design, with
+    // ivfServeCheck/pqServeCheck as the serving numbers)
+    val qs = SparkEntry.queries ++
+      graft.queries.TrainingData.benchOverrides.view
+        .filterKeys(_ == "q_bpe_train").toMap
     // warmup on the SMALLEST available slice of the configured source
     // (codegen+JIT, untimed): hardcoding /root/testdata/sf0.001 made
     // warmup silently no-op on any box without that path, letting the
@@ -238,12 +247,6 @@ object ScaleRehearsal {
     def time(n: String, d: String): (Double, Long) = {
       var rows = 0L
       val ts = (0 until 2).map { _ =>
-        // q_bpe_train's product IS the trained merges, which Corpus
-        // caches per dataset dir — without this clear, every timed
-        // pass after the first times a toDF over 20 cached tuples,
-        // not training (ADVICE r9). Only the train row pays retrain;
-        // apply/segment rows deliberately price serving, not training.
-        if (n == "q_bpe_train") graft.queries.Corpus.clearBpeCache()
         val t0 = System.nanoTime()
         rows = qs(n)(spark, d).count()
         val t = (System.nanoTime() - t0) / 1e9
@@ -449,10 +452,7 @@ object ScaleRehearsal {
           println(f"[scale] ivf build=$buildSec%.1fs probe=${probes.min}%.2fs")
       }
     } finally { // the index is rehearsal scratch — never leave it behind
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.tools.Scratch.deleteRecursively(new java.io.File(path))
     }
     sb.toString
   }
@@ -484,16 +484,7 @@ object ScaleRehearsal {
       IvfIndex.save(
         IvfIndex.build(base, "vec_id", "embedding", nCentroids = 16, iters = 2), path)
       val buildSec = (System.nanoTime() - t0) / 1e9
-      def corpusFiles() = {
-        val out = scala.collection.mutable.Map.empty[String, Long]
-        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/corpus"))
-          .forEach { p =>
-            if (java.nio.file.Files.isRegularFile(p) &&
-                p.getFileName.toString.endsWith(".parquet"))
-              out(p.toString) = java.nio.file.Files.size(p)
-          }
-        out.toMap
-      }
+      def corpusFiles() = graft.tools.Scratch.listParquetFiles(s"$path/corpus")
       val before = corpusFiles()
       val t1 = System.nanoTime()
       IvfIndex.append(spark, path, delta, "vec_id", "embedding")
@@ -504,10 +495,7 @@ object ScaleRehearsal {
       sb ++= s"- pre-existing corpus files untouched by append: ${if (untouched) "OK" else "VIOLATED"}; new files: ${(after.keySet -- before.keySet).size}\n"
       println(f"[scale] ivf append build=$buildSec%.1fs append=$appendSec%.1fs untouched=$untouched")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.tools.Scratch.deleteRecursively(new java.io.File(path))
     }
     sb.toString
   }
@@ -557,10 +545,7 @@ object ScaleRehearsal {
       }
     } finally {
       emb.unpersist()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.tools.Scratch.deleteRecursively(new java.io.File(path))
     }
     sb.toString
   }

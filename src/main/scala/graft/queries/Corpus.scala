@@ -109,12 +109,22 @@ object Corpus {
     */
   private[graft] def clearBpeCache(): Unit = bpeTrained.clear()
 
+  /** ONE scratch dir per dataset, reused across retrains — the bench
+    * override and the rehearsal clear [[bpeTrained]] before every
+    * timed pass, and minting a fresh benchScratchDir per retrain
+    * stacked a temp dir + a JVM shutdown hook per pass (save uses
+    * overwrite mode, so reuse is safe).
+    */
+  private val bpeArtifactDirs = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
   private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String) =
     bpeTrained.getOrElseUpdate(d, {
       val t = graft.ml.BpeTrainer.train(Tables.documents(s, d), "text",
         bpeRounds)
       t.release()
-      val p = TrainingData.benchScratchDir("graft_bpe_merges")
+      val p = bpeArtifactDirs.getOrElseUpdate(d,
+        TrainingData.benchScratchDir("graft_bpe_merges"))
       graft.ml.BpeTrainer.save(s, t.merges, s"$p/merges")
       graft.ml.BpeTrainer.load(s, s"$p/merges")
     })

@@ -770,17 +770,20 @@ object Curation {
       // diameter grows with the corpus — HashMin pays one round per
       // hop (and would blow maxIter at scale), the star ops halve
       // depth every round (O(log n))
-      val comp = ConnectedComponents.componentsAlternating(edges)
-        .select(col("id"), col("component"))
-      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
-      feats.select(col("doc_id"))
-        .join(comp, col("doc_id") === col("id"), "left")
-        .filter(col("doc_id") === coalesce(col("component"), col("doc_id")))
-        .join(sizes, Seq("component"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n"), lit(1L)).cast("long").as("n_members"))
-        .orderBy("doc_id")
-        .localCheckpoint()
+      val (comp0, releaseCc) =
+        ConnectedComponents.componentsAlternatingReleasable(edges)
+      try {
+        val comp = comp0.select(col("id"), col("component"))
+        val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
+        feats.select(col("doc_id"))
+          .join(comp, col("doc_id") === col("id"), "left")
+          .filter(col("doc_id") === coalesce(col("component"), col("doc_id")))
+          .join(sizes, Seq("component"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n"), lit(1L)).cast("long").as("n_members"))
+          .orderBy("doc_id")
+          .localCheckpoint() // eager: safe to release the CC snapshot after
+      } finally releaseCc()
     } finally feats.unpersist()
   }
 

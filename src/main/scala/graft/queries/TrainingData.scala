@@ -900,9 +900,7 @@ object TrainingData {
   private[queries] def benchScratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach { f: Path => Files.deleteIfExists(f); () }
+      try graft.tools.Scratch.deleteRecursively(p.toFile)
       catch { case _: Throwable => () }
     }
     p.toAbsolutePath.toString

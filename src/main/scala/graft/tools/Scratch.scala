@@ -27,4 +27,23 @@ object Scratch {
     f.delete()
     ()
   }
+
+  /** All parquet data files under `path` as (path relative to `path`
+    * → byte size) — the unit of "these files were not rewritten"
+    * assertions (IvfIndex/PqIndex append, the rehearsal append
+    * check). The walk stream is CLOSED: `Files.walk` holds open
+    * directory handles until close()/GC, and the previous inline
+    * copies of this loop leaked one per call in long-lived JVMs.
+    */
+  def listParquetFiles(path: String): Map[String, Long] = {
+    val base = java.nio.file.Paths.get(path)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    val stream = java.nio.file.Files.walk(base)
+    try stream.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        out(base.relativize(p).toString) = java.nio.file.Files.size(p)
+    } finally stream.close()
+    out.toMap
+  }
 }

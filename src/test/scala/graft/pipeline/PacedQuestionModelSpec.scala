@@ -85,10 +85,18 @@ class PacedQuestionModelSpec extends AnyFunSuite {
   }
 
   test("deserialized copy starts with a fresh bucket (per-task pacing)") {
-    // stub inner + stateless real clock/sleeper: everything here is
-    // serializable, mirroring what ships into a Spark task closure
+    // frozen clock at 0 + a sleeper that THROWS: a fresh bucket never
+    // sleeps on its first call (burst token), while a broken
+    // readObject sentinel (transient last=0, tokens=0 — and 0 is a
+    // VALID nanoTime, so acquire would compute refill-since-0 = 0
+    // tokens) enters the sleep branch and trips the sleeper. All
+    // lambdas here are capture-free and serializable, mirroring a
+    // task closure.
     val paced = new PacedQuestionModel(new StubQuestionModel,
-      requestsPerSecond = 1000.0, burst = 1)
+      requestsPerSecond = 1.0, burst = 1,
+      nanoTime = () => 0L,
+      sleeper = _ => throw new IllegalStateException(
+        "fresh bucket must not sleep"))
     paced.extractSubtopics(topic, "s", "c") // drain the original's token
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -98,11 +106,13 @@ class PacedQuestionModelSpec extends AnyFunSuite {
     val copy = new java.io.ObjectInputStream(
       new java.io.ByteArrayInputStream(bytes)).readObject()
       .asInstanceOf[PacedQuestionModel]
-    // the copy must re-init its bucket (readObject sentinel) — a
-    // zeroed transient clock would otherwise compute a bogus refill
-    // from nanoTime-since-0; the call returning proves a sane state
-    assert(copy.extractSubtopics(topic, "s", "c").nonEmpty ||
-      copy.extractSubtopics(topic, "s", "c").isEmpty)
+    // fresh full bucket: the copy's first call must NOT sleep...
+    copy.extractSubtopics(topic, "s", "c")
+    // ...and the state really diverged from the original's drained
+    // bucket: the ORIGINAL's next call at the frozen clock must sleep
+    intercept[IllegalStateException] {
+      paced.extractSubtopics(topic, "s", "c")
+    }
   }
 }
 

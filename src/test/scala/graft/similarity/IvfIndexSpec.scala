@@ -55,19 +55,8 @@ class IvfIndexSpec extends SparkTestBase {
     assert(dirs.length > 2, s"expected cell= partition dirs, got ${dirs.toSeq}")
   }
 
-  /** Walk the corpus layout and list data files as (relative path,
-    * size) — the unit of the append cost assertion.
-    */
-  private def dataFiles(path: String): Map[String, Long] = {
-    val base = java.nio.file.Paths.get(path)
-    val out = scala.collection.mutable.Map.empty[String, Long]
-    java.nio.file.Files.walk(base).forEach { p =>
-      val name = p.getFileName.toString
-      if (java.nio.file.Files.isRegularFile(p) && name.endsWith(".parquet"))
-        out(base.relativize(p).toString) = java.nio.file.Files.size(p)
-    }
-    out.toMap
-  }
+  private def dataFiles(path: String): Map[String, Long] =
+    graft.tools.Scratch.listParquetFiles(path)
 
   test("append assigns new vectors at frozen centroids; probe equals rebuild at those centroids") {
     val emb = graft.Tables.embeddings(spark, sf)
@@ -81,8 +70,7 @@ class IvfIndexSpec extends SparkTestBase {
     val path = tmpDir()
     IvfIndex.save(
       IvfIndex.build(base, "vec_id", "embedding", nCentroids = 8, iters = 2), path)
-    val centroidBytes = java.nio.file.Files.walk(
-      java.nio.file.Paths.get(s"$path/centroids")).toArray.length
+    val centroidsBefore = dataFiles(s"$path/centroids")
     val before = dataFiles(s"$path/corpus")
 
     IvfIndex.append(spark, path, delta, "vec_id", "embedding")
@@ -103,9 +91,10 @@ class IvfIndexSpec extends SparkTestBase {
       val cell = "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)
       assert(cell.exists(deltaCells), s"new file $f outside Δ's cells $deltaCells")
     }
-    // centroid artifact untouched: frozen layout, no retrain
-    assert(java.nio.file.Files.walk(
-      java.nio.file.Paths.get(s"$path/centroids")).toArray.length == centroidBytes)
+    // centroid artifact untouched (same files, same sizes): frozen
+    // layout, no retrain — an entry COUNT would miss a same-shape
+    // rewrite
+    assert(dataFiles(s"$path/centroids") == centroidsBefore)
 
     // --- probe equivalence: append(idx, Δ) ≡ rebuild over base ∪ Δ at
     // the SAME frozen centroids (assignment is a pure function of

@@ -53,16 +53,7 @@ class PqIndexSpec extends SparkTestBase {
         cbLoaded.centroids.flatten.flatten.toSeq ==
           cb.centroids.flatten.flatten.toSeq)
 
-      def files() = {
-        val out = scala.collection.mutable.Map.empty[String, Long]
-        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/codes"))
-          .forEach { p =>
-            if (java.nio.file.Files.isRegularFile(p) &&
-                p.getFileName.toString.endsWith(".parquet"))
-              out(p.toString) = java.nio.file.Files.size(p)
-          }
-        out.toMap
-      }
+      def files() = graft.tools.Scratch.listParquetFiles(s"$dir/codes")
       val before = files()
       PqIndex.append(spark, dir, delta, "vec_id", "embedding")
       val after = files()
