@@ -558,8 +558,12 @@ object Curation {
     */
   private val qAudioSearch: Q = mediaSearch("audio")
 
-  private val qAudioSearchSql =
-    """WITH aud AS (
+  /** Synthesis-formula recomputation of the audio decoder's 8-segment
+    * mean-amplitude features, ending in `f(doc_id, feature)` — shared
+    * by q_audio_search and q_audio_neardup.
+    */
+  private val audioFeatureCtes =
+    """aud AS (
       |  SELECT doc_id, 160 + doc_id % 640 AS n
       |  FROM documents WHERE doc_id % 3 = 1),
       |idx AS (SELECT unnest(range(0, 800)) AS i),
@@ -572,7 +576,10 @@ object Curation {
       |f0 AS (SELECT doc_id, seg, sum(a) / count(*) AS m
       |       FROM smp GROUP BY doc_id, seg),
       |f AS (SELECT doc_id, list(CAST(m AS FLOAT) ORDER BY seg) AS feature
-      |      FROM f0 GROUP BY doc_id),
+      |      FROM f0 GROUP BY doc_id)""".stripMargin
+
+  private val qAudioSearchSql =
+    s"""WITH $audioFeatureCtes,
       |qv AS (SELECT feature AS v FROM f
       |       WHERE doc_id = (SELECT min(doc_id) FROM aud)),
       |sims AS (
@@ -600,8 +607,13 @@ object Curation {
     */
   private val qVideoSearch: Q = mediaSearch("video")
 
-  private val qVideoSearchSql =
-    """WITH vid AS (
+  /** Synthesis-formula recomputation of the video demux+decode
+    * pipeline's frame-averaged features, ending in
+    * `f(doc_id, feature)` — shared by q_video_search and
+    * q_video_neardup.
+    */
+  private val videoFeatureCtes =
+    """vid AS (
       |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id // 5) % 32 AS h,
       |         2 + doc_id % 6 AS nf
       |  FROM documents WHERE doc_id % 3 = 2),
@@ -650,7 +662,10 @@ object Curation {
       |    CAST(sum(CAST(ar AS DOUBLE)) / nf AS FLOAT) AS ar
       |  FROM fagg GROUP BY doc_id, nf),
       |f AS (SELECT doc_id, [q0, q1, q2, q3, sr, sg, sb, ar] AS feature
-      |      FROM favg),
+      |      FROM favg)""".stripMargin
+
+  private val qVideoSearchSql =
+    s"""WITH $videoFeatureCtes,
       |qv AS (SELECT feature AS v FROM f
       |       WHERE doc_id = (SELECT min(doc_id) FROM vid)),
       |sims AS (
@@ -753,19 +768,24 @@ object Curation {
     * (documentsParallel pre-split), blocking is the rehearsed
     * O(n·√k) hier path, CC is HashMin over near-dup-sized edge sets.
     */
-  private val qImageNeardup: Q = (s, d) => {
+  /** One shared media near-dedup body for all three kinds — decode →
+    * featurize → hier blocking → τ-verified edges → alternating-star
+    * CC → survivors with cluster sizes. τ is per-modality (feature
+    * spaces crowd 1.0 differently; see each instantiation).
+    */
+  private def mediaNeardup(kind: String, tau: Double): Q = (s, d) => {
     val feats = Multimodal.extractFeatures(s,
       Multimodal.asMedia(Tables.documentsParallel(s, d))
-        .filter(col("kind") === "image"))
+        .filter(col("kind") === kind))
       .toDF().select(col("doc_id"), col("feature"))
       // decode feeds count + kmeans passes + two join sides — cache
       // for the query's duration, snapshot the tiny result, release
       .cache()
     try {
       val edges = Dedup.embeddingNearDupsHier(feats, "doc_id", "feature",
-        threshold = 0.9999)
+        threshold = tau)
         .select(col("id_a").as("a"), col("id_b").as("b"))
-      // alternating star, not HashMin: image statistics drift smoothly
+      // alternating star, not HashMin: media statistics drift smoothly
       // with doc_id, so near-dup edges CHAIN (A~B~C~…) and component
       // diameter grows with the corpus — HashMin pays one round per
       // hop (and would blow maxIter at scale), the star ops halve
@@ -787,11 +807,31 @@ object Curation {
     } finally feats.unpersist()
   }
 
-  private val qImageNeardupSql =
-    s"""WITH RECURSIVE $imageFeatureCtes,
+  private val qImageNeardup: Q = mediaNeardup("image", 0.9999)
+
+  /** Audio cosines crowd FAR closer to 1 than image (segment
+    * amplitude means of a pseudo-random signal: median pair cosine
+    * ~0.9995, max ~0.99999995) — τ one decade tighter keeps the
+    * duplicate set meaningful (52 pairs at 167 clips, not 1120).
+    */
+  private val qAudioNeardup: Q = mediaNeardup("audio", 0.99999)
+
+  /** Video features spread wider (median ~0.978); the image τ works
+    * but yields a sparser edge set (8 pairs at 167 clips) — still
+    * nonzero at every SF.
+    */
+  private val qVideoNeardup: Q = mediaNeardup("video", 0.9999)
+
+  /** One shared oracle tail for the three media near-dedups: the
+    * modality's synthesis-formula feature CTEs (ending in
+    * `f(doc_id, feature)`) SHADOW the `embeddings` table name, then
+    * the shared hier-block + CC dialect applies verbatim.
+    */
+  private def mediaNeardupSql(featureCtes: String, tau: String): String =
+    s"""WITH RECURSIVE $featureCtes,
       |embeddings AS (SELECT doc_id AS vec_id, feature AS embedding FROM f),
-      |${TrainingData.hierBlockCtesFor("0.9999")},
-      |${TrainingData.ccCompCtesFor("0.9999")},
+      |${TrainingData.hierBlockCtesFor(tau)},
+      |${TrainingData.ccCompCtesFor(tau)},
       |sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
       |SELECT e.vec_id AS doc_id,
       |       CAST(coalesce(s.n, 1) AS BIGINT) AS n_members
@@ -800,6 +840,10 @@ object Curation {
       |LEFT JOIN sizes s ON comp.component = s.component
       |WHERE e.vec_id = coalesce(comp.component, e.vec_id)
       |ORDER BY doc_id""".stripMargin
+
+  private val qImageNeardupSql = mediaNeardupSql(imageFeatureCtes, "0.9999")
+  private val qAudioNeardupSql = mediaNeardupSql(audioFeatureCtes, "0.99999")
+  private val qVideoNeardupSql = mediaNeardupSql(videoFeatureCtes, "0.9999")
 
   // ------------------------------------------------------- Q-COMPACT
   /** Small-file compaction — the OPTIMIZE operation every long-lived
@@ -1040,7 +1084,9 @@ object Curation {
     "q_image_search" -> qImageSearch,
     "q_image_neardup" -> qImageNeardup,
     "q_audio_search" -> qAudioSearch,
+    "q_audio_neardup" -> qAudioNeardup,
     "q_video_search" -> qVideoSearch,
+    "q_video_neardup" -> qVideoNeardup,
     "q_compact" -> qCompact)
 
   val oracles: Map[String, String] = Map(
@@ -1057,6 +1103,8 @@ object Curation {
     "q_image_search" -> qImageSearchSql,
     "q_image_neardup" -> qImageNeardupSql,
     "q_audio_search" -> qAudioSearchSql,
+    "q_audio_neardup" -> qAudioNeardupSql,
     "q_video_search" -> qVideoSearchSql,
+    "q_video_neardup" -> qVideoNeardupSql,
     "q_compact" -> qCompactSql)
 }
