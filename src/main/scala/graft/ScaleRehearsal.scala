@@ -220,9 +220,11 @@ object ScaleRehearsal {
     // other serve-path overrides are deliberately NOT taken — their
     // rehearsal rows measure the build/training body by design, with
     // ivfServeCheck/pqServeCheck as the serving numbers)
-    val qs = SparkEntry.queries ++
-      graft.queries.TrainingData.benchOverrides.view
-        .filterKeys(_ == "q_bpe_train").toMap
+    // benchOverrides(...) — not a filtered view — so a future rename
+    // of the override key fails HERE loudly instead of silently
+    // re-timing the cached-merges body (the ADVICE-r9 mispricing)
+    val qs = SparkEntry.queries +
+      ("q_bpe_train" -> graft.queries.TrainingData.benchOverrides("q_bpe_train"))
     // warmup on the SMALLEST available slice of the configured source
     // (codegen+JIT, untimed): hardcoding /root/testdata/sf0.001 made
     // warmup silently no-op on any box without that path, letting the

@@ -744,34 +744,28 @@ object Curation {
       |SELECT doc_id, round(cos_raw, 6) AS cosine FROM sims
       |ORDER BY cos_raw DESC, doc_id LIMIT 10""".stripMargin
 
-  // --------------------------------------------------- Q-IMAGE-NEARDUP
-  /** Image NEAR-DEDUP — the multimodal member of the dedup family
-    * (VERDICT r9 #5): REAL `javax.imageio` decode → 8-dim
-    * pixel-statistics features → hierarchical semantic blocking
+  // ------------------------------------------------- Q-MEDIA-NEARDUP
+  /** Media NEAR-DEDUP — the multimodal members of the dedup family
+    * (VERDICT r9 #5), one shared body for all three kinds: REAL JDK
+    * decode → 8-dim features → hierarchical semantic blocking
     * ([[Dedup.embeddingNearDupsHier]], the same coarse-√k / quota-rep
     * / sign-bucket machinery q_semdedup runs on text embeddings) →
-    * exact-cosine verify at τ → connected components → min-id
-    * survivor per duplicate cluster, dumped with its cluster size.
-    * τ = 0.9999 is tuned to the synthetic image population: feature
-    * cosines are all-positive pixel statistics crowding 1.0 (median
-    * ~0.97, max ~0.9999994), so a text-style 0.35 would collapse the
-    * corpus into one cluster and 0.999999 would find a single pair;
-    * 0.9999 yields a stable nonzero duplicate set at every SF. The
-    * oracle recomputes the features from the synthesis formula
-    * ([[imageFeatureCtes]]) and SHADOWS the `embeddings` table name
-    * with them, so the shared hier-blocking + CC oracle dialect
-    * ([[TrainingData.hierBlockCtesFor]]/[[TrainingData.ccCompCtesFor]])
-    * applies verbatim — the driver hash-checks the exact candidate
-    * structure over decoder-produced features.
+    * exact-cosine verify at τ → alternating-star connected components
+    * → min-id survivor per duplicate cluster, dumped with its cluster
+    * size. τ is per-modality (the all-positive feature spaces crowd
+    * 1.0 differently; see each instantiation). The oracles recompute
+    * the features from the synthesis formulas ([[imageFeatureCtes]] /
+    * [[audioFeatureCtes]] / [[videoFeatureCtes]]) and SHADOW the
+    * `embeddings` table name with them, so the shared hier-blocking +
+    * CC oracle dialect ([[TrainingData.hierBlockCtesFor]] /
+    * [[TrainingData.ccCompCtesFor]]) applies verbatim — the driver
+    * hash-checks the exact candidate structure over decoder-produced
+    * features.
     *
     * Scale shape: decode+featurize is embarrassingly parallel
     * (documentsParallel pre-split), blocking is the rehearsed
-    * O(n·√k) hier path, CC is HashMin over near-dup-sized edge sets.
-    */
-  /** One shared media near-dedup body for all three kinds — decode →
-    * featurize → hier blocking → τ-verified edges → alternating-star
-    * CC → survivors with cluster sizes. τ is per-modality (feature
-    * spaces crowd 1.0 differently; see each instantiation).
+    * O(n·√k) hier path, and CC runs the alternating-star rounds (see
+    * the in-body comment for why not HashMin here).
     */
   private def mediaNeardup(kind: String, tau: Double): Q = (s, d) => {
     val feats = Multimodal.extractFeatures(s,
@@ -807,6 +801,11 @@ object Curation {
     } finally feats.unpersist()
   }
 
+  /** Image τ = 0.9999: pixel-statistics cosines crowd 1.0 (median
+    * ~0.97, max ~0.9999994) — a text-style 0.35 would collapse the
+    * corpus into one cluster, 0.999999 would find a single pair;
+    * 0.9999 yields a stable nonzero duplicate set at every SF.
+    */
   private val qImageNeardup: Q = mediaNeardup("image", 0.9999)
 
   /** Audio cosines crowd FAR closer to 1 than image (segment

@@ -58,6 +58,21 @@ class IvfIndexSpec extends SparkTestBase {
   private def dataFiles(path: String): Map[String, Long] =
     graft.tools.Scratch.listParquetFiles(path)
 
+  /** EVERY regular file (not just parquet) as relative path → size —
+    * for the centroid-dir check, where a stray _SUCCESS/metadata
+    * rewrite must also fail the frozen-layout assertion.
+    */
+  private def allFiles(path: String): Map[String, Long] = {
+    val base = java.nio.file.Paths.get(path)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    val stream = java.nio.file.Files.walk(base)
+    try stream.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        out(base.relativize(p).toString) = java.nio.file.Files.size(p)
+    } finally stream.close()
+    out.toMap
+  }
+
   test("append assigns new vectors at frozen centroids; probe equals rebuild at those centroids") {
     val emb = graft.Tables.embeddings(spark, sf)
     // split: build on the low-id 80%, append the high-id 20% (the
@@ -70,7 +85,7 @@ class IvfIndexSpec extends SparkTestBase {
     val path = tmpDir()
     IvfIndex.save(
       IvfIndex.build(base, "vec_id", "embedding", nCentroids = 8, iters = 2), path)
-    val centroidsBefore = dataFiles(s"$path/centroids")
+    val centroidsBefore = allFiles(s"$path/centroids")
     val before = dataFiles(s"$path/corpus")
 
     IvfIndex.append(spark, path, delta, "vec_id", "embedding")
@@ -91,10 +106,10 @@ class IvfIndexSpec extends SparkTestBase {
       val cell = "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)
       assert(cell.exists(deltaCells), s"new file $f outside Δ's cells $deltaCells")
     }
-    // centroid artifact untouched (same files, same sizes): frozen
-    // layout, no retrain — an entry COUNT would miss a same-shape
-    // rewrite
-    assert(dataFiles(s"$path/centroids") == centroidsBefore)
+    // centroid artifact untouched (same files incl. non-parquet, same
+    // sizes): frozen layout, no retrain — an entry COUNT would miss a
+    // same-shape rewrite
+    assert(allFiles(s"$path/centroids") == centroidsBefore)
 
     // --- probe equivalence: append(idx, Δ) ≡ rebuild over base ∪ Δ at
     // the SAME frozen centroids (assignment is a pure function of
