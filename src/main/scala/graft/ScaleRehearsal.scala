@@ -192,8 +192,11 @@ object ScaleRehearsal {
     "q_bpe_apply", "q_ks_test", "q_asof_native", "q_length_buckets",
     // round-10: image near-dedup (decode → hier blocking → alternating
     // star CC — the multimodal dedup member; edge chains grow with the
-    // corpus, which is exactly what the star rounds are for)
-    "q_image_neardup")
+    // corpus, which is exactly what the star rounds are for), and the
+    // frozen-blocking incremental semantic classify (per-batch-row
+    // candidate count ≈ blockSize must stay constant as BOTH sides
+    // grow — the daily-ingest economics)
+    "q_image_neardup", "q_semdedup_incremental")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder

@@ -581,6 +581,96 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Incremental SEMANTIC classify — the embedding twin of the
+    * digest-keyed incremental dedup (q_dedup_incremental): a new
+    * batch of vectors is classified against an existing corpus
+    * through the corpus's FROZEN hierarchical blocking. The corpus
+    * side is exactly [[embeddingNearDupsHier]]'s derivation (coarse
+    * ⌈√k⌉ Lloyd cells → quota reps → rep-dedup → fine rep-keyed
+    * blocks → sign buckets) trained on the CORPUS ONLY; batch vectors
+    * are assigned through the same frozen structure (coarse argmin at
+    * the trained centroids via `graft_argmin_cell`, fine argmin over
+    * their cell's reps) and meet only the corpus members of their
+    * block — per-batch-row candidate count ≈ blockSize, constant in
+    * corpus size, which is what lets a daily batch classify without
+    * an O(n_corpus · n_batch) scan OR a corpus re-block.
+    *
+    * Returns one row per batch vector: (idCol, status new|near_dup,
+    * dup_of = LOWEST matching corpus id at cosine ≥ τ, cosine of
+    * that match — raw, callers round). Deterministic end to end
+    * (lowest-id everything, (dist, rep) ties), so the entire scheme
+    * restates as SQL for the oracle.
+    */
+  def semanticIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, blockSize: Int = 64,
+      signBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = corpus.count()
+    val k = math.max(8L, n / blockSize)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val centroids = graft.similarity.Similarity.kmeansCentroids(
+      corpus, idCol, vecCol, k1, iters = 1)
+    def cellOf(v: Column) =
+      graft.similarity.Similarity.cellColumn(v, centroids)
+    val cCells = corpus.select(col(idCol), col(vecCol))
+      .withColumn("cluster", cellOf(col(vecCol)))
+    val wCell = Window.partitionBy(col("cluster")).orderBy(col(idCol))
+    val cos = VectorOps.cosineFor(corpus, vecCol)
+    val reps0 = cCells
+      .withColumn("rn", row_number().over(wCell))
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("rn") <= ceil(col("cn").cast("double") / blockSize))
+      .select(col("cluster"), col(idCol).as("rep"), col(vecCol).as("repf"))
+    val dropped = reps0.select(col("cluster"), col("rep").as("ra"),
+        col("repf").as("fa"))
+      .join(reps0.select(col("cluster"), col("rep").as("rb"),
+        col("repf").as("fb")), "cluster")
+      .filter(col("ra") < col("rb") && cos(col("fa"), col("fb")) >= threshold)
+      .select(col("rb").as("rep")).distinct()
+    val reps = reps0.join(dropped, Seq("rep"), "left_anti")
+      .select(col("cluster"), col("rep"),
+        col("repf").cast("array<double>").as("repv"))
+    // fine assignment shared by BOTH sides: nearest rep of the row's
+    // coarse cell, (dist, rep) ties — batch rows landing in a cell
+    // with no corpus members (hence no reps) drop out here and
+    // surface as 'new' through the final left join
+    def fineFor(side: DataFrame) = side.join(reps, "cluster")
+      .select(col(idCol),
+        call_function("graft_l2sq",
+          col(vecCol).cast("array<float>"), col("repv")).as("d"),
+        col("rep"))
+      .filter(col("d").isNotNull)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d"), col("rep"))).as("m"))
+      .select(col(idCol), col("m.rep").as("block"))
+    val cBlocked = corpus.select(col(idCol), col(vecCol))
+      .join(fineFor(cCells), idCol)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("block"),
+        VectorOps.signBucket(col(vecCol), signBits).as("sb"))
+    val bCells = batch.select(col(idCol), col(vecCol))
+      .withColumn("cluster", cellOf(col(vecCol)))
+    val bBlocked = batch.select(col(idCol), col(vecCol))
+      .join(fineFor(bCells), idCol)
+      .select(col(idCol).as("bid"), col(vecCol).as("bvec"), col("block"),
+        VectorOps.signBucket(col(vecCol), signBits).as("sb"))
+    val matches = bBlocked.join(cBlocked, Seq("block", "sb"))
+      .select(col("bid"), col("cid"),
+        cos(col("bvec"), col("cvec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("bid"))
+      // cid is unique per candidate set, so the struct min IS the
+      // lowest matching corpus id, carrying its own cosine
+      .agg(min(struct(col("cid"), col("cosine"))).as("m"))
+      .select(col("bid"), col("m.cid").as("dup_of"),
+        col("m.cosine").as("cosine"))
+    batch.select(col(idCol))
+      .join(matches, col(idCol) === col("bid"), "left")
+      .select(col(idCol),
+        when(col("dup_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        col("dup_of"), col("cosine"))
+  }
+
   /** Exact embedding near-dup pairs: all-pairs cosine, no blocking.
     * The correctness baseline the bucketed variant is recall-checked
     * against — O(n²), so only for corpora small enough to cross-join

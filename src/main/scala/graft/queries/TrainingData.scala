@@ -284,6 +284,83 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
+  /** Incremental SEMANTIC dedup ([[Dedup.semanticIncremental]]) — the
+    * embedding twin of the digest-keyed q_dedup_incremental: the 10%
+    * batch classifies against the 90% corpus through the corpus's
+    * FROZEN hierarchical blocking (coarse centroids + quota reps
+    * trained on the corpus only; batch vectors assigned through the
+    * same frozen structure meet ≈blockSize corpus members each — the
+    * daily-ingest shape with per-batch-row cost constant in corpus
+    * size). Output: one row per batch vector, status new|near_dup,
+    * lowest matching corpus id and its exact cosine at τ = 0.35.
+    */
+  private val qSemdedupIncr: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Dedup.semanticIncremental(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", threshold = 0.35)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("vec_id")
+  }
+
+  /** The oracle restates the ENTIRE frozen-blocking classify: the
+    * corpus-trained hier block prefix (src = the `corpus` CTE), then
+    * batch-side coarse/fine assignment CTEs mirroring the corpus
+    * ones, the block-join candidates, and the lowest-verified-match
+    * resolution.
+    */
+  private val qSemdedupIncrSql =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+      |batch AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      |${hierBlockCtesFor("0.35", "corpus")},
+      |bcells AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.c AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(e.embedding, c.cv),
+      |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+      |               (CAST(p[1] AS DOUBLE) - p[2]))), c.c) AS rn
+      |    FROM batch e CROSS JOIN c1 c)
+      |  WHERE rn = 1),
+      |bfine AS (
+      |  SELECT vec_id, rep AS block FROM (
+      |    SELECT e.vec_id, r.rep,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.embedding, r.repv),
+      |          p -> (CAST(p[2] AS DOUBLE) - CAST(p[1] AS DOUBLE)) *
+      |               (CAST(p[2] AS DOUBLE) - CAST(p[1] AS DOUBLE)))),
+      |        r.rep) AS rn
+      |    FROM batch e
+      |    JOIN bcells USING (vec_id)
+      |    JOIN reps r ON r.cluster = bcells.cluster)
+      |  WHERE rn = 1),
+      |bb AS (
+      |  SELECT e.vec_id, e.embedding, bfine.block,
+      |    CAST(list_sum(list_transform(e.embedding[1:6],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
+      |      AS BIGINT) AS sb
+      |  FROM batch e JOIN bfine USING (vec_id)),
+      |cand AS (
+      |  SELECT q.vec_id AS bid, c.vec_id AS cid,
+      |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos_raw
+      |  FROM bb q JOIN b c ON q.block = c.block AND q.sb = c.sb),
+      |m AS (SELECT bid, min(cid) AS dup_of FROM cand
+      |      WHERE cos_raw >= 0.35 GROUP BY bid),
+      |res AS (SELECT m.bid, m.dup_of, cand.cos_raw
+      |        FROM m JOIN cand ON cand.bid = m.bid AND cand.cid = m.dup_of)
+      |SELECT e.vec_id,
+      |       CASE WHEN r.dup_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+      |       r.dup_of, round(r.cos_raw, 6) AS cosine
+      |FROM batch e LEFT JOIN res r ON e.vec_id = r.bid
+      |ORDER BY e.vec_id""".stripMargin
+
   /** The demoted FLAT single-level blocking
     * ([[Dedup.embeddingNearDupsClustered]] with k = max(8, n/64)) —
     * kept as a documented small-corpus fast path: one Lloyd pass and
@@ -324,12 +401,13 @@ object TrainingData {
     * mirroring the engine's k = max(8, n/64). Ends with
     * `cells(vec_id, cluster)`.
     */
-  private def kmeansCellsCtesFor(kSql: String): String =
-    s"""params AS (SELECT $kSql AS k FROM embeddings),
+  private def kmeansCellsCtesFor(kSql: String,
+      src: String = "embeddings"): String =
+    s"""params AS (SELECT $kSql AS k FROM $src),
       |c0 AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      |  FROM embeddings
+      |  FROM $src
       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM params)),
       |a1 AS (
       |  SELECT vec_id, embedding, cluster FROM (
@@ -338,7 +416,7 @@ object TrainingData {
       |        ORDER BY list_sum(list_transform(list_zip(e.embedding, c.cv),
       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
       |               (CAST(p[1] AS DOUBLE) - p[2]))), c.c) AS rn
-      |    FROM embeddings e CROSS JOIN c0 c)
+      |    FROM $src e CROSS JOIN c0 c)
       |  WHERE rn = 1),
       |c1_m AS (
       |  SELECT cluster AS c, list(mv ORDER BY pos) AS cv
@@ -359,7 +437,7 @@ object TrainingData {
       |        ORDER BY list_sum(list_transform(list_zip(e.embedding, c.cv),
       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
       |               (CAST(p[1] AS DOUBLE) - p[2]))), c.c) AS rn
-      |    FROM embeddings e CROSS JOIN c1 c)
+      |    FROM $src e CROSS JOIN c1 c)
       |  WHERE rn = 1)""".stripMargin
 
   /** The flat dynamic-k cells (k = max(8, n/64)) — q_embed_neardup /
@@ -367,8 +445,9 @@ object TrainingData {
   private val kmeansCellsCtes: String =
     kmeansCellsCtesFor("greatest(8, count(*) // 64)")
 
-  private val hierCellsCtes: String = kmeansCellsCtesFor(
-    "CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT)")
+  private def hierCellsCtesFor(src: String): String = kmeansCellsCtesFor(
+    "CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT)",
+    src)
 
   /** Shared CTE prefix of the hierarchical-blocking oracles: coarse
     * cells → quota reps → rep-dedup → fine assignment → sign-bucketed
@@ -380,14 +459,15 @@ object TrainingData {
     * threshold — the SAME τ the pair/CC tails verify at, or the
     * blocking and verification disagree on which reps collapse.
     */
-  private[queries] def hierBlockCtesFor(tau: String): String =
-    s"""$hierCellsCtes,
+  private[queries] def hierBlockCtesFor(tau: String,
+      src: String = "embeddings"): String =
+    s"""${hierCellsCtesFor(src)},
       |reps0 AS (
       |  SELECT cells.cluster, e.vec_id AS rep, e.embedding AS repv,
       |         row_number() OVER (PARTITION BY cells.cluster
       |                            ORDER BY e.vec_id) AS rn,
       |         count(*) OVER (PARTITION BY cells.cluster) AS cn
-      |  FROM embeddings e JOIN cells USING (vec_id)),
+      |  FROM $src e JOIN cells USING (vec_id)),
       |reps1 AS (
       |  SELECT cluster, rep, repv FROM reps0
       |  WHERE rn <= CAST(ceil(CAST(cn AS DOUBLE) / 64) AS BIGINT)),
@@ -411,7 +491,7 @@ object TrainingData {
       |          p -> (CAST(p[2] AS DOUBLE) - CAST(p[1] AS DOUBLE)) *
       |               (CAST(p[2] AS DOUBLE) - CAST(p[1] AS DOUBLE)))),
       |        r.rep) AS rn
-      |    FROM embeddings e
+      |    FROM $src e
       |    JOIN cells USING (vec_id)
       |    JOIN reps r ON r.cluster = cells.cluster)
       |  WHERE rn = 1),
@@ -420,7 +500,7 @@ object TrainingData {
       |    CAST(list_sum(list_transform(e.embedding[1:6],
       |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
       |      AS BIGINT) AS sb
-      |  FROM embeddings e JOIN fine USING (vec_id))""".stripMargin
+      |  FROM $src e JOIN fine USING (vec_id))""".stripMargin
 
   private val hierBlockCtes = hierBlockCtesFor("0.35")
 
@@ -1860,6 +1940,7 @@ object TrainingData {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_embed_neardup" -> qEmbedNear,
     "q_semdedup" -> qSemdedup,
+    "q_semdedup_incremental" -> qSemdedupIncr,
     "q_semdedup_flat" -> qSemdedupFlat,
     "q_embed_neardup_flat" -> qEmbedNearFlat,
     "q_embed_pairs" -> qEmbedPairs,
@@ -1915,6 +1996,7 @@ object TrainingData {
     "q_embed_pairs" -> qEmbedPairsSql,
     "q_embed_neardup" -> qEmbedNearSql,
     "q_semdedup" -> qSemdedupSql,
+    "q_semdedup_incremental" -> qSemdedupIncrSql,
     "q_semdedup_flat" -> qSemdedupFlatSql,
     "q_embed_neardup_flat" -> qEmbedNearFlatSql,
     "q_embed_generate" -> qEmbedGenerateSql,

@@ -272,8 +272,13 @@ object Similarity {
     * k×dim values reach the driver per round; assignment is a
     * broadcast argmin over the corpus.
     */
-  def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+  /** The centroid-training half of [[kmeansAssignments]], exposed so
+    * a FROZEN-layout consumer (incremental semantic classify: train
+    * on the corpus once, assign arriving batches at the same
+    * centroids) can reuse the exact oracle-parity arithmetic.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
     require(k >= 1 && iters >= 0)
     import org.apache.spark.sql.types.DecimalType
     val work = emb.select(col(idCol), col(vecCol)).cache()
@@ -297,10 +302,15 @@ object Similarity {
         .map(i => means.getOrElse(i, centroids(i))).toArray
     }
     work.unpersist()
+    centroids
+  }
+
+  def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
     // final assignment: the native argmin kernel plus one graft_l2sq
     // against the matched centroid (the centroid table is a literal,
     // so element_at on it stays inside whole-stage codegen)
-    val cs = centroids
+    val cs = kmeansCentroids(emb, idCol, vecCol, k, iters)
     val csLit = typedlit(cs.map(_.toSeq).toSeq)
     emb.select(col(idCol),
         cellColumn(col(vecCol), cs).as("cluster"),

@@ -73,6 +73,42 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticIncremental classifies a planted batch against the frozen corpus") {
+    // corpus: 12 strictly-positive, well-separated vectors, two of
+    // which (ids 5 and 9) are IDENTICAL — the lowest-match tiebreak
+    // probe. Invariants chosen to be robust to the blocking layout:
+    // an exact duplicate of a corpus vector always lands in the same
+    // coarse cell / fine block / sign bucket as its original (the
+    // assignment is a pure function of the vector), and an
+    // all-negative vector has cosine < 0 to every corpus member, so
+    // no candidate can verify regardless of blocking. tau = 0.999:
+    // these all-positive vectors sit at pairwise cosines ~0.9, so a
+    // loose tau would match everything — only exact copies clear 0.999.
+    def basev(g: Int) =
+      Array.tabulate(16)(i => (1.5 + math.sin(5.0 * g + 2 * i)).toFloat)
+    val corpus = (0 until 12).map(g =>
+      (g.toLong, (if (g == 9) basev(5) else basev(g)).toSeq))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, basev(5).toSeq), // exact dup of ids 5 AND 9 -> dup_of = 5
+      (101L, basev(7).toSeq), // exact dup of id 7
+      (102L, basev(0).map(x => -x).toSeq) // negative: cos < 0 to all
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticIncremental(corpus, batch, "vec_id", "embedding",
+      threshold = 0.999)
+      .select($"vec_id", $"status", $"dup_of")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(100L) == (("near_dup", Some(5L)))) // lowest of the two copies
+    assert(out(101L) == (("near_dup", Some(7L))))
+    assert(out(102L) == (("new", None)))
+    // and the cosine carried is the match's exact cosine (1.0 here)
+    val cos100 = Dedup.semanticIncremental(corpus, batch, "vec_id", "embedding",
+      threshold = 0.999)
+      .filter($"vec_id" === 100L).select("cosine").as[Double].head()
+    assert(math.abs(cos100 - 1.0) < 1e-9)
+  }
+
   test("clustered blocking (k-means cells + sign refinement) recalls every planted near-dup pair") {
     // 40 well-separated base vectors + a perturbed near-copy of each
     // (cosine >= 0.999) — recall proof for the scale-adaptive blocking:
