@@ -196,7 +196,16 @@ object ScaleRehearsal {
     // frozen-blocking incremental semantic classify (per-batch-row
     // candidate count ≈ blockSize must stay constant as BOTH sides
     // grow — the daily-ingest economics)
-    "q_image_neardup", "q_semdedup_incremental")
+    "q_image_neardup", "q_semdedup_incremental",
+    // late round-10: the lexical incremental classify (batch band
+    // keys × corpus bucket join — candidate domain grows with bucket
+    // occupancy, the q_dedup_minhash growth law restricted to
+    // cross-side pairs) and Matryoshka two-stage ANN (prefix-cosine
+    // corpus scan + C ∝ n exact re-rank; the in-query recall gate
+    // must hold at 20× too, so the rehearsal row proves BOTH cost and
+    // quality scaling), plus the cluster-accounting rollup over the
+    // full LSH→CC chain
+    "q_neardup_incremental", "q_sim_mrl", "q_dedup_audit")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
@@ -489,15 +498,32 @@ object ScaleRehearsal {
       IvfIndex.save(
         IvfIndex.build(base, "vec_id", "embedding", nCentroids = 16, iters = 2), path)
       val buildSec = (System.nanoTime() - t0) / 1e9
-      def corpusFiles() = graft.tools.Scratch.listParquetFiles(s"$path/corpus")
-      val before = corpusFiles()
-      val t1 = System.nanoTime()
-      IvfIndex.append(spark, path, delta, "vec_id", "embedding")
-      val appendSec = (System.nanoTime() - t1) / 1e9
-      val after = corpusFiles()
-      val untouched = before.forall { case (f, sz) => after.get(f).contains(sz) }
-      sb ++= f"- base $nBase vectors: build+save $buildSec%.1f s; Δ $nDelta vectors (${100.0 * nDelta / (nBase + nDelta)}%.1f%%): append $appendSec%.1f s (${100.0 * appendSec / buildSec}%.1f%% of build)\n"
-      sb ++= s"- pre-existing corpus files untouched by append: ${if (untouched) "OK" else "VIOLATED"}; new files: ${(after.keySet -- before.keySet).size}\n"
+      val before = graft.tools.Scratch.listParquetFiles(s"$path/corpus")
+      // min-of-2, each pass appending to a fresh byte-identical COPY
+      // of the saved layout: append MUTATES the index, so re-timing
+      // in place would append twice, and a single-shot sub-second job
+      // is at the mercy of host interference (the r10 full-run
+      // artifact showed 0.6 s → 3.4 s on UNCHANGED append code; a
+      // solo re-run couldn't reproduce it). The copy cost stays
+      // outside the timed window; paths are relative, so the
+      // untouched-files check carries across copies.
+      val passes = (0 until 2).map { _ =>
+        val p2 = java.nio.file.Files.createTempDirectory("graft_ivf_append_pass")
+          .toAbsolutePath.toString
+        try {
+          graft.tools.Scratch.copyRecursively(path, p2)
+          val t1 = System.nanoTime()
+          IvfIndex.append(spark, p2, delta, "vec_id", "embedding")
+          val t = (System.nanoTime() - t1) / 1e9
+          val after = graft.tools.Scratch.listParquetFiles(s"$p2/corpus")
+          (t, before.forall { case (f, sz) => after.get(f).contains(sz) },
+            (after.keySet -- before.keySet).size)
+        } finally graft.tools.Scratch.deleteRecursively(new java.io.File(p2))
+      }
+      val appendSec = passes.map(_._1).min
+      val untouched = passes.forall(_._2)
+      sb ++= f"- base $nBase vectors: build+save $buildSec%.1f s; Δ $nDelta vectors (${100.0 * nDelta / (nBase + nDelta)}%.1f%%): append $appendSec%.1f s (${100.0 * appendSec / buildSec}%.1f%% of build, min of ${passes.length})\n"
+      sb ++= s"- pre-existing corpus files untouched by append: ${if (untouched) "OK" else "VIOLATED"}; new files: ${passes.head._3}\n"
       println(f"[scale] ivf append build=$buildSec%.1fs append=$appendSec%.1fs untouched=$untouched")
     } finally {
       graft.tools.Scratch.deleteRecursively(new java.io.File(path))

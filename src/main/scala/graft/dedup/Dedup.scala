@@ -95,18 +95,31 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("minhash"))
   }
 
-  /** LSH candidate pairs: split the signature into `bands` bands of
-    * `rowsPerBand`, hash each band, explode to (band_idx, band_hash)
-    * bucket keys, and self-join within buckets. Output: (id_a, id_b)
-    * with id_a < id_b, distinct.
+  /** (id, band_idx, band_hash) LSH bucket keys for every document:
+    * the signature split into `bands` bands of `rowsPerBand` hashes,
+    * each band hashed to one bucket key. Shared by the self-join
+    * candidate generator ([[minhashCandidates]]), the incremental
+    * classifier ([[minhashIncremental]]) and the durable index
+    * ([[MinHashIndex]]). The key function is corpus-independent
+    * (seed-fixed xxhash64 of seed-fixed minhashes), so bucket keys
+    * computed in different jobs — or different JVMs, via a saved
+    * index — always agree.
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+  def minhashBandKeys(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val sigs = minhashSignature(docs, idCol, textCol, shingleK, bands * rowsPerBand)
-    val banded = sigs.select(col(idCol), posexplode(array((0 until bands).map { b =>
+    sigs.select(col(idCol), posexplode(array((0 until bands).map { b =>
       xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
         element_at(col("minhash"), b * rowsPerBand + r + 1))): _*)
     }: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** LSH candidate pairs: [[minhashBandKeys]] self-joined within
+    * buckets. Output: (id_a, id_b) with id_a < id_b, distinct.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val banded = minhashBandKeys(docs, idCol, textCol, shingleK, bands, rowsPerBand)
     val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -143,6 +156,80 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))))
           .otherwise(0.0))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental LEXICAL near-dup classification — the MinHash twin
+    * of [[semanticIncremental]]: classify a new batch of documents
+    * against an existing corpus without re-deduping the corpus.
+    * Candidates come from an LSH bucket join (batch band keys ×
+    * corpus band keys — the corpus side is exactly the
+    * [[MinHashIndex]] bucket layout, so a saved index serves this
+    * join straight from parquet), verified with exact shingle
+    * Jaccard, resolved to the lowest matching corpus id. Per-batch-row
+    * cost ∝ its bucket populations — the corpus is touched only
+    * through the bucket join and the candidate-bounded shingle
+    * verify, never pairwise (the daily-ingest shape: yesterday's
+    * 100 TB corpus is the index, today's batch pays only its own
+    * collisions).
+    *
+    * Returns one row per batch doc: (idCol, status new|near_dup,
+    * dup_of = lowest corpus id at Jaccard ≥ τ, jaccard of that match
+    * — raw, callers round). Same band-shape recall analysis as
+    * [[minhashNearDups]]: 16×2 at τ = 0.5 makes candidate recall
+    * complete on the graded corpus (DedupSpec's lsh-covers-exact),
+    * and batch×corpus pairs are a subset of all pairs, so the
+    * classification equals the exact batch×corpus Jaccard scan.
+    */
+  def minhashIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val cKeys = minhashBandKeys(corpus, idCol, textCol, shingleK, bands, rowsPerBand)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("cid"))
+    val cSh = corpus.select(col(idCol).as("cid"),
+      graft.functions.HashExprs.shingles(col(textCol), shingleK).as("sh_c"))
+    classifyAgainst(batch, idCol, textCol, threshold, shingleK,
+      bands, rowsPerBand, cKeys, cSh)
+  }
+
+  /** Verify-and-resolve tail shared by [[minhashIncremental]] (corpus
+    * side computed in-plan) and [[MinHashIndex.classify]] (corpus
+    * side read from the saved layout): batch band keys join the
+    * corpus bucket side, candidates verify on exact shingle Jaccard,
+    * and each batch doc resolves to its LOWEST verified corpus match
+    * (struct-min — cid is unique within a batch doc's candidate set,
+    * so the min carries its own jaccard). Batch docs with < k tokens
+    * have null signatures, produce no band keys, and surface as
+    * 'new' through the final left join — same contract as the
+    * self-join family.
+    */
+  private[dedup] def classifyAgainst(batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleK: Int,
+      bands: Int, rowsPerBand: Int,
+      corpusKeys: DataFrame, corpusShingles: DataFrame): DataFrame = {
+    val bKeys = minhashBandKeys(batch, idCol, textCol, shingleK, bands, rowsPerBand)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("bid"))
+    val cands = bKeys.join(corpusKeys, Seq("band_idx", "band_hash"))
+      .select(col("bid"), col("cid")).distinct()
+    val bSh = batch.select(col(idCol).as("bid"),
+      graft.functions.HashExprs.shingles(col(textCol), shingleK).as("sh_b"))
+    val verified = cands.join(bSh, "bid").join(corpusShingles, "cid")
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_b"), col("sh_c"))) > 0,
+          size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+            size(array_union(col("sh_b"), col("sh_c"))))
+          .otherwise(0.0))
+      .filter(col("jaccard") >= threshold)
+    val resolved = verified
+      .groupBy(col("bid"))
+      .agg(min(struct(col("cid"), col("jaccard"))).as("m"))
+      .select(col("bid"), col("m.cid").as("dup_of"),
+        col("m.jaccard").as("jaccard"))
+    batch.select(col(idCol))
+      .join(resolved, col(idCol) === col("bid"), "left")
+      .select(col(idCol),
+        when(col("dup_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        col("dup_of"), col("jaccard"))
   }
 
   /** n-gram Jaccard near-dups via an inverted-index join: explode

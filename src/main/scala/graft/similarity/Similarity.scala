@@ -131,6 +131,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka-style two-stage ANN: rank the corpus by cosine on the
+    * first `prefixDim` dimensions only, keep the top `c` candidates,
+    * then re-rank exactly at full dimension. The final ranking over
+    * the candidate set is EXACT — all approximation lives in the
+    * candidate cut, the same contract as [[graft.similarity.PqIndex]]'s
+    * ADC scan but with a projection instead of a quantization.
+    *
+    * On MRL-trained embeddings the prefix carries most of the signal
+    * by construction, so small c reaches high recall; on generic
+    * embeddings (this corpus) the prefix is a lossy projection and c
+    * must scale with n — the calling query gates recall in-query,
+    * the honest-ANN pattern q_sim_ivf/q_sim_pq established. At scale
+    * the candidate stage reads prefixDim/dim of the arithmetic; with
+    * the prefix materialized as its own column (the production
+    * layout — one extra narrow column, written once), it reads
+    * prefixDim/dim of the BYTES too, PQ's bandwidth economics with
+    * zero quantization error in the re-rank.
+    *
+    * Both stages are TakeOrdered (per-partition heap + driver merge of
+    * c resp. k rows) — no global sort, no corpus collect.
+    */
+  def mrlTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, prefixDim: Int, c: Int): DataFrame = {
+    val cos = VectorOps.cosineFor(emb, vecCol)
+    val cands = emb.select(col(idCol), col(vecCol),
+        cos(slice(col(vecCol), 1, prefixDim),
+          typedlit(query.take(prefixDim))).as("pcos"))
+      .orderBy(col("pcos").desc, col(idCol))
+      .limit(c)
+    cands.select(col(idCol), cos(col(vecCol), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) approximate top-k — the classic ANN scale
     * path: k-means-partition the corpus into `nCentroids` cells, then
     * scan only the `nProbe` cells nearest the query.

@@ -28,6 +28,27 @@ object Scratch {
     ()
   }
 
+  /** Byte-copy a directory tree — artifact snapshotting: re-timing a
+    * MUTATING operation (an index append) needs a fresh identical
+    * layout per pass, with the copy cost outside the timed window.
+    */
+  def copyRecursively(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    val stream = java.nio.file.Files.walk(s)
+    try stream.forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(t); ()
+      } else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } finally stream.close()
+  }
+
   /** All parquet data files under `path` as (path relative to `path`
     * → byte size) — the unit of "these files were not rewritten"
     * assertions (IvfIndex/PqIndex append, the rehearsal append

@@ -288,4 +288,53 @@ class DedupSpec extends SparkTestBase {
     assert(exact.subsetOf(lsh),
       s"LSH candidates missed exact pairs: ${exact.diff(lsh).take(5)}")
   }
+
+  test("minhashIncremental classifies a planted batch against the corpus") {
+    val corpus = Seq((1L, base), (3L, nearDup), (4L, distinct1))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base), // exact copy of 1, near-dup of 3 -> lowest match 1
+      (101L, "totally unrelated words about gardening tulips roses daisies sunflowers blooming"),
+      (102L, "too short") // < k tokens: no signature -> new
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashIncremental(corpus, batch, "doc_id", "text",
+      threshold = 0.5)
+      .select($"doc_id", $"status", $"dup_of", $"jaccard")
+      .as[(Long, String, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(100L)._1 == "near_dup" && out(100L)._2 == Some(1L))
+    assert(out(100L)._3 == Some(1.0)) // carried jaccard is the MATCH's, exact copy = 1.0
+    assert(out(101L) == (("new", None, None)))
+    assert(out(102L) == (("new", None, None)))
+  }
+
+  test("minhashIncremental equals the exact batch-by-corpus Jaccard classification") {
+    // overlapping-vocab synthetic corpus (17 word types, 12-word
+    // docs): plenty of cross-doc shingle collisions, several >= 0.5
+    // pairs. 16x2 bands at threshold 0.5 — the complete-recall shape —
+    // so the LSH-candidates-then-verify classify must EQUAL the
+    // all-pairs exact classify (same argument as qDedupDrop's oracle,
+    // restricted to batch x corpus pairs).
+    val texts = (0 until 24).map { g =>
+      (g.toLong, (0 until 12).map(w => s"w${(g * 5 + w * 3) % 17}").mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val got = Dedup.minhashIncremental(corpus, batch, "doc_id", "text",
+      threshold = 0.5, shingleK = 3, bands = 16, rowsPerBand = 2)
+      .select($"doc_id", $"dup_of")
+      .as[(Long, Option[Long])].collect().toMap
+    val pairs = batch.select($"doc_id".as("id_a"))
+      .crossJoin(corpus.select($"doc_id".as("id_b")))
+    val exact = Dedup.withJaccard(pairs, docs, "doc_id", "text", shingleK = 3)
+      .filter($"jaccard" >= 0.5)
+      .groupBy($"id_a").agg(min($"id_b").as("dup_of"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == batch.select("doc_id").as[Long].collect().toSet)
+    got.foreach { case (bid, dup) =>
+      assert(dup == exact.get(bid), s"doc $bid: got $dup expected ${exact.get(bid)}")
+    }
+    assert(exact.nonEmpty, "planting failed: no >= 0.5 batch-corpus pair")
+  }
 }

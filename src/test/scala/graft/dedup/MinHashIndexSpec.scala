@@ -1,0 +1,117 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MinHashIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("minhash_index").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** EVERY regular file as relative path → size (the IvfIndexSpec
+    * frozen-layout helper: a same-shape rewrite must fail too).
+    */
+  private def allFiles(path: String): Map[String, Long] = {
+    val base = java.nio.file.Paths.get(path)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    val stream = java.nio.file.Files.walk(base)
+    try stream.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        out(base.relativize(p).toString) = java.nio.file.Files.size(p)
+    } finally stream.close()
+    out.toMap
+  }
+
+  // overlapping-vocab docs: cross-doc shingle collisions and several
+  // exact >= 0.5 pairs, the same planting as DedupSpec's equality test
+  private def doc(g: Long) =
+    (g, (0 until 12).map(w => s"w${(g * 5 + w * 3) % 17}").mkString(" "))
+  private lazy val corpus = (0L until 16L).map(doc).toDF("doc_id", "text")
+  // Δ uses a DISJOINT vocabulary: with min-id resolution a Δ match
+  // can only surface for a batch doc that matches NOTHING in the
+  // low-id corpus — batch 105 below is an exact copy of Δ doc 17
+  private def deltaDoc(g: Long) =
+    (g, (0 until 12).map(w => s"x${(g * 5 + w * 3) % 17}").mkString(" "))
+  private lazy val delta = (16L until 20L).map(deltaDoc).toDF("doc_id", "text")
+  private lazy val batch =
+    ((100L until 105L).map(doc) :+ (105L, deltaDoc(17L)._2))
+      .toDF("doc_id", "text")
+
+  test("classify on a saved+loaded index equals the direct incremental classify") {
+    val path = tmpDir()
+    MinHashIndex.save(MinHashIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 2), path)
+    val loaded = MinHashIndex.load(spark, path, "doc_id")
+    assert(loaded.shingleK == 3 && loaded.bands == 16 && loaded.rowsPerBand == 2)
+    val viaIndex = MinHashIndex.classify(loaded, batch, "doc_id", "text", 0.5)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    val direct = Dedup.minhashIncremental(corpus, batch, "doc_id", "text",
+      threshold = 0.5, shingleK = 3, bands = 16, rowsPerBand = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(viaIndex == direct)
+    assert(viaIndex.exists(_._2 == "near_dup"), "planting failed: no match at all")
+  }
+
+  test("append is delta-only (existing files untouched) and classifies like a rebuild") {
+    val path = tmpDir()
+    MinHashIndex.save(MinHashIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 2), path)
+    val bucketsBefore = allFiles(s"$path/buckets")
+    val shinglesBefore = allFiles(s"$path/shingles")
+    val paramsBefore = allFiles(s"$path/params")
+
+    MinHashIndex.append(spark, path, delta, "doc_id", "text")
+
+    // frozen-layout economics: append writes Δ's rows as NEW files,
+    // never rewriting the corpus's (path+size identical), and the
+    // params artifact is untouched
+    val bucketsAfter = allFiles(s"$path/buckets")
+    val shinglesAfter = allFiles(s"$path/shingles")
+    bucketsBefore.foreach { case (f, sz) =>
+      assert(bucketsAfter.get(f).contains(sz), s"append rewrote bucket file $f")
+    }
+    shinglesBefore.foreach { case (f, sz) =>
+      assert(shinglesAfter.get(f).contains(sz), s"append rewrote shingle file $f")
+    }
+    assert((bucketsAfter.keySet -- bucketsBefore.keySet).nonEmpty)
+    assert(allFiles(s"$path/params") == paramsBefore)
+
+    // the hash family is corpus-independent, so append ≡ rebuild
+    // EXACTLY (no frozen-centroid caveat): classify against the
+    // appended index equals both the rebuilt-index classify and the
+    // direct incremental classify over corpus ∪ Δ
+    val appended = MinHashIndex.load(spark, path, "doc_id")
+    val viaAppended = MinHashIndex.classify(appended, batch, "doc_id", "text", 0.5)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    val union = corpus.union(delta)
+    val direct = Dedup.minhashIncremental(union, batch, "doc_id", "text",
+      threshold = 0.5, shingleK = 3, bands = 16, rowsPerBand = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(viaAppended == direct)
+    // Δ must actually matter: at least one batch doc resolves to a
+    // Δ-side id or the append assertion is vacuous
+    val corpusOnly = Dedup.minhashIncremental(corpus, batch, "doc_id", "text",
+      threshold = 0.5, shingleK = 3, bands = 16, rowsPerBand = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(viaAppended != corpusOnly,
+      "Δ changed nothing — pick delta docs that match some batch doc")
+  }
+
+  test("docs below the shingle size are excluded from both index sides") {
+    val mixed = corpus.union(Seq((999L, "too short")).toDF("doc_id", "text"))
+    val idx = MinHashIndex.build(mixed, "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 2)
+    assert(idx.buckets.filter($"doc_id" === 999L).count() == 0)
+    assert(idx.shingles.filter($"doc_id" === 999L).count() == 0)
+  }
+}

@@ -213,4 +213,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(800))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
   }
+
+  test("q_neardup_incremental classifies through hash joins only — no pairwise corpus scan") {
+    // the scale contract of the incremental classify: candidates come
+    // from the (band_idx, band_hash) bucket equi-join and the verify
+    // joins are keyed on ids — a cartesian or nested-loop pair scan
+    // here would be the O(batch × corpus) failure the operator exists
+    // to avoid
+    val p = plan("q_neardup_incremental")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("mrl top-k plans BOTH stages as top-k heaps, never a global sort") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val p = graft.similarity.Similarity
+      .mrlTopK(emb, "vec_id", "embedding", q, k = 10, prefixDim = 16, c = 50)
+      .queryExecution.executedPlan.toString
+    // candidate cut AND re-rank are per-partition heaps + a bounded
+    // driver merge; a range-exchange global sort on either stage
+    // would shuffle the corpus to rank it
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(900))
+    assert(!p.contains("rangepartitioning"), p.take(900))
+  }
 }

@@ -113,6 +113,53 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.toSeq == again.toSeq)
   }
 
+  test("mrl top-k: full candidate budget degenerates to exact; tight budget still finds the query") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    // c = n keeps every vector through the prefix cut — the re-rank
+    // IS the brute force, so the result must be identical (exact
+    // doubles: same kernel, same fold)
+    val full = Similarity.mrlTopK(emb, "vec_id", "embedding", q, k = 10,
+      prefixDim = 16, c = n)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == brute)
+    // the query's own prefix cosine with itself is 1.0 — the maximum —
+    // so it survives ANY candidate budget and re-ranks first at
+    // full-dim cosine 1.0
+    val tight = Similarity.mrlTopK(emb, "vec_id", "embedding", q, k = 3,
+      prefixDim = 16, c = 5).as[(Long, Double)].collect()
+    assert(tight.head._1 == 0L && math.abs(tight.head._2 - 1.0) < 1e-9)
+  }
+
+  test("mrl top-k is exact when the prefix carries all the signal (planted MRL-style vectors)") {
+    // unit-norm prefixes + an IDENTICAL tail across the corpus: both
+    // the prefix cosine and the full cosine are then monotone in the
+    // same prefix dot product, so even a minimal candidate budget
+    // (c = k) must reproduce the exact top-k — the property MRL
+    // training buys on real models (prefix norms must be constant:
+    // with varying prefix norms the two rankings can legitimately
+    // diverge, which is exactly why the production query carries a
+    // recall gate instead of an equality assumption)
+    val tail = Array.tabulate(16)(i => 0.25f * ((i % 3) + 1))
+    def v(g: Int) = {
+      val raw = Array.tabulate(16)(i => math.sin(3.0 * g + 1.7 * i))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (raw.map(x => (x / n).toFloat) ++ tail).toSeq
+    }
+    val emb = (0 until 50).map(g => (g.toLong, v(g)))
+      .toDF("vec_id", "embedding")
+    val q = v(7).map(_.toFloat)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val mrl = Similarity.mrlTopK(emb, "vec_id", "embedding", q, k = 5,
+      prefixDim = 16, c = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mrl == brute)
+  }
+
   test("probeHamming=2 probes two-bit-flip buckets (regression: was capped at 1)") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
