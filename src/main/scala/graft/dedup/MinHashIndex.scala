@@ -69,10 +69,14 @@ object MinHashIndex {
   }
 
   def load(spark: SparkSession, path: String, idCol: String): Index = {
+    // by NAME, not position: a column reorder in save must fail loudly
+    // here, never silently swap shingle_k/bands and band differently
+    // than the saved index (ADVICE r10)
     val p = spark.read.parquet(s"$path/params").collect()(0)
     Index(spark.read.parquet(s"$path/buckets"),
       spark.read.parquet(s"$path/shingles"),
-      idCol, p.getInt(0), p.getInt(1), p.getInt(2))
+      idCol, p.getAs[Int]("shingle_k"), p.getAs[Int]("bands"),
+      p.getAs[Int]("rows_per_band"))
   }
 
   /** Incremental maintenance: band + shingle ONLY the new docs under
@@ -86,7 +90,8 @@ object MinHashIndex {
       idCol: String, textCol: String): Unit = {
     val p = spark.read.parquet(s"$path/params").collect()(0)
     val delta = build(newDocs, idCol, textCol,
-      p.getInt(0), p.getInt(1), p.getInt(2))
+      p.getAs[Int]("shingle_k"), p.getAs[Int]("bands"),
+      p.getAs[Int]("rows_per_band"))
     delta.buckets.write.mode("append").parquet(s"$path/buckets")
     delta.shingles.write.mode("append").parquet(s"$path/shingles")
   }

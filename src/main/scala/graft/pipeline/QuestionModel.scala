@@ -104,6 +104,13 @@ final class ResilientQuestionModel(inner: QuestionModel,
   * executors` (the partition-level placement SURVEY §4.2 assigns this
   * seam; a cluster-global limiter would need an external coordinator,
   * which an embarrassingly-parallel map stage deliberately avoids).
+  * Because every task SPAWN starts a full bucket, task churn (retries,
+  * speculative copies, many short-lived tasks per slot) adds up to
+  * `burst` unpaced calls per spawn on top of the steady rate — keep
+  * `burst` at its default 1 for cluster maps, and include churn
+  * headroom in the sizing (e.g. `rps = 0.8 × apiLimit / slots` when
+  * speculation is on) rather than counting on the steady-state bound
+  * alone.
   *
   * `nanoTime`/`sleeper` are injectable for deterministic tests; the
   * defaults are the real clock. Thread-safe (synchronized acquire):

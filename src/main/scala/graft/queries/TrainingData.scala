@@ -497,9 +497,10 @@ object TrainingData {
   private val kmeansCellsCtes: String =
     kmeansCellsCtesFor("greatest(8, count(*) // 64)")
 
-  private def hierCellsCtesFor(src: String): String = kmeansCellsCtesFor(
-    "CAST(ceil(sqrt(CAST(greatest(8, count(*) // 64) AS DOUBLE))) AS BIGINT)",
-    src)
+  private def hierCellsCtesFor(src: String, blockSize: Int): String =
+    kmeansCellsCtesFor(
+      s"CAST(ceil(sqrt(CAST(greatest(8, count(*) // $blockSize) AS DOUBLE))) AS BIGINT)",
+      src)
 
   /** Shared CTE prefix of the hierarchical-blocking oracles: coarse
     * cells → quota reps → rep-dedup → fine assignment → sign-bucketed
@@ -510,10 +511,17 @@ object TrainingData {
     * synthesis-recomputed image features). `tau` is the rep-dedup
     * threshold — the SAME τ the pair/CC tails verify at, or the
     * blocking and verification disagree on which reps collapse.
+    * `blockSize`/`signBits` mirror the engine parameters of
+    * [[graft.dedup.Dedup.embeddingNearDupsHier]] /
+    * [[graft.dedup.Dedup.semanticIncremental]] — a caller pairing a
+    * non-default engine value with this dialect must pass the SAME
+    * value here (ADVICE r10: the hardcoded 64/6 silently lost parity
+    * for non-default callers).
     */
   private[queries] def hierBlockCtesFor(tau: String,
-      src: String = "embeddings"): String =
-    s"""${hierCellsCtesFor(src)},
+      src: String = "embeddings", blockSize: Int = 64,
+      signBits: Int = 6): String =
+    s"""${hierCellsCtesFor(src, blockSize)},
       |reps0 AS (
       |  SELECT cells.cluster, e.vec_id AS rep, e.embedding AS repv,
       |         row_number() OVER (PARTITION BY cells.cluster
@@ -522,7 +530,7 @@ object TrainingData {
       |  FROM $src e JOIN cells USING (vec_id)),
       |reps1 AS (
       |  SELECT cluster, rep, repv FROM reps0
-      |  WHERE rn <= CAST(ceil(CAST(cn AS DOUBLE) / 64) AS BIGINT)),
+      |  WHERE rn <= CAST(ceil(CAST(cn AS DOUBLE) / $blockSize) AS BIGINT)),
       |repdrop AS (
       |  SELECT DISTINCT b.rep
       |  FROM reps1 a JOIN reps1 b
@@ -549,8 +557,8 @@ object TrainingData {
       |  WHERE rn = 1),
       |b AS (
       |  SELECT e.vec_id, e.embedding, fine.block,
-      |    CAST(list_sum(list_transform(e.embedding[1:6],
-      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
+      |    CAST(list_sum(list_transform(e.embedding[1:$signBits],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, $signBits - i) AS BIGINT) ELSE 0 END))
       |      AS BIGINT) AS sb
       |  FROM $src e JOIN fine USING (vec_id))""".stripMargin
 
@@ -570,6 +578,25 @@ object TrainingData {
       |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
       |      AS BIGINT) AS sb
       |  FROM embeddings e JOIN cells USING (vec_id))""".stripMargin
+
+  /** [[flatBlockCtes]] with the engine's block-population cap
+    * restated (`Dedup.capBlocks`): blocks above `maxBlock` members —
+    * and singleton blocks, which can never pair — are dropped before
+    * pair enumeration. The media near-dedup oracles use this dialect
+    * (their small-corpus dispatch runs the capped flat path).
+    */
+  private[queries] def flatBlockCtesCapped(maxBlock: Long): String =
+    s"""$kmeansCellsCtes,
+      |b0 AS (
+      |  SELECT e.vec_id, e.embedding, cells.cluster AS block,
+      |    CAST(list_sum(list_transform(e.embedding[1:6],
+      |      (x, i) -> CASE WHEN x >= 0 THEN CAST(power(2, 6 - i) AS BIGINT) ELSE 0 END))
+      |      AS BIGINT) AS sb
+      |  FROM embeddings e JOIN cells USING (vec_id)),
+      |b AS (
+      |  SELECT vec_id, embedding, block, sb FROM b0
+      |  QUALIFY count(*) OVER (PARTITION BY block, sb) <= $maxBlock
+      |      AND count(*) OVER (PARTITION BY block, sb) >= 2)""".stripMargin
 
   /** Shared PAIRS tail over any `b(vec_id, embedding, block, sb)`
     * prefix: blocked candidates, exact-cosine verify, rounded dump.

@@ -98,6 +98,35 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(empty.count() == 0L)
   }
 
+  test("adaptive CC matches alternating on random graph, chain, and duplicates") {
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)) ++
+      // chain segment + reversed/duplicate edges + isolated pair
+      (200L until 230L).map(i => (i + 1, i)) ++ Seq((500L, 501L), (501L, 500L)))
+      .toDF("a", "b")
+    val alt = ConnectedComponents.componentsAlternating(edges, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    val local = ConnectedComponents.componentsAdaptiveReleasable(edges)._1
+      .as[(Long, Long)].collect().toMap
+    assert(local == alt)
+    // above the driver bound the distributed engine takes over — same labels
+    val dist = ConnectedComponents
+      .componentsAdaptiveReleasable(edges, maxLocalEdges = 3)._1
+      .as[(Long, Long)].collect().toMap
+    assert(dist == alt)
+  }
+
+  test("adaptive CC local path leaves no persisted blocks behind") {
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 9L)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (labels, free) = ConnectedComponents.componentsAdaptiveReleasable(edges)
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    free()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "local union-find must not retain its probe snapshot")
+  }
+
   test("releasable variants free the result-backing snapshot blocks (ADVICE r5)") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     def persistedCount: Int = spark.sparkContext.getPersistentRDDs.size
