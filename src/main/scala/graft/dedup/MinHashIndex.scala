@@ -73,11 +73,61 @@ object MinHashIndex {
     // here, never silently swap shingle_k/bands and band differently
     // than the saved index (ADVICE r10)
     val p = spark.read.parquet(s"$path/params").collect()(0)
-    Index(spark.read.parquet(s"$path/buckets"),
-      spark.read.parquet(s"$path/shingles"),
+    val bucketsRaw = spark.read.parquet(s"$path/buckets")
+    val shinglesRaw = spark.read.parquet(s"$path/shingles")
+    // the tombstone sidecar (if any) is consulted HERE, so every
+    // classify over a loaded index sees the post-delete corpus with
+    // zero changes to the probe path — an anti-join against the
+    // bounded tombstone set (broadcast-sized by the compaction
+    // cadence), exactly the q_cdc tombstone shape applied to an index
+    val (buckets, shingles) = tombstones(spark, path) match {
+      case Some(t) =>
+        (bucketsRaw.join(t, bucketsRaw(idCol) === t("id"), "left_anti"),
+          shinglesRaw.join(t, shinglesRaw(idCol) === t("id"), "left_anti"))
+      case None => (bucketsRaw, shinglesRaw)
+    }
+    Index(buckets, shingles,
       idCol, p.getAs[Int]("shingle_k"), p.getAs[Int]("bands"),
       p.getAs[Int]("rows_per_band"))
   }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (graft.tools.Artifacts.exists(spark, s"$path/tombstones"))
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
+
+  /** Logical delete (takedowns/retractions — the maintenance
+    * operation [[append]] cannot express): append the ids to a
+    * tombstone sidecar; no bucket or shingle file is touched
+    * (spec-asserted). [[load]] consults the sidecar, so classify
+    * after a delete behaves EXACTLY like a rebuild without the
+    * deleted docs (the hash family is corpus-independent — removing
+    * rows changes no other row's keys). Cost ∝ |ids| per call plus
+    * |tombstones| per classify; [[compact]] folds the sidecar into
+    * the layout on the retrain cadence. A tombstoned id stays deleted
+    * until compaction — re-ingesting it needs a compact first.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Fold the tombstone sidecar into the layout: rewrite buckets and
+    * shingles without the deleted ids (tmp-then-rename, so a crash
+    * mid-compact leaves the old layout + sidecar intact), then drop
+    * the sidecar. Run on the same cadence as an IVF retrain — between
+    * compactions deletes stay O(|ids|).
+    */
+  def compact(spark: SparkSession, path: String, idCol: String): Unit =
+    tombstones(spark, path).foreach { _ =>
+      // already tombstone-filtered; replaceDir writes the filtered
+      // rows to a tmp sibling BEFORE touching the source files, so
+      // the lazy scans here read the intact old layout
+      val idx = load(spark, path, idCol)
+      graft.tools.Artifacts.replaceDir(spark, s"$path/buckets", idx.buckets)
+      graft.tools.Artifacts.replaceDir(spark, s"$path/shingles", idx.shingles)
+      graft.tools.Artifacts.deleteDir(spark, s"$path/tombstones")
+    }
 
   /** Incremental maintenance: band + shingle ONLY the new docs under
     * the saved params and append their rows — cost ∝ |newDocs|, no

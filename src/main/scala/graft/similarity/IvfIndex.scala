@@ -106,9 +106,52 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
-    Index(centroids, spark.read.parquet(s"$path/corpus"),
-      idCol, vecCol, pruned = true)
+    val raw = spark.read.parquet(s"$path/corpus")
+    // tombstone sidecar (if any) consulted at load: probes anti-join
+    // the bounded deleted-id set AFTER the cell partition filter (the
+    // cell predicate pushes through the anti-join's streamed side, so
+    // pruning is intact — IvfIndexSpec asserts PartitionFilters on the
+    // deleted index too)
+    val corpus = tombstones(spark, path) match {
+      case Some(t) => raw.join(t, raw(idCol) === t("id"), "left_anti")
+      case None => raw
+    }
+    Index(centroids, corpus, idCol, vecCol, pruned = true)
   }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (graft.tools.Artifacts.exists(spark, s"$path/tombstones"))
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
+
+  /** Logical delete — the retraction half of index maintenance
+    * ([[append]] is the ingest half): append ids to a tombstone
+    * sidecar, touch no corpus file (spec-asserted). A probe over the
+    * loaded index then equals a probe over the SAME frozen centroids
+    * with the deleted vectors removed — centroids are deliberately
+    * NOT retrained (deletes shift the distribution exactly like
+    * appends do; [[skewRatio]] stays the retrain trigger for both).
+    * Cost ∝ |ids|; [[compact]] folds the sidecar in on the retrain
+    * cadence. A tombstoned id stays deleted until compaction.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Fold tombstones into the layout: rewrite the corpus without the
+    * deleted ids (cell-partitioned as before, tmp-then-rename crash
+    * safety), drop the sidecar. Centroids untouched — compaction is a
+    * physical cleanup, not a retrain.
+    */
+  def compact(spark: SparkSession, path: String,
+      idCol: String, vecCol: String): Unit =
+    tombstones(spark, path).foreach { _ =>
+      val idx = load(spark, path, idCol, vecCol) // tombstone-filtered
+      graft.tools.Artifacts.replaceDir(spark, s"$path/corpus",
+        idx.corpus, partitionCols = Seq("cell"))
+      graft.tools.Artifacts.deleteDir(spark, s"$path/tombstones")
+    }
 
   /** Cell-occupancy view of an index: (cell, n) for every trained
     * cell, including empties — the observable that drives the

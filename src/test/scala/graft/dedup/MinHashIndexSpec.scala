@@ -107,6 +107,46 @@ class MinHashIndexSpec extends SparkTestBase {
       "Δ changed nothing — pick delta docs that match some batch doc")
   }
 
+  test("delete tombstones: index files untouched, classify equals rebuild without the ids, compact folds in") {
+    val path = tmpDir()
+    MinHashIndex.save(MinHashIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 2), path)
+    val bucketsBefore = allFiles(s"$path/buckets")
+    val shinglesBefore = allFiles(s"$path/shingles")
+    def classifyNow(): Seq[(Long, String, Option[Long], Option[Double])] =
+      MinHashIndex.classify(MinHashIndex.load(spark, path, "doc_id"),
+        batch, "doc_id", "text", 0.5).orderBy("doc_id")
+        .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    val full = classifyNow()
+    // retract every corpus doc some batch doc resolved to — the
+    // classification MUST change (re-resolve or flip to 'new')
+    val deleted = full.flatMap(_._3).distinct
+    assert(deleted.nonEmpty, "planting failed: nothing matched")
+    MinHashIndex.delete(spark, path, deleted.toDF("doc_id"), "doc_id")
+
+    // logical delete: sidecar only, both layouts byte-identical
+    assert(allFiles(s"$path/buckets") == bucketsBefore, "delete touched buckets")
+    assert(allFiles(s"$path/shingles") == shinglesBefore, "delete touched shingles")
+    val afterDelete = classifyNow()
+    assert(afterDelete.flatMap(_._3).intersect(deleted).isEmpty,
+      "deleted ids still resolved as dup_of")
+    // ≡ the direct incremental classify over the corpus minus the ids
+    // (hash family corpus-independent ⇒ delete-then-classify is
+    // EXACTLY a rebuild-without, no approximation caveat)
+    val rebuilt = Dedup.minhashIncremental(
+      corpus.filter(!$"doc_id".isin(deleted: _*)), batch, "doc_id", "text",
+      threshold = 0.5, shingleK = 3, bands = 16, rowsPerBand = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(afterDelete == rebuilt)
+    assert(afterDelete != full, "delete changed nothing — vacuous test")
+
+    MinHashIndex.compact(spark, path, "doc_id")
+    assert(!new java.io.File(s"$path/tombstones").exists, "sidecar not dropped")
+    assert(allFiles(s"$path/buckets") != bucketsBefore, "compact did not rewrite")
+    assert(classifyNow() == afterDelete)
+  }
+
   test("docs below the shingle size are excluded from both index sides") {
     val mixed = corpus.union(Seq((999L, "too short")).toDF("doc_id", "text"))
     val idx = MinHashIndex.build(mixed, "doc_id", "text",

@@ -73,6 +73,50 @@ class IvfIndexSpec extends SparkTestBase {
     out.toMap
   }
 
+  test("delete tombstones: corpus files untouched, probe equals frozen-centroid index without the ids, compact folds in") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+    val path = tmpDir()
+    IvfIndex.save(
+      IvfIndex.build(emb, "vec_id", "embedding", nCentroids = 8, iters = 1), path)
+    val before = allFiles(s"$path/corpus")
+    val full = IvfIndex.topK(IvfIndex.load(spark, path, "vec_id", "embedding"),
+      q, k = 5, nProbe = 2).as[(Long, Double)].collect().toSeq
+    // retract the top two hits — the probe MUST change
+    val deleted = full.take(2).map(_._1)
+    IvfIndex.delete(spark, path, deleted.toDF("vec_id"), "vec_id")
+
+    // logical delete: sidecar only, every corpus file byte-identical
+    assert(allFiles(s"$path/corpus") == before, "delete touched corpus files")
+    val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
+    val afterDelete = IvfIndex.topK(loaded, q, k = 5, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(afterDelete.map(_._1).intersect(deleted).isEmpty,
+      "deleted ids still served")
+    // ≡ the SAME frozen centroids over the corpus minus the ids
+    // (a retrained rebuild would move cells — deletes must not)
+    val manual = IvfIndex.Index(loaded.centroids,
+      spark.read.parquet(s"$path/corpus")
+        .filter(!$"vec_id".isin(deleted: _*)),
+      "vec_id", "embedding", pruned = true)
+    assert(afterDelete ==
+      IvfIndex.topK(manual, q, k = 5, nProbe = 2)
+        .as[(Long, Double)].collect().toSeq)
+    // cell pruning survives the tombstone anti-join (the greedy
+    // regex of the no-tombstone test would match the sidecar scan's
+    // own empty PartitionFilters — anchor on the corpus scan's)
+    val plan = IvfIndex.topK(loaded, q, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"tombstone join broke partition pruning:\n$plan")
+
+    IvfIndex.compact(spark, path, "vec_id", "embedding")
+    assert(!new java.io.File(s"$path/tombstones").exists, "sidecar not dropped")
+    assert(allFiles(s"$path/corpus") != before, "compact did not rewrite")
+    assert(IvfIndex.topK(IvfIndex.load(spark, path, "vec_id", "embedding"),
+      q, k = 5, nProbe = 2).as[(Long, Double)].collect().toSeq == afterDelete)
+  }
+
   test("append assigns new vectors at frozen centroids; probe equals rebuild at those centroids") {
     val emb = graft.Tables.embeddings(spark, sf)
     // split: build on the low-id 80%, append the high-id 20% (the
