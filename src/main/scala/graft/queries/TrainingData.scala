@@ -1248,19 +1248,43 @@ object TrainingData {
     * per corpus — here on the untimed first call) and pays batch-side
     * work plus the bucket join only.
     */
-  private val qNeardupIncrServe: Q = (s, d) => {
-    import graft.dedup.MinHashIndex
-    val path = mhBenchIndexes.getOrElseUpdate(d, {
+  /** Build+save the corpus-side MinHash index for `d` ONCE per JVM —
+    * shared by the serve-path bench override and the streaming
+    * classifier (same corpus slice, same band params, ONE artifact).
+    */
+  private def minhashIndexPathFor(s: SparkSession, d: String): String =
+    mhBenchIndexes.getOrElseUpdate(d, {
+      import graft.dedup.MinHashIndex
       val p = benchScratchDir("graft_minhash_bench")
       MinHashIndex.save(MinHashIndex.build(
         Tables.documentsParallel(s, d).filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", shingleK = 5, bands = 16, rowsPerBand = 2), p)
       p
     })
-    val idx = MinHashIndex.load(s, path, "doc_id")
+
+  private val qNeardupIncrServe: Q = (s, d) => {
+    import graft.dedup.MinHashIndex
+    val idx = MinHashIndex.load(s, minhashIndexPathFor(s, d), "doc_id")
     MinHashIndex.classify(idx,
       Tables.documentsParallel(s, d).filter(col("doc_id") % 10 === 0),
       "doc_id", "text", threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** STREAMING lexical near-dup classify
+    * ([[graft.streaming.NeardupStream]]): the 10% batch arrives as a
+    * real file stream and each micro-batch classifies against the
+    * SAVED MinHash index inside foreachBatch — per-document results
+    * depend only on (document, frozen index), so the trigger split is
+    * invisible and the oracle is q_neardup_incremental's SQL
+    * VERBATIM. Completes the streaming half of the
+    * incremental-classify trio's lexical member (q_stream_ingest
+    * covers exact/token-set digests).
+    */
+  private val qStreamNeardup: Q = (s, d) => {
+    val path = minhashIndexPathFor(s, d)
+    graft.streaming.NeardupStream.classifyFile(s, d, path, threshold = 0.5)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_id")
   }
@@ -1284,6 +1308,10 @@ object TrainingData {
     "q_sim_pq" -> qSimPqServe,
     "q_sim_mrl" -> qSimMrlServe,
     "q_neardup_incremental" -> qNeardupIncrServe,
+    // same body as the declared query — listed so the bench warm
+    // phase pre-builds the index at the target dir and the timed
+    // pass prices stream+classify, never the one-time build
+    "q_stream_neardup" -> qStreamNeardup,
     "q_embed_search_ivf" -> qEmbedSearchIvfServe,
     "q_zorder_prune" -> Analytics.qZorderPruneServe,
     // inverse of the serve overrides above: the correctness body is
@@ -2150,6 +2178,7 @@ object TrainingData {
     "q_dedup_near" -> qDedupNear,
     "q_dedup_minhash" -> qMinhash,
     "q_neardup_incremental" -> qNeardupIncr,
+    "q_stream_neardup" -> qStreamNeardup,
     "q_dedup_audit" -> qDedupAudit,
     "q_simhash" -> qSimhash,
     "q_simhash_near" -> qSimhashNear,
@@ -2225,6 +2254,9 @@ object TrainingData {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_minhash" -> qMinhashSql,
     "q_neardup_incremental" -> qNeardupIncrSql,
+    // the streaming classifier is row-for-row the batch classifier
+    // (per-doc results depend only on the frozen index) — ONE oracle
+    "q_stream_neardup" -> qNeardupIncrSql,
     "q_dedup_audit" -> qDedupAuditSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_near" -> qSimhashNearSql,

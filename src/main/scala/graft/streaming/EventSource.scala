@@ -34,16 +34,22 @@ private[graft] object EventSource {
     * stream with no error, the exact failure this class exists to
     * prevent.
     */
-  def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def streamTable(spark: SparkSession, dir: String, name: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val table = s"$dir/$name.parquet"
     val schema = spark.read.parquet(table).schema
     val p = new org.apache.hadoop.fs.Path(table)
     val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(p).isDirectory
+    val reader0 = spark.readStream.schema(schema)
+    // bound the per-micro-batch file count (specs use 1 to force a
+    // genuinely multi-batch run; production ingest uses it to bound
+    // micro-batch size); default = Spark's all-available behavior
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
     if (isDir)
-      spark.readStream.schema(schema).parquet(table)
+      reader.parquet(table)
     else
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+      reader.option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
 }
