@@ -2075,6 +2075,84 @@ object TrainingData {
       |  CAST(sum(w) AS BIGINT) AS w_sum, count(*) AS n_tokens
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** TRAINED quality gate ([[graft.ml.QualityModel]]): full GD
+    * training on the corpus → durable weight artifact (save → load
+    * round-trip INSIDE the query, so the dump scores through the
+    * parquet a second JVM would read) → corpus-wide scoring. The
+    * oracle restates the ENTIRE training run — 12 unrolled GD
+    * iterations with decimal-quantized gradient sums (fold-order
+    * independent, so the distributed aggregation equals DuckDB's) and
+    * the algebraic-sigmoid link (IEEE-exact ops only) — then the
+    * scoring pass at the learned weights: the hash check covers the
+    * weights THROUGH every scored row, not a weight dump alone.
+    */
+  private val qQualityTrained: Q = (s, d) => {
+    import graft.ml.QualityModel
+    val docs = Tables.documents(s, d)
+    val w = graft.tools.Scratch.withDir("graft_quality_model") { p =>
+      QualityModel.save(s, QualityModel.train(docs), s"$p/weights")
+      QualityModel.load(s, s"$p/weights") // weights collect eagerly
+    }
+    QualityModel.score(docs, w).orderBy("doc_id")
+  }
+
+  /** The unrolled-GD oracle: wᵢ CTEs thread the weight state through
+    * `iters` (gradient aggregate → update) rounds, every arithmetic
+    * step written with the engine's op order (left-assoc dots,
+    * (0.5·z)/(1+|z|) link, DECIMAL(30,8) per-doc gradient quantization,
+    * decimal→double cast before the lr step).
+    */
+  private def qualityGdSql(lr: String, iters: Int): String = {
+    val stops = "['the','and','of','to','in','is','a']"
+    val dotOf = (w: String, f: String) =>
+      s"($w.w0 * $f.x0 + $w.w1 * $f.x1 + $w.w2 * $f.x2 + $w.w3 * $f.x3)"
+    val sig = "(0.5 + 0.5 * dot / (1 + abs(dot)))"
+    // wᵢ/feat MATERIALIZED: wᵢ is referenced twice (pᵢ₊₁ and the
+    // wᵢ₊₁ update) — inlined, the weight chain expands 2^iters copies
+    // of feat and DuckDB re-opens the parquet thousands of times
+    // ("Too many open files" — the q_recs CTE lesson re-learned)
+    val iterCtes = (1 to iters).map { i =>
+      s"""p$i AS (
+        |  SELECT f.*, ${dotOf("w", "f")} AS dot
+        |  FROM feat f CROSS JOIN w${i - 1} w),
+        |g$i AS (
+        |  SELECT ${(0 until 4).map(j =>
+             s"sum(CAST(($sig - y) * x$j AS DECIMAL(30,8))) AS s$j").mkString(",\n  ")}
+        |  FROM p$i),
+        |w$i AS MATERIALIZED (
+        |  SELECT ${(0 until 4).map(j =>
+             s"w.w$j - $lr * (CAST(g.s$j AS DOUBLE) / (SELECT n FROM nn)) AS w$j").mkString(",\n  ")}
+        |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH feat AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(1.0 AS DOUBLE) AS x0,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) / 100 AS x1,
+      |    CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) / 10 AS x2,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> list_contains($stops, t))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) * 10 AS x3,
+      |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+      |        t -> list_contains($stops, t))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) >= 0.06
+      |      AND len(string_split(text, ' ')) >= 30
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+      |  FROM documents),
+      |nn AS MATERIALIZED (SELECT count(*) AS n FROM feat),
+      |w0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+      |              CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
+      |$iterCtes,
+      |sc AS (
+      |  SELECT f.doc_id, f.y, ${dotOf("w", "f")} AS dot
+      |  FROM feat f CROSS JOIN w$iters w)
+      |SELECT doc_id, round($sig, 6) AS score, dot > 0 AS keep,
+      |       CAST(y AS INT) AS label
+      |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  private val qQualityTrainedSql =
+    qualityGdSql(lr = "3.0", iters = graft.ml.QualityModel.DefaultIters)
+
   // ------------------------------------------------ token-budget selection
   /** Data selection under a token budget — the mixture-building step
     * of a training run: per source, take documents in quality order
@@ -2173,6 +2251,7 @@ object TrainingData {
     "q_interleave" -> qInterleave,
     "q_hybrid_search" -> qHybridSearch,
     "q_quality_model" -> qQualityModel,
+    "q_quality_trained" -> qQualityTrained,
     "q_token_budget" -> qTokenBudget,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_near" -> qDedupNear,
@@ -2232,6 +2311,7 @@ object TrainingData {
     "q_interleave" -> qInterleaveSql,
     "q_hybrid_search" -> qHybridSearchSql,
     "q_quality_model" -> qQualityModelSql,
+    "q_quality_trained" -> qQualityTrainedSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
