@@ -57,6 +57,7 @@ object ScaleRehearsal {
     if (mode == "run" || mode == "all") run(spark, src, dir, factor)
     if (mode == "skew") println(skewCheck(spark, dir, factor))
     if (mode == "ivf") println(ivfServeCheck(spark, dir))
+    if (mode == "ivfdrift") println(ivfDriftCheck(spark, dir))
     if (mode == "pq") println(pqServeCheck(spark, dir))
     if (mode == "chaincc") println(chainCcCheck(spark,
       sys.env.getOrElse("SPARK_GRAFT_CHAIN_N", "1000000").toLong))
@@ -205,7 +206,16 @@ object ScaleRehearsal {
     // must hold at 20× too, so the rehearsal row proves BOTH cost and
     // quality scaling), plus the cluster-accounting rollup over the
     // full LSH→CC chain
-    "q_neardup_incremental", "q_sim_mrl", "q_dedup_audit")
+    "q_neardup_incremental", "q_sim_mrl", "q_dedup_audit",
+    // round-11: audio/video near-dedup (the r10 open scale risk —
+    // audio's τ-verified pair density grew superlinearly with corpus
+    // density at sf0.01→0.1; the disjoint-mode 20× row bounds it, and
+    // the per-block cap now bounds the worst case), the streaming
+    // MinHash classify (per-trigger bucket joins at 20× index size),
+    // and the trained quality gate (12 GD aggregation passes over a
+    // 20× feature frame — linear per pass by construction)
+    "q_audio_neardup", "q_video_neardup", "q_stream_neardup",
+    "q_quality_trained")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
@@ -336,6 +346,9 @@ object ScaleRehearsal {
 
     // --- shape check 3b: PQ encode-once serving path ---------------
     sb ++= pqServeCheck(spark, dir)
+
+    // --- shape check 3c: drift → retrain-trigger → rebuild ---------
+    sb ++= ivfDriftCheck(spark, dir)
 
     // --- shape check 4: long-chain CC (alternating star ops) -------
     sb ++= chainCcCheck(spark,
@@ -528,6 +541,129 @@ object ScaleRehearsal {
     } finally {
       graft.tools.Scratch.deleteRecursively(new java.io.File(path))
     }
+    sb.toString
+  }
+
+  /** The RETRAIN-TRIGGER loop, exercised end to end (VERDICT r10
+    * "what's missing" #3): `IvfIndex.skewRatio` existed as an
+    * observable with specs, but no rehearsal ever drove the
+    * documented production cadence. This section does the full cycle
+    * on the scaled corpus:
+    *
+    *  1. build+save; record skewRatio, probe cost, recall@10 (IVF
+    *     nProbe=4 vs exact brute force over the index's own corpus);
+    *  2. append distribution-SHIFTED batches (x → 0.2x + 0.8 — the
+    *     whole Δ crowds the all-positive orthant, i.e. a real
+    *     domain-mix change) until skewRatio crosses 3;
+    *  3. record the degraded probe cost/recall AT drifted queries —
+    *     frozen centroids describe the drifted mass with one or two
+    *     cells, so nProbe=4 both reads a bloated cell (cost) and
+    *     misses true neighbors that straddle it (recall);
+    *  4. full rebuild (retrain) on the appended corpus; record the
+    *     restored numbers.
+    *
+    * Probe set: two base vectors + two drifted vectors — the drifted
+    * workload is the one the frozen index serves worst, and the one a
+    * production mix shift actually sends.
+    */
+  def ivfDriftCheck(spark: SparkSession, dir: String): String = {
+    import graft.similarity.IvfIndex
+    import graft.functions.VectorOps
+    Bench.scrub(spark)
+    val sb = new StringBuilder
+    sb ++= "\n## IVF drift → retrain trigger → rebuild (skewRatio cadence)\n\n"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    // the drifted generator: ids beyond the corpus, vectors pulled
+    // toward the all-positive corner — deterministic, reproducible
+    def drifted(batch: Int, frac: Double): org.apache.spark.sql.DataFrame =
+      emb.filter(col("vec_id") % math.round(1 / frac).max(1) === 0)
+        .select((col("vec_id") + lit((batch + 1) * (maxId + 1))).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(0.2f) + lit(0.8f)).as("embedding"))
+    val nCells = 64
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_drift")
+      .toAbsolutePath.toString
+    try {
+      IvfIndex.save(
+        IvfIndex.build(emb, "vec_id", "embedding", nCentroids = nCells, iters = 2),
+        path)
+      // probe vectors: 2 from the base distribution, 2 from the drift —
+      // the drifted workload is what a production mix shift sends
+      val baseQs = emb.filter(col("vec_id").isin(0L, 1L))
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0))
+      val driftQs = drifted(0, 0.01).limit(2)
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0))
+      // per query group: (recall@10 vs exact brute over the index's
+      // own corpus, probed-cell share of the corpus — the per-query
+      // COST at scale, where seconds at this n are job overhead)
+      def measure(p: String): (Double, Seq[(Double, Double)]) = {
+        val idx = IvfIndex.load(spark, p, "vec_id", "embedding")
+        val corpus = idx.corpus.select(col("vec_id"), col("embedding")).cache()
+        corpus.count()
+        val cos = VectorOps.cosineFor(corpus, "embedding")
+        val groups = Seq(baseQs, driftQs).map { qs =>
+          val (recalls, scans) = qs.map { q =>
+            val exact = corpus
+              .select(col("vec_id"), cos(col("embedding"), typedlit(q)).as("c"))
+              .orderBy(col("c").desc, col("vec_id")).limit(10)
+              .collect().map(_.getLong(0)).toSet
+            val got = IvfIndex.topK(idx, q, k = 10, nProbe = 4)
+              .collect().map(_.getLong(0)).toSet
+            ((exact intersect got).size / 10.0,
+              IvfIndex.probedFraction(idx, q, nProbe = 4))
+          }.unzip
+          (recalls.sum / recalls.length, scans.sum / scans.length)
+        }
+        val skew = IvfIndex.skewRatio(idx)
+        corpus.unpersist()
+        (skew, groups)
+      }
+      val (s0, g0) = measure(path)
+      sb ++= "| stage | skewRatio | base recall@10 | base scanned | drift recall@10 | drift scanned |\n|---|---|---|---|---|---|\n"
+      def row(label: String, s: Double, g: Seq[(Double, Double)]): String =
+        f"| $label | $s%.2f | ${g(0)._1}%.2f | ${100 * g(0)._2}%.1f%% | ${g(1)._1}%.2f | ${100 * g(1)._2}%.1f%% |\n"
+      sb ++= row(s"built ($nCells cells, balanced; ideal scan ${100.0 * 4 / nCells}%)", s0, g0)
+      var batches = 0
+      var skew = s0
+      while (skew < 3.0 && batches < 6) {
+        IvfIndex.append(spark, path,
+          drifted(batches, 0.25), "vec_id", "embedding")
+        batches += 1
+        skew = IvfIndex.skewRatio(
+          IvfIndex.load(spark, path, "vec_id", "embedding"))
+        println(f"[scale] ivf drift: after append $batches skewRatio=$skew%.2f")
+      }
+      val (s1, g1) = measure(path)
+      sb ++= row(s"after $batches drifted appends (trigger: skew > 3)", s1, g1)
+      // retrain: full rebuild on the appended corpus, fresh layout
+      val rebuilt = path + "_rebuilt"
+      try {
+        val corpusNow = spark.read.parquet(s"$path/corpus")
+          .select(col("vec_id"), col("embedding"))
+        IvfIndex.save(IvfIndex.build(corpusNow, "vec_id", "embedding",
+          nCentroids = nCells, iters = 2), rebuilt)
+        val (s2, g2) = measure(rebuilt)
+        sb ++= row("after full rebuild (retrain)", s2, g2)
+        println(f"[scale] ivf drift: built skew=$s0%.2f driftScan=${g0(1)._2}%.3f; " +
+          f"drifted skew=$s1%.2f driftScan=${g1(1)._2}%.3f; " +
+          f"rebuilt skew=$s2%.2f driftScan=${g2(1)._2}%.3f")
+      } finally graft.tools.Scratch.deleteRecursively(new java.io.File(rebuilt))
+      sb ++= "\nReading: append-only maintenance holds while skewRatio holds. The\n" +
+        "drifted appends land in few frozen cells, skewRatio crosses the 2-4\n" +
+        "retrain band, and a drifted query's probe now reads the bloated\n" +
+        "cell — its scanned share of the corpus is the degradation (any\n" +
+        "recall it shows is bought by paying that share: the frozen layout\n" +
+        "has stopped pruning for the drifted workload). The rebuild\n" +
+        "re-describes the new mixture with balanced cells: scanned share\n" +
+        "returns to ~nProbe/nCells and recall returns to the\n" +
+        "nProbe-appropriate operating point — raise nProbe to buy recall\n" +
+        "EXPLICITLY instead of through skew. That is the documented\n" +
+        "cadence, measured end to end.\n"
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
     sb.toString
   }
 

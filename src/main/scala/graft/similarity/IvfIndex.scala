@@ -185,6 +185,24 @@ object IvfIndex {
     if (mean == 0.0) 0.0 else occ.getDouble(0) / mean
   }
 
+  /** Probe COST estimator: the fraction of corpus rows a
+    * [[topK]](query, nProbe) call reads — the probed cells' share of
+    * [[occupancy]]. On a balanced index this is ≈ nProbe/nCentroids;
+    * under drift a query near a bloated frozen cell pays that cell's
+    * whole population, which is how skew shows up as per-query cost
+    * at scale (the rehearsal's drift section reads this alongside
+    * [[skewRatio]]). Bounded: one occupancy aggregate.
+    */
+  def probedFraction(index: Index, query: Seq[Float], nProbe: Int = 4): Double = {
+    val probes =
+      Similarity.nearestCentroids(index.centroids, query, nProbe).toSet
+    val occ = occupancy(index).collect()
+    val total = occ.map(_.getLong(1)).sum
+    if (total == 0L) 0.0
+    else occ.filter(r => probes.contains(r.getInt(0)))
+      .map(_.getLong(1)).sum.toDouble / total
+  }
+
   /** Approximate top-k: scan only the nProbe cells nearest the query.
     * On a loaded index the `cell` predicate is a partition filter —
     * non-probed cells are never read.
