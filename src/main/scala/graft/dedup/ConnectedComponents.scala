@@ -204,6 +204,14 @@ object ConnectedComponents {
     * unchanged. Identical output by construction: components are
     * components, labels are the component minimum either way.
     */
+  /** [[componentsAdaptiveReleasable]] without the release handle —
+    * for one-shot queries whose session scrubbing (or the local
+    * path's nothing-retained property) covers cleanup.
+    */
+  def componentsAdaptive(edges: DataFrame, maxIter: Int = 20,
+      maxLocalEdges: Long = 1L << 20): DataFrame =
+    componentsAdaptiveReleasable(edges, maxIter, maxLocalEdges)._1
+
   def componentsAdaptiveReleasable(edges: DataFrame, maxIter: Int = 20,
       maxLocalEdges: Long = 1L << 20): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -222,6 +230,17 @@ object ConnectedComponents {
       canonRdd.unpersist(blocking = false)
       return out
     }
+    try (localUnionFind(edges.sparkSession, canon, dt), () => ())
+    finally canonRdd.unpersist(blocking = false)
+  }
+
+  /** Exact min-root union-find over an already-canonical (u > v)
+    * edge frame small enough to collect. Shared by the adaptive
+    * entry points; callers have counted the edges FIRST.
+    */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+      canon: DataFrame,
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -239,16 +258,13 @@ object ConnectedComponents {
       // min, so no second min-label pass is needed
       if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
     }
-    canonRdd.unpersist(blocking = false)
-    val spark = edges.sparkSession
     import spark.implicits._
     val labels = parent.keySet.iterator
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     while (labels.hasNext) { val id: Long = labels.next(); rows += ((id, find(id))) }
-    (rows.toSeq.toDF("id", "component")
+    rows.toSeq.toDF("id", "component")
       .select(col("id").cast(dt).as("id"),
-        col("component").cast(dt).as("component")),
-      () => ())
+        col("component").cast(dt).as("component"))
   }
 
   /** Deduplicated corpus: one representative (min id) per component;
@@ -257,24 +273,59 @@ object ConnectedComponents {
     * uniquely prefixed — an `idCol` named "id" or a pre-existing
     * "component" column is safe).
     *
-    * `alternating = true` swaps HashMin for
-    * [[componentsAlternating]] — use it when duplicate edges can form
-    * long chains (diameter past maxIter), where HashMin correctly
-    * refuses to return rather than under-dedup.
+    * SIZE-ADAPTIVE since round 11: below `maxLocalEdges` canonical
+    * edges the labels come from the exact driver union-find
+    * ([[componentsAdaptiveReleasable]] — the verified edge set is
+    * duplicate structure, not data, and the distributed rounds were
+    * most of several dedup queries' cost at small edge counts); above
+    * it the distributed engine selected by `alternating` runs
+    * unchanged. Labels are identical either way (spec-pinned), so
+    * every CC oracle is untouched.
     *
-    * Retention: the result joins the (lazily-consumed) component
-    * labels, so their backing snapshot cannot be freed here; repeat
-    * callers in one long session should compose the `Releasable`
-    * component variants with their own join and free after
-    * materializing.
+    * `alternating = true` swaps HashMin for [[componentsAlternating]]
+    * in the distributed fallback — use it when duplicate edges can
+    * form long chains (diameter past maxIter), where HashMin
+    * correctly refuses to return rather than under-dedup.
+    *
+    * Retention: on the distributed path the result joins the
+    * (lazily-consumed) component labels, so their backing snapshot
+    * cannot be freed here; repeat callers in one long session should
+    * compose the `Releasable` component variants with their own join
+    * and free after materializing. The local path retains nothing.
     */
   def representatives(docs: DataFrame, idCol: String, edges: DataFrame,
-      maxIter: Int = 20, alternating: Boolean = false): DataFrame = {
-    val comp = (if (alternating) componentsAlternating(edges, maxIter)
-                else components(edges, maxIter))
+      maxIter: Int = 20, alternating: Boolean = false,
+      maxLocalEdges: Long = 1L << 20): DataFrame = {
+    val comp = componentsDispatch(edges, maxIter, alternating, maxLocalEdges)
       .select(col("id").as("_cc_id"), col("component").as("_cc_comp"))
     docs.join(comp, docs(idCol) === col("_cc_id"), "left")
       .filter(docs(idCol) === coalesce(col("_cc_comp"), docs(idCol)))
       .drop("_cc_id", "_cc_comp")
+  }
+
+  /** Local union-find below the counted bound; the caller's chosen
+    * distributed engine above it (the [[componentsAdaptiveReleasable]]
+    * dispatch generalized over the fallback engine).
+    */
+  private def componentsDispatch(edges: DataFrame, maxIter: Int,
+      alternating: Boolean, maxLocalEdges: Long): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val dt = edges.schema("a").dataType
+    if (dt != LongType && dt != IntegerType)
+      return if (alternating) componentsAlternating(edges, maxIter)
+      else components(edges, maxIter)
+    val (canon, canonRdd) = graft.operators.Snapshots.persistRound(
+      edges.select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(), None)
+    val small = canonRdd.count() <= maxLocalEdges
+    if (!small) {
+      canonRdd.unpersist(blocking = false)
+      if (alternating) componentsAlternating(edges, maxIter)
+      else components(edges, maxIter)
+    } else {
+      try localUnionFind(edges.sparkSession, canon, dt)
+      finally canonRdd.unpersist(blocking = false)
+    }
   }
 }

@@ -446,7 +446,10 @@ object Curation {
     val pairs = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
       threshold = 0.5, shingleK = 5, maxDocFreq = 100)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    val comp = graft.dedup.ConnectedComponents.components(pairs)
+    // adaptive CC (r11): the verified edge set is tiny next to the
+    // corpus — local union-find below the counted bound, distributed
+    // rounds above it
+    val comp = graft.dedup.ConnectedComponents.componentsAdaptive(pairs)
       .select(col("id").as("doc_id"), col("component"))
     Tables.documents(s, d).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

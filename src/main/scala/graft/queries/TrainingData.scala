@@ -777,7 +777,9 @@ object TrainingData {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       threshold = 0.5, shingleK = 5, bands = 16, rowsPerBand = 2)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    val comp = ConnectedComponents.components(pairs)
+    // adaptive CC (r11): local union-find below the counted edge
+    // bound — the audit's cost is the LSH verify, not the rounds
+    val comp = ConnectedComponents.componentsAdaptive(pairs)
       .select(col("id").as("_id"), col("component"))
     val labeled = docs.select(col("doc_id"), col("n_chars"))
       .join(comp, col("doc_id") === col("_id"), "left")

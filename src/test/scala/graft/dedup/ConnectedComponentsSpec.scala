@@ -74,15 +74,22 @@ class ConnectedComponentsSpec extends SparkTestBase {
   }
 
   test("representatives(alternating=true) survives a chain past HashMin's budget") {
-    // 40-doc chain: diameter 39 > maxIter 20 — HashMin throws (correctly,
-    // rather than under-dedup); the alternating engine resolves it
+    // 40-doc chain: diameter 39 > maxIter 20. Below the driver edge
+    // bound the adaptive local path resolves it for EITHER engine
+    // flag; with the local path disabled (maxLocalEdges = 0) the
+    // distributed contract still holds — HashMin throws (correctly,
+    // rather than under-dedup), the alternating engine resolves it
     val docs = (1L to 40L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(ConnectedComponents.representatives(docs, "doc_id", edges)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
     intercept[IllegalStateException] {
-      ConnectedComponents.representatives(docs, "doc_id", edges).collect()
+      ConnectedComponents.representatives(docs, "doc_id", edges,
+        maxLocalEdges = 0).collect()
     }
     val kept = ConnectedComponents
-      .representatives(docs, "doc_id", edges, alternating = true)
+      .representatives(docs, "doc_id", edges, alternating = true,
+        maxLocalEdges = 0)
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(1L))
   }
