@@ -782,10 +782,16 @@ object Curation {
     * concentrates a block. CC runs the alternating-star rounds (see
     * the in-body comment for why not HashMin here).
     */
-  /** Flat-vs-hier dispatch threshold: flat's k = n/64 centroid
-    * literal is comfortable to ~10^4 centroids, i.e. ~65k vectors —
-    * far above any per-modality corpus the driver tests (≤ 1.7k at
-    * sf0.1) and far below where the hier path's √k economics win.
+  /** Flat-vs-hier dispatch threshold, set by MEASUREMENT, not just
+    * the asymptotics: flat's argmin is O(n·k) with k = n/64 —
+    * quadratic in n — but at the 20× rehearsal (33k clips/modality)
+    * the whole flat audio row still beat hier end-to-end (52 s vs
+    * 58 s; flat kmeans 11 s vs hier's extra window/rep-join stages),
+    * so the crossover sits ABOVE 33k. 65536 (k ≤ 1024, argmin
+    * ≤ ~5×10⁸ kernel flops, centroid literal ≤ 8k doubles) is the
+    * last size where flat's constants still win; past it the
+    * rehearsed O(n·√k) hier path takes over before the quadratic
+    * term can dominate.
     */
   private val MediaFlatMax = 65536L
 
@@ -795,6 +801,21 @@ object Curation {
     * in the oracles via [[TrainingData.flatBlockCtesCapped]].
     */
   private val MediaMaxBlock = 1024L
+
+  /** The size-adaptive blocking dispatch — ONE definition, shared by
+    * the three declared queries and the rehearsal's mediaDiag (a
+    * diagnostic that re-derived the dispatch would silently profile
+    * the wrong path after a threshold change).
+    */
+  private[graft] def mediaPairs(feats: org.apache.spark.sql.DataFrame,
+      n: Long, tau: Double): org.apache.spark.sql.DataFrame =
+    if (n <= MediaFlatMax)
+      Dedup.embeddingNearDupsClustered(feats, "doc_id", "feature",
+        threshold = tau, k = math.max(8L, n / 64).toInt, iters = 1,
+        signBits = 6, maxBlock = MediaMaxBlock)
+    else
+      Dedup.embeddingNearDupsHier(feats, "doc_id", "feature",
+        threshold = tau, maxBlock = MediaMaxBlock)
 
   private def mediaNeardup(kind: String, tau: Double): Q = (s, d) => {
     val feats = Multimodal.extractFeatures(s,
@@ -806,15 +827,8 @@ object Curation {
       .cache()
     try {
       val n = feats.count()
-      val pairs =
-        if (n <= MediaFlatMax)
-          Dedup.embeddingNearDupsClustered(feats, "doc_id", "feature",
-            threshold = tau, k = math.max(8L, n / 64).toInt, iters = 1,
-            signBits = 6, maxBlock = MediaMaxBlock)
-        else
-          Dedup.embeddingNearDupsHier(feats, "doc_id", "feature",
-            threshold = tau, maxBlock = MediaMaxBlock)
-      val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      val edges = mediaPairs(feats, n, tau)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
       // adaptive CC: below the driver edge bound, exact union-find
       // (the ≤10^4-edge media graphs were paying 6-8 distributed
       // rounds of pure overhead); above it, alternating star — not

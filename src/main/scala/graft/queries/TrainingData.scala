@@ -413,6 +413,22 @@ object TrainingData {
       |FROM batch e LEFT JOIN res r ON e.vec_id = r.bid
       |ORDER BY e.vec_id""".stripMargin
 
+  /** STREAMING semantic near-dup classify
+    * ([[graft.streaming.SemdedupStream]]): the 10% batch arrives as a
+    * real file stream; the corpus's frozen blocking is built once and
+    * each micro-batch classifies through it inside foreachBatch —
+    * count-free and retrain-free per trigger. Per-vector results are
+    * pure functions of (vector, frozen blocking, corpus), so the
+    * trigger split is invisible and the oracle is
+    * q_semdedup_incremental's SQL VERBATIM. Completes the streaming
+    * side of the incremental-classify trio (exact: q_stream_ingest;
+    * lexical: q_stream_neardup).
+    */
+  private val qStreamSemdedup: Q = (s, d) =>
+    graft.streaming.SemdedupStream.classifyFile(s, d, threshold = 0.35)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("vec_id")
+
   /** The demoted FLAT single-level blocking
     * ([[Dedup.embeddingNearDupsClustered]] with k = max(8, n/64)) —
     * kept as a documented small-corpus fast path: one Lloyd pass and
@@ -2260,6 +2276,7 @@ object TrainingData {
     "q_dedup_minhash" -> qMinhash,
     "q_neardup_incremental" -> qNeardupIncr,
     "q_stream_neardup" -> qStreamNeardup,
+    "q_stream_semdedup" -> qStreamSemdedup,
     "q_dedup_audit" -> qDedupAudit,
     "q_simhash" -> qSimhash,
     "q_simhash_near" -> qSimhashNear,
@@ -2339,6 +2356,9 @@ object TrainingData {
     // the streaming classifier is row-for-row the batch classifier
     // (per-doc results depend only on the frozen index) — ONE oracle
     "q_stream_neardup" -> qNeardupIncrSql,
+    // same trio logic for the semantic member: stream ≡ batch by
+    // per-vector purity, ONE oracle
+    "q_stream_semdedup" -> qSemdedupIncrSql,
     "q_dedup_audit" -> qDedupAuditSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_near" -> qSimhashNearSql,
