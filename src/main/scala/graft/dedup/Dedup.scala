@@ -770,6 +770,43 @@ object Dedup {
     SemanticBlocking(centroids, reps, blockSize, signBits)
   }
 
+  /** Fine assignment through a frozen rep table — shared by the
+    * corpus and batch sides of the classify: nearest rep of the row's
+    * coarse cell, (dist, rep) ties. Rows landing in a cell with no
+    * reps drop out here (and surface as 'new' through classify's
+    * final left join).
+    */
+  private def fineAssign(side: DataFrame, reps: DataFrame, idCol: String,
+      vecCol: String): DataFrame = side.join(reps, "cluster")
+    .select(col(idCol),
+      call_function("graft_l2sq",
+        col(vecCol).cast("array<float>"), col("repv")).as("d"),
+      col("rep"))
+    .filter(col("d").isNotNull)
+    .groupBy(col(idCol))
+    .agg(min(struct(col("d"), col("rep"))).as("m"))
+    .select(col(idCol), col("m.rep").as("block"))
+
+  /** Assign a corpus through a frozen [[SemanticBlocking]] to its
+    * (block, sign-bucket) candidate keys — the CORPUS half of
+    * [[semanticClassify]], a pure function of (corpus, frozen
+    * structure). Returns (idCol, vecCol, block, sb). Compute it ONCE
+    * per corpus snapshot and serve every classify call from the
+    * result (cache in-stream, or persist via
+    * [[SemanticIndex.save]]): re-deriving it per call is an
+    * O(corpus × reps-of-cell) join a per-batch path must not pay.
+    */
+  def blockCorpus(blocking: SemanticBlocking, corpus: DataFrame,
+      idCol: String, vecCol: String, signBits: Int = 6): DataFrame = {
+    val cCells = corpus.select(col(idCol), col(vecCol))
+      .withColumn("cluster",
+        graft.similarity.Similarity.cellColumn(col(vecCol), blocking.centroids))
+    corpus.select(col(idCol), col(vecCol))
+      .join(fineAssign(cCells, blocking.reps, idCol, vecCol), idCol)
+      .select(col(idCol), col(vecCol), col("block"),
+        VectorOps.signBucket(col(vecCol), signBits).as("sb"))
+  }
+
   /** The PER-BATCH half of [[semanticIncremental]]: assign both sides
     * through the frozen structure and resolve each batch vector to its
     * lowest verified corpus match. No corpus count, no retrain —
@@ -777,37 +814,34 @@ object Dedup {
     */
   def semanticClassify(blocking: SemanticBlocking, corpus: DataFrame,
       batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, signBits: Int = 6): DataFrame =
+    classifyBlocked(blocking,
+      blockCorpus(blocking, corpus, idCol, vecCol, signBits),
+      batch, idCol, vecCol, threshold, signBits)
+
+  /** [[semanticClassify]] against a PRE-BLOCKED corpus
+    * ([[blockCorpus]]'s output — in-plan, cached, or read back from a
+    * saved [[SemanticIndex]]): per-call cost is the batch's own
+    * assignment plus its (block, sb) collisions — the corpus side is
+    * a plain scan of `cBlocked`, never a re-derivation. Output is
+    * bit-identical to [[semanticClassify]] (SemanticIndexSpec pins
+    * it).
+    */
+  def classifyBlocked(blocking: SemanticBlocking, cBlocked: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double, signBits: Int = 6): DataFrame = {
-    def cellOf(v: Column) =
-      graft.similarity.Similarity.cellColumn(v, blocking.centroids)
-    val reps = blocking.reps
-    val cos = VectorOps.cosineFor(corpus, vecCol)
-    val cCells = corpus.select(col(idCol), col(vecCol))
-      .withColumn("cluster", cellOf(col(vecCol)))
-    // fine assignment shared by BOTH sides: nearest rep of the row's
-    // coarse cell, (dist, rep) ties — batch rows landing in a cell
-    // with no corpus members (hence no reps) drop out here and
-    // surface as 'new' through the final left join
-    def fineFor(side: DataFrame) = side.join(reps, "cluster")
-      .select(col(idCol),
-        call_function("graft_l2sq",
-          col(vecCol).cast("array<float>"), col("repv")).as("d"),
-        col("rep"))
-      .filter(col("d").isNotNull)
-      .groupBy(col(idCol))
-      .agg(min(struct(col("d"), col("rep"))).as("m"))
-      .select(col(idCol), col("m.rep").as("block"))
-    val cBlocked = corpus.select(col(idCol), col(vecCol))
-      .join(fineFor(cCells), idCol)
+    val cos = VectorOps.cosineFor(batch, vecCol)
+    val cBlockedN = cBlocked
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("block"),
-        VectorOps.signBucket(col(vecCol), signBits).as("sb"))
+        col("sb"))
     val bCells = batch.select(col(idCol), col(vecCol))
-      .withColumn("cluster", cellOf(col(vecCol)))
+      .withColumn("cluster",
+        graft.similarity.Similarity.cellColumn(col(vecCol), blocking.centroids))
     val bBlocked = batch.select(col(idCol), col(vecCol))
-      .join(fineFor(bCells), idCol)
+      .join(fineAssign(bCells, blocking.reps, idCol, vecCol), idCol)
       .select(col(idCol).as("bid"), col(vecCol).as("bvec"), col("block"),
         VectorOps.signBucket(col(vecCol), signBits).as("sb"))
-    val matches = bBlocked.join(cBlocked, Seq("block", "sb"))
+    val matches = bBlocked.join(cBlockedN, Seq("block", "sb"))
       .select(col("bid"), col("cid"),
         cos(col("bvec"), col("cvec")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -415,17 +415,19 @@ object TrainingData {
 
   /** STREAMING semantic near-dup classify
     * ([[graft.streaming.SemdedupStream]]): the 10% batch arrives as a
-    * real file stream; the corpus's frozen blocking is built once and
-    * each micro-batch classifies through it inside foreachBatch —
-    * count-free and retrain-free per trigger. Per-vector results are
-    * pure functions of (vector, frozen blocking, corpus), so the
-    * trigger split is invisible and the oracle is
-    * q_semdedup_incremental's SQL VERBATIM. Completes the streaming
-    * side of the incremental-classify trio (exact: q_stream_ingest;
-    * lexical: q_stream_neardup).
+    * real file stream and each micro-batch classifies against the
+    * SAVED [[graft.dedup.SemanticIndex]] (frozen centroids + reps +
+    * the pre-blocked corpus, built once per corpus) inside
+    * foreachBatch — count-free, retrain-free and corpus-rescan-free
+    * per trigger. Per-vector results are pure functions of (vector,
+    * saved index), so the trigger split is invisible and the oracle
+    * is q_semdedup_incremental's SQL VERBATIM. Completes the
+    * streaming side of the incremental-classify trio (exact:
+    * q_stream_ingest; lexical: q_stream_neardup).
     */
   private val qStreamSemdedup: Q = (s, d) =>
-    graft.streaming.SemdedupStream.classifyFile(s, d, threshold = 0.35)
+    graft.streaming.SemdedupStream
+      .classifyFile(s, d, semanticIndexPathFor(s, d))
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("vec_id")
 
@@ -1258,6 +1260,7 @@ object TrainingData {
 
   /** Bench-only query substitutions — see [[graft.SparkEntry.benchQueries]]. */
   private val mhBenchIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val semBenchIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Bench-path override for q_neardup_incremental: the correctness
     * body recomputes the corpus bucket side in-plan so the driver can
@@ -1279,6 +1282,39 @@ object TrainingData {
         "doc_id", "text", shingleK = 5, bands = 16, rowsPerBand = 2), p)
       p
     })
+
+  /** Build+save the semantic corpus index for `d` ONCE per JVM — the
+    * embedding twin of [[minhashIndexPathFor]], shared by the
+    * serve-path bench override and the streaming classifier (same
+    * corpus slice, same frozen blocking, ONE artifact).
+    */
+  private def semanticIndexPathFor(s: SparkSession, d: String): String =
+    semBenchIndexes.getOrElseUpdate(d, {
+      import graft.dedup.SemanticIndex
+      val p = benchScratchDir("graft_semantic_bench")
+      SemanticIndex.save(SemanticIndex.build(
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", threshold = 0.35), p)
+      p
+    })
+
+  /** Bench-path override for q_semdedup_incremental: the correctness
+    * body trains the frozen blocking and re-blocks the corpus in-plan
+    * so the driver can hash-check one self-contained query; a
+    * production ingest serves BOTH from a saved
+    * [[graft.dedup.SemanticIndex]] (built once per corpus — here on
+    * the untimed first call) and pays batch-side assignment plus the
+    * (block, sb) candidate join only.
+    */
+  private val qSemdedupIncrServe: Q = (s, d) => {
+    import graft.dedup.SemanticIndex
+    val idx = SemanticIndex.load(s, semanticIndexPathFor(s, d),
+      "vec_id", "embedding")
+    SemanticIndex.classify(idx,
+      Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0))
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("vec_id")
+  }
 
   private val qNeardupIncrServe: Q = (s, d) => {
     import graft.dedup.MinHashIndex
@@ -1326,10 +1362,12 @@ object TrainingData {
     "q_sim_pq" -> qSimPqServe,
     "q_sim_mrl" -> qSimMrlServe,
     "q_neardup_incremental" -> qNeardupIncrServe,
+    "q_semdedup_incremental" -> qSemdedupIncrServe,
     // same body as the declared query — listed so the bench warm
     // phase pre-builds the index at the target dir and the timed
     // pass prices stream+classify, never the one-time build
     "q_stream_neardup" -> qStreamNeardup,
+    "q_stream_semdedup" -> qStreamSemdedup,
     "q_embed_search_ivf" -> qEmbedSearchIvfServe,
     "q_zorder_prune" -> Analytics.qZorderPruneServe,
     // inverse of the serve overrides above: the correctness body is

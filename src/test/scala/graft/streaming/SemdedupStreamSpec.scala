@@ -31,7 +31,11 @@ class SemdedupStreamSpec extends SparkTestBase {
     val d = dir.getAbsolutePath
     // directory layout + one file per trigger → genuinely multi-batch
     emb.repartition(4).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-    val got = SemdedupStream.classifyFile(spark, d, threshold = 0.35,
+    // the stream serves the SAVED index — build it the way production
+    // (and the bench warm phase) does, on the corpus slice only
+    graft.dedup.SemanticIndex.save(graft.dedup.SemanticIndex.build(
+      corpus, "vec_id", "embedding", threshold = 0.35), s"$d/semidx")
+    val got = SemdedupStream.classifyFile(spark, d, s"$d/semidx",
       maxFilesPerTrigger = Some(1))
       .orderBy("vec_id")
       .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
