@@ -133,7 +133,11 @@ object PqIndex {
   }
 
   /** Load a saved artifact: (codebook, codes). Codebook collect is
-    * bounded by M×K rows.
+    * bounded by M×K rows. The tombstone sidecar (if any) is consulted
+    * HERE — an anti-join on the codes table's id column (the one
+    * column [[encode]] writes besides `codes`), so every ADC scan
+    * over a loaded index sees the post-delete corpus with zero
+    * changes to the probe path.
     */
   def load(spark: org.apache.spark.sql.SparkSession,
       path: String): (Codebook, DataFrame) = {
@@ -145,8 +149,50 @@ object PqIndex {
     rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) =
       r.getSeq[Double](2).toArray)
     val subDim = cents(0)(0).length
-    (Codebook(subDim, cents), spark.read.parquet(s"$path/codes"))
+    val codesRaw = spark.read.parquet(s"$path/codes")
+    val idName = codesRaw.columns.filter(_ != "codes").head
+    val codes = tombstones(spark, path) match {
+      case Some(t) =>
+        codesRaw.join(t, codesRaw(idName) === t("id"), "left_anti")
+      case None => codesRaw
+    }
+    (Codebook(subDim, cents), codes)
   }
+
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] =
+    if (graft.tools.Artifacts.exists(spark, s"$path/tombstones"))
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
+
+  /** Logical delete (takedowns — the maintenance operation [[append]]
+    * cannot express): append the ids to the tombstone sidecar; no
+    * codes/codebook file is touched (spec-asserted). A tombstoned id
+    * can never surface from [[adcScores]]/[[topK]] over a loaded
+    * index; because [[encode]] is per-row pure, delete-then-scan ≡ a
+    * re-encode without the ids at the same codebook (the codebook
+    * itself stays frozen — a RETRAIN would move centroids, same
+    * caveat as [[append]]). Cost ∝ |ids| per call plus |tombstones|
+    * per load; [[compact]] folds the sidecar in on the retrain
+    * cadence.
+    */
+  def delete(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Fold tombstones into the layout: rewrite `codes/` without the
+    * deleted ids (tmp-then-rename — a crash mid-compact leaves the
+    * old layout + sidecar intact), then drop the sidecar. The
+    * codebook stays frozen.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    tombstones(spark, path).foreach { _ =>
+      val (_, codes) = load(spark, path) // tombstone-filtered
+      graft.tools.Artifacts.replaceDir(spark, s"$path/codes", codes)
+      graft.tools.Artifacts.deleteDir(spark, s"$path/tombstones")
+    }
 
   /** Incremental maintenance, the [[IvfIndex.append]] twin: encode
     * ONLY the new vectors against the FROZEN codebook (read from the

@@ -83,6 +83,46 @@ class PqIndexSpec extends SparkTestBase {
     } finally graft.tools.Scratch.deleteRecursively(new java.io.File(dir))
   }
 
+  test("delete tombstones: layout untouched, serve equals re-encode without the ids, compact folds in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_delete").toString
+    try {
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      PqIndex.save(cb, PqIndex.encode(cb, emb, "vec_id", "embedding"), dir)
+      val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+      def serve(): Seq[(Long, Double)] = {
+        val (cbL, codesL) = PqIndex.load(spark, dir)
+        PqIndex.topK(cbL, codesL, emb, "vec_id", "embedding", q, k = 10, c = 50)
+          .as[(Long, Double)].collect().toSeq
+      }
+      def codeFiles() = graft.tools.Scratch.listParquetFiles(s"$dir/codes")
+      val before = codeFiles()
+      val full = serve()
+      assert(full.head._1 == 0L, "self-query should rank itself first")
+
+      // retract the query's own vector plus its runner-up
+      val dead = full.take(2).map(_._1)
+      PqIndex.delete(spark, dir, dead.toDF("vec_id"), "vec_id")
+      assert(codeFiles() == before, "delete touched codes")
+      val after = serve()
+      assert(after.map(_._1).intersect(dead).isEmpty,
+        "tombstoned ids still served")
+      // encode is per-row pure, so delete-then-serve ≡ a re-encode
+      // without the ids at the SAME (frozen) codebook
+      val kept = emb.filter(!$"vec_id".isin(dead: _*))
+      val expect = PqIndex.topK(cb,
+        PqIndex.encode(cb, kept, "vec_id", "embedding"),
+        emb, "vec_id", "embedding", q, k = 10, c = 50)
+        .as[(Long, Double)].collect().toSeq
+      assert(after == expect)
+      assert(after != full, "delete changed nothing — vacuous test")
+
+      PqIndex.compact(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists, "sidecar not dropped")
+      assert(codeFiles() != before, "compact did not rewrite")
+      assert(serve() == after)
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(dir))
+  }
+
   test("plan shape: candidate cut heaps over codes; re-rank is a broadcast semi join") {
     val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
     val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 0)
