@@ -60,6 +60,7 @@ object ScaleRehearsal {
     if (mode == "ivfdrift") println(ivfDriftCheck(spark, dir))
     if (mode == "mediadiag") println(mediaDiag(spark, dir))
     if (mode == "pq") println(pqServeCheck(spark, dir))
+    if (mode == "semidx") println(semanticServeCheck(spark, dir))
     if (mode == "chaincc") println(chainCcCheck(spark,
       sys.env.getOrElse("SPARK_GRAFT_CHAIN_N", "1000000").toLong))
     spark.stop()
@@ -216,7 +217,14 @@ object ScaleRehearsal {
     // and the trained quality gate (12 GD aggregation passes over a
     // 20× feature frame — linear per pass by construction)
     "q_audio_neardup", "q_video_neardup", "q_stream_neardup",
-    "q_quality_trained")
+    "q_quality_trained",
+    // late round-11: the streaming semantic classify now serves the
+    // SAVED SemanticIndex (pre-blocked corpus + frozen reps) — the
+    // row prices stream overhead + per-trigger candidate joins at
+    // 20× index size, the exact q_stream_neardup economics on the
+    // embedding side (the one-time index build lands on the untimed
+    // first call, as in Bench)
+    "q_stream_semdedup")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
@@ -368,6 +376,9 @@ object ScaleRehearsal {
 
     // --- shape check 3b: PQ encode-once serving path ---------------
     sb ++= pqServeCheck(spark, dir)
+
+    // --- shape check 3b': semantic dedup index serve/append --------
+    sb ++= semanticServeCheck(spark, dir)
 
     // --- shape check 3c: drift → retrain-trigger → rebuild ---------
     sb ++= ivfDriftCheck(spark, dir)
@@ -560,6 +571,79 @@ object ScaleRehearsal {
       sb ++= f"- base $nBase vectors: build+save $buildSec%.1f s; Δ $nDelta vectors (${100.0 * nDelta / (nBase + nDelta)}%.1f%%): append $appendSec%.1f s (${100.0 * appendSec / buildSec}%.1f%% of build, min of ${passes.length})\n"
       sb ++= s"- pre-existing corpus files untouched by append: ${if (untouched) "OK" else "VIOLATED"}; new files: ${passes.head._3}\n"
       println(f"[scale] ivf append build=$buildSec%.1fs append=$appendSec%.1fs untouched=$untouched")
+    } finally {
+      graft.tools.Scratch.deleteRecursively(new java.io.File(path))
+    }
+    sb.toString
+  }
+
+  /** Semantic dedup serving index at scale — build-once /
+    * classify-many ([[graft.dedup.SemanticIndex]]): build+save on the
+    * 90% corpus slice, then price (a) the SERVE ratio — classify
+    * through the loaded artifact vs the in-plan
+    * [[graft.dedup.Dedup.semanticIncremental]] that re-trains the
+    * blocking AND re-blocks the corpus per call (the ratio is the
+    * artifact's reason to exist: at 100 TB the in-plan path re-scans
+    * the corpus every batch); (b) the APPEND ratio — Δ assigned
+    * through the frozen halves must cost ~Δ's share of a build, with
+    * the layout proof that no pre-existing corpus file was rewritten;
+    * (c) the drift observables (occupancy buckets, skewRatio) on the
+    * loaded index — the retrain trigger wired to the dedup blocking.
+    */
+  def semanticServeCheck(spark: SparkSession, dir: String): String = {
+    import graft.dedup.{Dedup, SemanticIndex}
+    Bench.scrub(spark)
+    val sb = new StringBuilder
+    sb ++= "\n## Semantic dedup serving index at scale (build-once / classify-many)\n\n"
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft_semidx_scale")
+      .toAbsolutePath.toString
+    try {
+      val t0 = System.nanoTime()
+      SemanticIndex.save(
+        SemanticIndex.build(corpus, "vec_id", "embedding", 0.35), path)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      // serve: load + classify the 10% batch (min of 2 — load is part
+      // of the serve price, a fresh JVM pays it once per job)
+      val serveSec = (0 until 2).map { _ =>
+        val t1 = System.nanoTime()
+        SemanticIndex.classify(
+          SemanticIndex.load(spark, path, "vec_id", "embedding"), batch).count()
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      // the in-plan path the artifact replaces: retrain + re-block +
+      // classify, all per call (one pass — it IS the expensive arm)
+      val t2 = System.nanoTime()
+      Dedup.semanticIncremental(corpus, batch, "vec_id", "embedding", 0.35)
+        .count()
+      val inplanSec = (System.nanoTime() - t2) / 1e9
+      sb ++= f"- build+save (amortized once per corpus): $buildSec%.1f s\n"
+      sb ++= f"- classify 10%% batch through the loaded artifact: $serveSec%.2f s (min of 2) vs in-plan retrain+re-block+classify $inplanSec%.2f s → serve = ${100.0 * serveSec / inplanSec}%.0f%% of in-plan\n"
+      // append: frozen-structure Δ ingest on a byte-identical copy
+      // per pass (append mutates; the ivfAppendCheck protocol)
+      val before = graft.tools.Scratch.listParquetFiles(s"$path/corpus")
+      val passes = (0 until 2).map { _ =>
+        val p2 = java.nio.file.Files.createTempDirectory("graft_semidx_append")
+          .toAbsolutePath.toString
+        try {
+          graft.tools.Scratch.copyRecursively(path, p2)
+          val t3 = System.nanoTime()
+          SemanticIndex.append(spark, p2, batch, "vec_id", "embedding")
+          val t = (System.nanoTime() - t3) / 1e9
+          val after = graft.tools.Scratch.listParquetFiles(s"$p2/corpus")
+          (t, before.forall { case (f, sz) => after.get(f).contains(sz) })
+        } finally graft.tools.Scratch.deleteRecursively(new java.io.File(p2))
+      }
+      sb ++= f"- append the 10%% Δ at the frozen halves: ${passes.map(_._1).min}%.2f s (${100.0 * passes.map(_._1).min / buildSec}%.0f%% of build, min of ${passes.length}); pre-existing corpus files untouched: ${if (passes.forall(_._2)) "OK" else "VIOLATED"}\n"
+      val idx = SemanticIndex.load(spark, path, "vec_id", "embedding")
+      val nBuckets = SemanticIndex.occupancy(idx).count()
+      val ratio = SemanticIndex.skewRatio(idx)
+      sb ++= f"- drift observables on the loaded index: $nBuckets candidate buckets, skewRatio (maxBucket/blockSize) $ratio%.2f — <= ~1 is at design size; retrain past the 2-4 band (the IvfIndex cadence)\n"
+      println(f"[scale] semidx build=$buildSec%.1fs serve=$serveSec%.2fs inplan=$inplanSec%.2fs skew=$ratio%.2f")
     } finally {
       graft.tools.Scratch.deleteRecursively(new java.io.File(path))
     }

@@ -184,18 +184,22 @@ object SemanticIndex {
     index.corpusBlocked.groupBy(col("block"), col("sb"))
       .agg(count(lit(1)).as("n"))
 
-  /** Balance diagnostic over [[occupancy]]: maxBucket / mean — 1.0 ≈
-    * uniform quota blocks; climbing under appends means some frozen
-    * block is absorbing the drift and its verify fan-out (and recall:
-    * a bloated block's rep no longer describes its members) degrades.
-    * Same retrain band as [[graft.similarity.IvfIndex.skewRatio]]
-    * (2–4). Bounded: one aggregate over the occupancy.
+  /** Drift diagnostic over [[occupancy]]: maxBucket / blockSize —
+    * the design guarantee is "expected bucket ≈ blockSize" (the quota
+    * construction), so ≤ ~1 is healthy and the sb subdivision
+    * typically keeps it below. NOT max/mean (IvfIndex's gauge): the
+    * sign-bucket split leaves many small buckets, so the mean is not
+    * the design target here — blockSize is. Climbing under appends
+    * means some frozen block is absorbing the drift: its verify
+    * fan-out grows as C(n, batch-hits) and its rep no longer
+    * describes its members (recall). Retrain when it crosses the 2–4
+    * band, the [[graft.similarity.IvfIndex.skewRatio]] cadence.
+    * Bounded: one aggregate over the occupancy.
     */
   def skewRatio(index: Index): Double = {
     val occ = occupancy(index).agg(
-      max(col("n")).cast("double").as("mx"),
-      avg(col("n")).as("mean")).collect()(0)
-    val mean = occ.getDouble(1)
-    if (mean == 0.0) 0.0 else occ.getDouble(0) / mean
+      max(col("n")).cast("double").as("mx")).collect()(0)
+    if (occ.isNullAt(0)) 0.0
+    else occ.getDouble(0) / index.blocking.blockSize
   }
 }

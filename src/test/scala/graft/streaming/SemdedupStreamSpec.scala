@@ -44,5 +44,20 @@ class SemdedupStreamSpec extends SparkTestBase {
     // its original is 1, so both MUST classify near_dup
     val byId = got.map(r => r._1 -> r).toMap
     assert(byId(40L)._2 == "near_dup" && byId(50L)._2 == "near_dup")
+
+    // tombstone honoring (the NeardupStreamSpec symmetry): retract
+    // every id the stream resolved to — the next stream over the SAME
+    // saved index must never serve them as dup_of
+    val dead = got.flatMap(_._3).distinct
+    assert(dead.nonEmpty)
+    graft.dedup.SemanticIndex.delete(spark, s"$d/semidx",
+      dead.toDF("vec_id"), "vec_id")
+    val afterDelete = SemdedupStream.classifyFile(spark, d, s"$d/semidx",
+      maxFilesPerTrigger = Some(1))
+      .orderBy("vec_id")
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(afterDelete.flatMap(_._3).intersect(dead).isEmpty,
+      "stream served a tombstoned id")
+    assert(afterDelete != got, "delete changed nothing — vacuous")
   }
 }
