@@ -146,6 +146,40 @@ object MinHashIndex {
     delta.shingles.write.mode("append").parquet(s"$path/shingles")
   }
 
+  /** Bucket-occupancy view: (band_idx, band_hash, n) over the LSH
+    * bucket table — the observable that drives classify COST for the
+    * lexical index: a probe doc pays the population of every bucket
+    * it collides with (candidate generation is the bucket join;
+    * exact-Jaccard verify work is the sum of its buckets'
+    * populations). One aggregate over the bucket side; the RESULT is
+    * distinct-bucket-sized, so read it through [[skewRatio]] or a
+    * top-N, never a collect. Completes observability parity across
+    * the serving indexes ([[graft.similarity.IvfIndex.occupancy]] /
+    * `SemanticIndex.occupancy` are the vector twins).
+    */
+  def occupancy(index: Index): DataFrame =
+    index.buckets.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Hot-bucket diagnostic over [[occupancy]]: max bucket population
+    * / mean — ≈1 is the uniform-hash ideal; a climbing ratio means
+    * some bucket's verify cost dominates any probe that lands in it
+    * (boilerplate-heavy corpora produce exactly this). Unlike IVF
+    * there is NO retrain lever — the hash family is
+    * corpus-independent, so the mitigations are a per-bucket
+    * candidate cap (the `maxBucket` pattern [[Dedup.simhashNearDups]]
+    * uses) or tighter banding; this ratio is what tells an operator
+    * to reach for one BEFORE a daily batch stalls on a mega-bucket.
+    * Bounded: one two-value aggregate over [[occupancy]].
+    */
+  def skewRatio(index: Index): Double = {
+    val occ = occupancy(index).agg(
+      max(col("n")).cast("double").as("mx"),
+      avg(col("n")).as("mean")).collect()(0)
+    if (occ.isNullAt(1) || occ.getDouble(1) == 0.0) 0.0
+    else occ.getDouble(0) / occ.getDouble(1)
+  }
+
   /** Classify a batch against the indexed corpus — identical
     * semantics to [[Dedup.minhashIncremental]] with the corpus side
     * served from the saved layout (Dedup.classifyAgainst is the one

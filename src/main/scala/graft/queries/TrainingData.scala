@@ -1178,16 +1178,24 @@ object TrainingData {
     p.toAbsolutePath.toString
   }
 
+  /** Build+save the IVF index over `d`'s embeddings ONCE per JVM —
+    * shared by the single-query serve override and the streaming
+    * probe (same corpus, same 16-cell layout, ONE artifact; the
+    * minhash/semantic index precedent applied to retrieval).
+    */
   private val ivfBenchIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
-  private val qSimIvfServe: Q = (s, d) => {
-    import graft.similarity.IvfIndex
-    val path = ivfBenchIndexes.getOrElseUpdate(d, {
+  private def ivfIndexPathFor(s: SparkSession, d: String): String =
+    ivfBenchIndexes.getOrElseUpdate(d, {
+      import graft.similarity.IvfIndex
       val p = benchScratchDir("graft_ivf_bench")
       IvfIndex.save(IvfIndex.build(Tables.embeddings(s, d), "vec_id", "embedding",
         nCentroids = 16, iters = 2), p)
       p
     })
-    val idx = IvfIndex.load(s, path, "vec_id", "embedding")
+
+  private val qSimIvfServe: Q = (s, d) => {
+    import graft.similarity.IvfIndex
+    val idx = IvfIndex.load(s, ivfIndexPathFor(s, d), "vec_id", "embedding")
     IvfIndex.topK(idx, queryVec(s, d), k = 10, nProbe = 8)
       .withColumn("cosine", round(col("cosine"), 6))
   }
@@ -1343,6 +1351,90 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** STREAMING ANN serving ([[graft.streaming.AnnStream]]): the 5%
+    * query slice (vec_id % 20 == 0) arrives as a real file stream and
+    * each micro-batch probes the SAVED IVF index inside foreachBatch
+    * via the batched [[graft.similarity.IvfIndex.probeJoin]] —
+    * retrieval's streaming member, completing the battery (exact:
+    * q_stream_ingest; lexical: q_stream_neardup; semantic:
+    * q_stream_semdedup; this one ANSWERS queries instead of
+    * classifying ingest). Per-query answers depend only on (query
+    * vector, frozen index), so the trigger split is invisible
+    * (AnnStreamSpec pins stream ≡ batch).
+    *
+    * Output contract is the ANN family's (q_sim_ivf/pq/mrl): the
+    * query RUNS the streamed probe, gates MEAN recall@10 across the
+    * streamed queries ≥ 0.8 against the exact scan, then emits the
+    * exact per-query ranking — hash-checkable, so a serving-recall
+    * regression fails the driver gate loudly. nProbe = 10/16 (the
+    * single-query ANN rows use 8): a 100-query MEAN on near-random
+    * vectors sits at 0.799 with 8 probes at sf0.1 — the one extra
+    * headroom step keeps the gate honest instead of lowering it.
+    */
+  private val qStreamAnn: Q = (s, d) => {
+    import graft.functions.{TopKAgg, VectorOps}
+    val ann = graft.streaming.AnnStream.probeFile(s, d, ivfIndexPathFor(s, d),
+      k = 10, nProbe = 10)
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // exact per-query top-10: probe side broadcast, native cosine
+    // kernel, TopKAgg bounded map-side combine (the q_knn_join shape)
+    val exact = corpus.join(broadcast(probes))
+      .withColumn("cos", VectorOps.cosine(col("qvec"), col("cvec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topK(10)(col("cos"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("hit._2").as("cid"), round(col("hit._1"), 6).as("cosine"))
+    // both counts bounded: nQueries × 10 rows each side
+    val nQ = probes.count()
+    val hits = ann.select(col("query_id").as("qid"), col("vec_id").as("cid"))
+      .join(exact.select(col("qid"), col("cid")), Seq("qid", "cid")).count()
+    val recall = if (nQ == 0) 1.0 else hits.toDouble / (nQ * 10.0)
+    require(recall >= 0.8,
+      s"streamed IVF mean recall@10 = $recall < 0.8 (nProbe=10/16) — " +
+        "serving quality regressed")
+    exact.orderBy("qid", "rk")
+  }
+
+  /** Exact restatement of the streamed-ANN emit — q_knn_join's
+    * dialect with the streamed slice as the probe set and the FULL
+    * corpus (self included: a query's rank-1 is itself at cosine 1)
+    * as the candidate side.
+    */
+  private val qStreamAnnSql =
+    """WITH p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT qid, cid,
+      |    list_sum(list_transform(list_zip(qv, cv),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos
+      |  FROM p CROSS JOIN c),
+      |ranked AS (
+      |  SELECT qid, cid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM scored WHERE cos IS NOT NULL)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, cid, round(cos, 6) AS cosine
+      |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** Bench-path override for q_stream_ann: the streamed probe ALONE —
+    * the correctness body additionally runs the exact scan and the
+    * recall gate so the driver can hash-check it; this times what a
+    * serving pipeline pays per trigger (stream read + batched probe
+    * of the prebuilt index).
+    */
+  private val qStreamAnnServe: Q = (s, d) =>
+    graft.streaming.AnnStream.probeFile(s, d, ivfIndexPathFor(s, d),
+      k = 10, nProbe = 10)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rk")
+
   /** Bench-path override for q_sim_mrl: the two-stage prefix-cut +
     * exact re-rank ALONE — the correctness body additionally runs
     * the full exact scan and a recall gate so the driver can
@@ -1368,6 +1460,7 @@ object TrainingData {
     // pass prices stream+classify, never the one-time build
     "q_stream_neardup" -> qStreamNeardup,
     "q_stream_semdedup" -> qStreamSemdedup,
+    "q_stream_ann" -> qStreamAnnServe,
     "q_embed_search_ivf" -> qEmbedSearchIvfServe,
     "q_zorder_prune" -> Analytics.qZorderPruneServe,
     // inverse of the serve overrides above: the correctness body is
@@ -2315,6 +2408,7 @@ object TrainingData {
     "q_neardup_incremental" -> qNeardupIncr,
     "q_stream_neardup" -> qStreamNeardup,
     "q_stream_semdedup" -> qStreamSemdedup,
+    "q_stream_ann" -> qStreamAnn,
     "q_dedup_audit" -> qDedupAudit,
     "q_simhash" -> qSimhash,
     "q_simhash_near" -> qSimhashNear,
@@ -2397,6 +2491,7 @@ object TrainingData {
     // same trio logic for the semantic member: stream ≡ batch by
     // per-vector purity, ONE oracle
     "q_stream_semdedup" -> qSemdedupIncrSql,
+    "q_stream_ann" -> qStreamAnnSql,
     "q_dedup_audit" -> qDedupAuditSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_near" -> qSimhashNearSql,

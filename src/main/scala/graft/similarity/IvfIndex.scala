@@ -203,6 +203,74 @@ object IvfIndex {
       .map(_.getLong(1)).sum.toDouble / total
   }
 
+  /** Batched probe — the online-serving twin of [[topK]]: classify a
+    * bounded micro-batch of queries against the index in ONE
+    * distributed plan instead of a driver-side loop per query (the
+    * loop would serialize nQueries jobs; a retrieval service answers
+    * a trigger's worth of queries together).
+    *
+    * Shape at scale: the query side is trigger-bounded and rides as a
+    * BROADCAST — first against the nCentroids-row centroid table
+    * (per-query nProbe cell cut, batch×nCentroids rows, window
+    * ranked), then against the corpus scan. The union of probed cells
+    * (≤ nCentroids values, bounded collect) is applied as a STATIC
+    * `isin` before the join, so on a loaded index the scan still
+    * prunes non-probed cells at the partition level (spec-asserted
+    * via PartitionFilters, same guard as the single-query path); the
+    * per-query restriction then rides the broadcast-hash join on
+    * `cell`. Scoring is the fused native cosine kernel and the
+    * per-query top-k is [[graft.functions.TopKAgg]] — at most k rows
+    * per (query, partition) reach the shuffle, never the full
+    * probed-cells × batch score matrix.
+    *
+    * Per-query results are a pure function of (query vector, frozen
+    * index) — cell distances replay [[Similarity.nearestCentroids]]'
+    * exact fold order and (distance, cell) tie rule, scoring and the
+    * (cosine desc, id) tie rule replay [[topK]] — so batching (and
+    * any micro-batch split of a stream) is invisible: probeJoin of a
+    * union ≡ union of probeJoins ≡ per-query [[topK]] (spec-pinned).
+    *
+    * Output: (query_id, rk, <idCol>, cosine), rk 1-based by
+    * (cosine desc, id asc) within each query.
+    */
+  def probeJoin(index: Index, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = index.corpus.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("pcell", "pcentroid")
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))
+    // replay Similarity.nearestCell's fold exactly: d accumulates
+    // (centroid(i) - query(i))^2 left-to-right from 0.0
+    val d2 = aggregate(
+      zip_with(col("pcentroid"), col("qvec"),
+        (b, a) => (b - a.cast("double")) * (b - a.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("pcell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("pcell").as("cell"), col("qvec"))
+    // bounded collect (≤ nCentroids ints): the static partition cut
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned =
+      if (cells.isEmpty) index.corpus.filter(lit(false)) // empty trigger
+      else index.corpus.filter(col("cell").isin(cells: _*))
+    val cos = VectorOps.cosineFor(index.corpus, index.vecCol)
+    val scored = pruned.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col(index.idCol),
+        cos(col(index.vecCol), col("qvec")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("cosine"), col(index.idCol)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("hit._2").as(index.idCol), col("hit._1").as("cosine"))
+  }
+
   /** Approximate top-k: scan only the nProbe cells nearest the query.
     * On a loaded index the `cell` predicate is a partition filter —
     * non-probed cells are never read.

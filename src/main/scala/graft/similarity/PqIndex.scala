@@ -77,6 +77,44 @@ object PqIndex {
     emb.select(col(idCol), codeU(col(vecCol)).as("codes"))
   }
 
+  /** Code-usage view of a stored codes table: (subspace, code, n) for
+    * every OCCUPIED (subspace, code) pair — the codebook-utilization
+    * observable that drives the PQ retrain decision, completing
+    * observability parity across the serving indexes
+    * ([[IvfIndex.occupancy]] / `SemanticIndex.occupancy` /
+    * `MinHashIndex.occupancy` are the blocking twins). A codebook
+    * trained on yesterday's mixture quantizes drifted data into FEW
+    * hot codes (the rest go dead), which collapses ADC's score
+    * resolution — many distinct vectors share one reconstruction, so
+    * the candidate cut degrades exactly like a bloated IVF cell
+    * degrades a probe. Output bounded by m×k rows; one aggregate over
+    * the codes scan.
+    */
+  def codeUsage(codes: DataFrame): DataFrame =
+    codes.select(posexplode(col("codes")).as(Seq("subspace", "code")))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Drift diagnostic over [[codeUsage]]: worst per-subspace
+    * (max code population / k-uniform mean). Every subspace assigns
+    * each row exactly one code, so the uniform mean is nRows/k and the
+    * ratio is maxN·k/nRows — ≈1–2 on a codebook that still describes
+    * the data, climbing as drifted appends pile into few codes.
+    * Production cadence mirrors [[IvfIndex.skewRatio]]: append
+    * ([[append]]) while the ratio holds, retrain ([[train]] + a
+    * re-[[encode]]) when it crosses the caller's band. Bounded: one
+    * aggregate over the m×k-row usage.
+    */
+  def skewRatio(cb: Codebook, codes: DataFrame): Double = {
+    val agg = codeUsage(codes)
+      .agg(max(col("n")).cast("double").as("mx"), sum(col("n")).as("total"))
+      .collect()(0)
+    if (agg.isNullAt(0) || agg.getLong(1) == 0L) 0.0
+    // total counts every row once PER SUBSPACE: per-subspace rows =
+    // total/m, uniform mean = total/(m·k)
+    else agg.getDouble(0) * cb.m * cb.k / agg.getLong(1).toDouble
+  }
+
   /** ADC approximate cosine per code row: Σ_s dot(q_s, c_{s,code}) /
     * (|q| · sqrt(Σ_s |c_{s,code}|²)). Numerator AND the corpus-norm
     * approximation both come from per-query M×K tables — the scan

@@ -147,6 +147,41 @@ class MinHashIndexSpec extends SparkTestBase {
     assert(classifyNow() == afterDelete)
   }
 
+  test("occupancy totals the bucket side; skewRatio surfaces a planted mega-bucket") {
+    val idx = MinHashIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 2)
+    val occ = MinHashIndex.occupancy(idx).collect()
+    assert(occ.map(_.getLong(2)).sum == idx.buckets.count(),
+      "occupancy must partition the bucket rows exactly")
+    assert(occ.forall(_.getLong(2) >= 1))
+    val base = MinHashIndex.skewRatio(idx)
+    assert(base >= 1.0, s"max/mean cannot be < 1, got $base")
+
+    // a boilerplate flood: 40 exact copies of one doc share EVERY
+    // band key, so each of its buckets becomes a mega-bucket — the
+    // verify-cost hazard the observable exists to flag
+    val copies = (1000L until 1040L).map(i => (i, doc(0)._2))
+      .toDF("doc_id", "text")
+    val flooded = MinHashIndex.build(corpus.union(copies), "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 2)
+    // exact copies share every band key: all 41 land in one bucket
+    // per band — deterministic, whatever the rest of the corpus does
+    val maxBase = MinHashIndex.occupancy(idx)
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    val maxFlooded = MinHashIndex.occupancy(flooded)
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(maxFlooded >= 41 && maxBase < 41,
+      s"planted mega-bucket invisible: base max=$maxBase flooded max=$maxFlooded")
+    assert(MinHashIndex.skewRatio(flooded) > base,
+      "the flood must also move the max/mean diagnostic")
+
+    // empty index: defined, zero (not NaN / NPE)
+    val empty = MinHashIndex.build(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 2)
+    assert(MinHashIndex.skewRatio(empty) == 0.0)
+  }
+
   test("docs below the shingle size are excluded from both index sides") {
     val mixed = corpus.union(Seq((999L, "too short")).toDF("doc_id", "text"))
     val idx = MinHashIndex.build(mixed, "doc_id", "text",

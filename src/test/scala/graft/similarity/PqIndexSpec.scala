@@ -123,6 +123,33 @@ class PqIndexSpec extends SparkTestBase {
     } finally graft.tools.Scratch.deleteRecursively(new java.io.File(dir))
   }
 
+  test("codeUsage is m*k-bounded and exhaustive; skewRatio climbs under drifted appends") {
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val codes = PqIndex.encode(cb, emb, "vec_id", "embedding")
+    val usage = PqIndex.codeUsage(codes).collect()
+    assert(usage.length <= 8 * 16, "usage must be code-domain-sized, not corpus-sized")
+    assert(usage.map(_.getLong(2)).sum == codes.count() * 8,
+      "every row contributes exactly one code per subspace")
+    val base = PqIndex.skewRatio(cb, codes)
+    assert(base >= 1.0, s"max/mean cannot be < 1, got $base")
+
+    // drifted Δ at the FROZEN codebook: constant vectors all quantize
+    // to one code per subspace — the hot-code collapse the observable
+    // exists to flag before ADC resolution degrades
+    val n = emb.count()
+    val drifted = (0L until 3 * n).map(i => (100000L + i, Seq.fill(64)(9.0f)))
+      .toDF("vec_id", "embedding")
+    val driftedCodes = codes.union(
+      PqIndex.encode(cb, drifted, "vec_id", "embedding"))
+    val skew = PqIndex.skewRatio(cb, driftedCodes)
+    assert(skew > base * 2,
+      s"hot-code pileup invisible: base=$base drifted=$skew")
+
+    // empty codes table: defined, zero (not NaN / NPE)
+    assert(PqIndex.skewRatio(cb,
+      codes.filter($"vec_id" < 0)) == 0.0)
+  }
+
   test("plan shape: candidate cut heaps over codes; re-rank is a broadcast semi join") {
     val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
     val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 0)
