@@ -224,7 +224,15 @@ object ScaleRehearsal {
     // 20× index size, the exact q_stream_neardup economics on the
     // embedding side (the one-time index build lands on the untimed
     // first call, as in Bench)
-    "q_stream_semdedup")
+    "q_stream_semdedup",
+    // streaming ANN serving: per-trigger batched probe of the saved
+    // IVF index at 20× corpus AND 20× query count — the correctness
+    // body's exact scan + recall gate runs too (the q_sim_mrl
+    // precedent: the row must prove cost AND quality scaling; the
+    // probe side grows as queries × probed-cell occupancy, the exact
+    // side as queries × corpus — the honest quadratic the gate pays,
+    // which is why production serves probeJoin, not the gate)
+    "q_stream_ann")
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
