@@ -1389,6 +1389,10 @@ object TrainingData {
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
         col("hit._2").as("cid"), round(col("hit._1"), 6).as("cosine"))
+      // materialize the nQ×10 result ONCE: the gate's hits join below
+      // AND the returned emit both consume it — without the snapshot
+      // the queries × corpus exact scan runs twice
+      .localCheckpoint()
     // both counts bounded: nQueries × 10 rows each side
     val nQ = probes.count()
     val hits = ann.select(col("query_id").as("qid"), col("vec_id").as("cid"))

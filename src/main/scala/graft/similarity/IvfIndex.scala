@@ -229,9 +229,17 @@ object IvfIndex {
     * (cosine desc, id) tie rule replay [[topK]] — so batching (and
     * any micro-batch split of a stream) is invisible: probeJoin of a
     * union ≡ union of probeJoins ≡ per-query [[topK]] (spec-pinned).
+    * One deliberate divergence: zero-norm corpus vectors (null
+    * cosine) are never answers here — [[topK]]'s `orderBy desc`
+    * sorts them last and only surfaces them when a probed cell has
+    * fewer than k scoreable candidates; a retrieval answer with no
+    * defined similarity is noise, so this path filters them (the
+    * q_knn_join convention). On corpora without zero-norm vectors —
+    * every real embedding table — the equivalence is exact.
     *
     * Output: (query_id, rk, <idCol>, cosine), rk 1-based by
-    * (cosine desc, id asc) within each query.
+    * (cosine desc, id asc) within each query; idCol must be integral
+    * (the TopKAgg (score, id) contract).
     */
   def probeJoin(index: Index, queries: DataFrame, qIdCol: String,
       qVecCol: String, k: Int, nProbe: Int = 4): DataFrame = {

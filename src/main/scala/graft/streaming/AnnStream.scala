@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * (query vector, frozen index) — never on other in-flight queries —
   * so the union of per-trigger outputs IS the one-shot batched probe
   * (AnnStreamSpec pins it across a forced multi-trigger run).
-  * Tombstoned corpus ids are filtered by `IvfIndex.load`, so a
-  * takedown is invisible to the stream the moment the sidecar row
-  * lands.
+  * Tombstoned corpus ids are filtered by `IvfIndex.load`, which runs
+  * ONCE at stream start: the index — tombstone set included — is a
+  * per-run snapshot, so a takedown landing before the run is
+  * invisible throughout it, and one landing MID-run takes effect at
+  * the next [[probeFile]] call (restart the stream on the takedown
+  * cadence; re-loading per trigger would re-read the sidecar and
+  * centroids every few seconds for a set that changes daily).
   *
   * No state store, no watermark: the per-trigger top-k is a BATCH
   * aggregation over one trigger's queries — nothing carries across
@@ -36,32 +40,17 @@ object AnnStream {
     * eagerly snapshotted, so the scratch sink is gone by return.
     */
   def probeFile(spark: SparkSession, dir: String, indexPath: String,
-      k: Int, nProbe: Int, statePartitions: Int = 8,
+      k: Int, nProbe: Int, shufflePartitions: Int = 8,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val idx = graft.similarity.IvfIndex.load(spark, indexPath,
       "vec_id", "embedding")
     val src = EventSource.streamTable(spark, dir, "embeddings", maxFilesPerTrigger)
       .filter(col("vec_id") % 20 === 0)
       .select(col("vec_id"), col("embedding"))
-    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_ann")
-      .toAbsolutePath.toString
-    try {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      try {
-        val q = src.writeStream
-          .option("checkpointLocation", s"$scratch/ckpt")
-          .foreachBatch { (mb: DataFrame, _: Long) =>
-            graft.similarity.IvfIndex
-              .probeJoin(idx, mb, "vec_id", "embedding", k, nProbe)
-              .write.mode("append").parquet(s"$scratch/out")
-          }
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      // eager: the scratch sink is deleted on exit, so the returned
-      // rows must not reference it (the q_compact lifetime pattern)
-      spark.read.parquet(s"$scratch/out").localCheckpoint()
-    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(scratch))
+    MicroBatchHarness.run(spark, src, "graft_stream_ann",
+      shufflePartitions) { mb =>
+      graft.similarity.IvfIndex.probeJoin(idx, mb, "vec_id", "embedding",
+        k, nProbe)
+    }
   }
 }

@@ -43,25 +43,9 @@ object NeardupStream {
     val src = EventSource.streamTable(spark, dir, "documents", maxFilesPerTrigger)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
-    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_neardup")
-      .toAbsolutePath.toString
-    try {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      try {
-        val q = src.writeStream
-          .option("checkpointLocation", s"$scratch/ckpt")
-          .foreachBatch { (mb: DataFrame, _: Long) =>
-            graft.dedup.MinHashIndex
-              .classify(idx, mb, "doc_id", "text", threshold)
-              .write.mode("append").parquet(s"$scratch/out")
-          }
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      // eager: the scratch sink is deleted on exit, so the returned
-      // rows must not reference it (the q_compact lifetime pattern)
-      spark.read.parquet(s"$scratch/out").localCheckpoint()
-    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(scratch))
+    MicroBatchHarness.run(spark, src, "graft_stream_neardup",
+      statePartitions) { mb =>
+      graft.dedup.MinHashIndex.classify(idx, mb, "doc_id", "text", threshold)
+    }
   }
 }

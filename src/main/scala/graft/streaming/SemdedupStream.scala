@@ -45,26 +45,12 @@ object SemdedupStream {
     val src = EventSource.streamTable(spark, dir, "embeddings", maxFilesPerTrigger)
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"), col("embedding"))
-    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_semdedup")
-      .toAbsolutePath.toString
-    try {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      try {
-        val q = src.writeStream
-          .option("checkpointLocation", s"$scratch/ckpt")
-          .foreachBatch { (mb: DataFrame, _: Long) =>
-            graft.dedup.SemanticIndex.classify(idx, mb)
-              .write.mode("append").parquet(s"$scratch/out")
-          }
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      spark.read.parquet(s"$scratch/out").localCheckpoint()
-    } finally {
+    try
+      MicroBatchHarness.run(spark, src, "graft_stream_semdedup",
+        statePartitions)(mb => graft.dedup.SemanticIndex.classify(idx, mb))
+    finally {
       idx.blocking.reps.unpersist()
       idx.corpusBlocked.unpersist()
-      graft.tools.Scratch.deleteRecursively(new java.io.File(scratch))
     }
   }
 }
