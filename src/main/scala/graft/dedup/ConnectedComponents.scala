@@ -196,11 +196,14 @@ object ConnectedComponents {
     * a driver bound the O(log n) distributed rounds are pure overhead
     * — 6-8 join+snapshot rounds at ~0.4 s each against a ≤10^4-edge
     * graph (the media-neardup profile, VERDICT r10 "what's wrong"
-    * #3). Below `maxLocalEdges` (default 2^20 ≈ 16 MB of id pairs —
-    * the same order as a broadcast-join threshold, and counted BEFORE
-    * collecting, never assumed) this collects the canonical edge set
-    * and runs exact union-find with min-id labels; above it — or for
-    * non-integral id types — it is [[componentsAlternatingReleasable]]
+    * #3). Below `maxLocalEdges` (default 2^20; the edge PAIRS stream
+    * through a partition-at-a-time primitive iterator, so the
+    * resident driver cost is the union-find map — a boxed-Long
+    * HashMap of up to 2·2^20 entries, order 100-200 MB worst case,
+    * sized to a driver that also holds broadcast joins; the bound is
+    * counted BEFORE collecting, never assumed) this runs exact
+    * union-find with min-id labels; above it — or for non-integral id
+    * types — it is [[componentsAlternatingReleasable]]
     * unchanged. Identical output by construction: components are
     * components, labels are the component minimum either way.
     */
@@ -241,6 +244,7 @@ object ConnectedComponents {
   private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
       canon: DataFrame,
       dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import spark.implicits._
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -249,16 +253,22 @@ object ConnectedComponents {
       while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
       r
     }
-    canon.collect().foreach { row =>
-      val u = row.get(0).asInstanceOf[Number].longValue
-      val v = row.get(1).asInstanceOf[Number].longValue
+    // stream the edges partition-at-a-time as primitive pairs
+    // (toLocalIterator over a typed Dataset) instead of collect()ing
+    // an edge-count-sized GenericRow array: at the 2^20 bound the
+    // transient driver footprint is one partition of (Long, Long)
+    // tuples plus the union-find map, not ~1M Rows (ADVICE r11)
+    val it = canon
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].toLocalIterator()
+    while (it.hasNext) {
+      val (u, v) = it.next()
       parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
       val (ru, rv) = (find(u), find(v))
       // union toward the SMALLER root: the root stays the component
       // min, so no second min-label pass is needed
       if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
     }
-    import spark.implicits._
     val labels = parent.keySet.iterator
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     while (labels.hasNext) { val id: Long = labels.next(); rows += ((id, find(id))) }

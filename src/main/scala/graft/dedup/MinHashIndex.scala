@@ -113,21 +113,21 @@ object MinHashIndex {
       .write.mode("append").parquet(s"$path/tombstones")
 
   /** Fold the tombstone sidecar into the layout: rewrite buckets and
-    * shingles without the deleted ids (tmp-then-rename, so a crash
-    * mid-compact leaves the old layout + sidecar intact), then drop
-    * the sidecar. Run on the same cadence as an IVF retrain — between
-    * compactions deletes stay O(|ids|).
+    * shingles without the deleted ids, then remove THOSE ids from the
+    * sidecar. The tombstone set is SNAPSHOTTED once (localCheckpoint)
+    * before any rewrite (ADVICE r11): both rewrites filter against
+    * the same frozen set — never two different reads of a sidecar a
+    * concurrent delete() may be appending to — and a delete landing
+    * mid-compact SURVIVES in the sidecar instead of being silently
+    * resurrected. Each directory swap is rename-aside
+    * ([[graft.tools.Artifacts.replaceDir]]); a crash mid-compact
+    * leaves a complete old or new layout per directory plus the
+    * sidecar, so no delete is ever lost. Run on the same cadence as
+    * an IVF retrain — between compactions deletes stay O(|ids|).
     */
   def compact(spark: SparkSession, path: String, idCol: String): Unit =
-    tombstones(spark, path).foreach { _ =>
-      // already tombstone-filtered; replaceDir writes the filtered
-      // rows to a tmp sibling BEFORE touching the source files, so
-      // the lazy scans here read the intact old layout
-      val idx = load(spark, path, idCol)
-      graft.tools.Artifacts.replaceDir(spark, s"$path/buckets", idx.buckets)
-      graft.tools.Artifacts.replaceDir(spark, s"$path/shingles", idx.shingles)
-      graft.tools.Artifacts.deleteDir(spark, s"$path/tombstones")
-    }
+    graft.tools.Artifacts.foldTombstones(spark, path,
+      Seq(("buckets", idCol, Nil), ("shingles", idCol, Nil)))
 
   /** Incremental maintenance: band + shingle ONLY the new docs under
     * the saved params and append their rows — cost ∝ |newDocs|, no

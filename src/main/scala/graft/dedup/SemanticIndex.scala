@@ -131,18 +131,16 @@ object SemanticIndex {
       .write.mode("append").parquet(s"$path/tombstones")
 
   /** Fold tombstones into the layout: rewrite `corpus/` without the
-    * deleted ids (tmp-then-rename — a crash mid-compact leaves the
-    * old layout + sidecar intact), then drop the sidecar. Centroids
-    * and reps stay frozen.
+    * deleted ids, remove those ids from the sidecar. The tombstone
+    * set is snapshotted once before the rewrite and deletes landing
+    * mid-compact survive in the sidecar
+    * ([[graft.tools.Artifacts.foldTombstones]], ADVICE r11).
+    * Centroids and reps stay frozen.
     */
   def compact(spark: SparkSession, path: String, idCol: String,
       vecCol: String): Unit =
-    tombstones(spark, path).foreach { _ =>
-      val idx = load(spark, path, idCol, vecCol) // tombstone-filtered
-      graft.tools.Artifacts.replaceDir(spark, s"$path/corpus",
-        idx.corpusBlocked)
-      graft.tools.Artifacts.deleteDir(spark, s"$path/tombstones")
-    }
+    graft.tools.Artifacts.foldTombstones(spark, path,
+      Seq(("corpus", idCol, Nil)))
 
   /** Incremental maintenance: assign ONLY the new vectors through the
     * frozen centroids + reps and append their (block, sb) rows — cost

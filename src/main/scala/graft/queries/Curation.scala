@@ -827,6 +827,17 @@ object Curation {
       .cache()
     try {
       val n = feats.count()
+      // the static oracle restates the FLAT capped-block dialect; the
+      // dispatch would silently take the hier path past MediaFlatMax
+      // and the hash check would fail even though the engine is
+      // correct — make that a loud, self-explaining error instead
+      // (ADVICE r11). At a SF that crosses the threshold, the oracle
+      // dialect must move to hierBlockCtesFor alongside the dispatch.
+      require(n <= MediaFlatMax,
+        s"$kind media corpus ($n clips) crossed MediaFlatMax=$MediaFlatMax: " +
+          "the engine dispatch would take the hier path but the static " +
+          "oracle restates the flat dialect; update the oracle dialect " +
+          "with the dispatch")
       val edges = mediaPairs(feats, n, tau)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       // adaptive CC: below the driver edge bound, exact union-find

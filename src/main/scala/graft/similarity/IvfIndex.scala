@@ -140,18 +140,17 @@ object IvfIndex {
       .write.mode("append").parquet(s"$path/tombstones")
 
   /** Fold tombstones into the layout: rewrite the corpus without the
-    * deleted ids (cell-partitioned as before, tmp-then-rename crash
-    * safety), drop the sidecar. Centroids untouched — compaction is a
-    * physical cleanup, not a retrain.
+    * deleted ids (cell-partitioned as before), remove those ids from
+    * the sidecar. The tombstone set is snapshotted once before the
+    * rewrite and deletes landing mid-compact survive in the sidecar
+    * ([[graft.tools.Artifacts.foldTombstones]], ADVICE r11).
+    * Centroids untouched — compaction is a physical cleanup, not a
+    * retrain.
     */
   def compact(spark: SparkSession, path: String,
       idCol: String, vecCol: String): Unit =
-    tombstones(spark, path).foreach { _ =>
-      val idx = load(spark, path, idCol, vecCol) // tombstone-filtered
-      graft.tools.Artifacts.replaceDir(spark, s"$path/corpus",
-        idx.corpus, partitionCols = Seq("cell"))
-      graft.tools.Artifacts.deleteDir(spark, s"$path/tombstones")
-    }
+    graft.tools.Artifacts.foldTombstones(spark, path,
+      Seq(("corpus", idCol, Seq("cell"))))
 
   /** Cell-occupancy view of an index: (cell, n) for every trained
     * cell, including empties — the observable that drives the

@@ -220,17 +220,19 @@ object PqIndex {
       .write.mode("append").parquet(s"$path/tombstones")
 
   /** Fold tombstones into the layout: rewrite `codes/` without the
-    * deleted ids (tmp-then-rename — a crash mid-compact leaves the
-    * old layout + sidecar intact), then drop the sidecar. The
+    * deleted ids, remove those ids from the sidecar. The tombstone
+    * set is snapshotted once before the rewrite and deletes landing
+    * mid-compact survive in the sidecar
+    * ([[graft.tools.Artifacts.foldTombstones]], ADVICE r11). The
     * codebook stays frozen.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit =
-    tombstones(spark, path).foreach { _ =>
-      val (_, codes) = load(spark, path) // tombstone-filtered
-      graft.tools.Artifacts.replaceDir(spark, s"$path/codes", codes)
-      graft.tools.Artifacts.deleteDir(spark, s"$path/tombstones")
-    }
+      path: String): Unit = {
+    val idName = spark.read.parquet(s"$path/codes")
+      .columns.filter(_ != "codes").head
+    graft.tools.Artifacts.foldTombstones(spark, path,
+      Seq(("codes", idName, Nil)))
+  }
 
   /** Incremental maintenance, the [[IvfIndex.append]] twin: encode
     * ONLY the new vectors against the FROZEN codebook (read from the

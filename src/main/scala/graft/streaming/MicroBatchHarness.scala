@@ -39,9 +39,18 @@ private[streaming] object MicroBatchHarness {
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      // eager: the scratch sink is deleted on exit, so the returned
-      // rows must not reference it
-      spark.read.parquet(s"$scratch/out").localCheckpoint()
+      // zero triggers (empty source dir / nothing matches the glob)
+      // means foreachBatch never ran and no sink exists — the answer
+      // is perBatch over an empty batch of src's schema, not a
+      // PATH_NOT_FOUND (ADVICE r11)
+      if (!graft.tools.Artifacts.exists(spark, s"$scratch/out"))
+        perBatch(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema))
+          .localCheckpoint()
+      else
+        // eager: the scratch sink is deleted on exit, so the returned
+        // rows must not reference it
+        spark.read.parquet(s"$scratch/out").localCheckpoint()
     } finally graft.tools.Scratch.deleteRecursively(new java.io.File(scratch))
   }
 }

@@ -26,13 +26,19 @@ object Artifacts {
     ()
   }
 
-  /** Atomically-ish replace a parquet directory with `df`'s rows:
-    * write to a `_compact_tmp` sibling FIRST (the expensive,
-    * failure-prone step — the original layout stays intact if it
-    * dies), then delete + rename. The compaction primitive of the
-    * tombstone-delete protocol: readers between the delete and the
-    * rename see either the old layout or the new, never a partial
-    * write.
+  /** Replace a parquet directory with `df`'s rows: write to a
+    * `_compact_tmp` sibling FIRST (the expensive, failure-prone step —
+    * the original layout stays intact if it dies), then swap by
+    * RENAME-ASIDE: `dir` → `dir_compact_old`, tmp → `dir`, delete the
+    * old. A crash at any point leaves a recoverable layout on disk
+    * (either the live dir, or the complete old layout under
+    * `_compact_old` plus the complete new one under `_compact_tmp`) —
+    * never "data only in tmp" (ADVICE r11). The remaining window is
+    * the instant BETWEEN the two renames, where a concurrent reader
+    * sees a missing path; renames are also not atomic on object
+    * stores — single-writer maintenance plus the generation/manifest
+    * publish protocol ([[publish]]/[[currentGen]]) is the
+    * concurrent-reader-safe path.
     */
   def replaceDir(spark: SparkSession, dir: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): Unit = {
@@ -41,8 +47,109 @@ object Artifacts {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp)
     val (f, dP) = fs(spark, dir)
-    f.delete(dP, true)
+    val oldP = new org.apache.hadoop.fs.Path(dir + "_compact_old")
+    f.delete(oldP, true) // stale leftover from a prior crash
+    if (f.exists(dP)) f.rename(dP, oldP)
     f.rename(new org.apache.hadoop.fs.Path(tmp), dP)
+    f.delete(oldP, true)
     ()
+  }
+
+  /** Tombstone-fold protocol shared by the four serving indexes'
+    * `compact`: SNAPSHOT the tombstone sidecar once (localCheckpoint —
+    * one read, frozen thereafter), rewrite each data directory with
+    * the snapshotted ids anti-joined out, then remove ONLY the
+    * snapshotted ids from the sidecar. Two races the pre-r12 versions
+    * lost are closed (ADVICE r11): every rewrite filters against the
+    * SAME tombstone set (lazy plans used to re-read the sidecar at
+    * different times), and a delete() landing mid-compact survives in
+    * the sidecar instead of being silently resurrected by the final
+    * sidecar drop. `dirs` = (subdir, id column in that subdir's rows,
+    * partition columns for the rewrite).
+    */
+  def foldTombstones(spark: SparkSession, path: String,
+      dirs: Seq[(String, String, Seq[String])]): Unit =
+    if (exists(spark, s"$path/tombstones")) {
+      val snap = spark.read.parquet(s"$path/tombstones").localCheckpoint()
+      dirs.foreach { case (sub, idName, parts) =>
+        val raw = spark.read.parquet(s"$path/$sub")
+        replaceDir(spark, s"$path/$sub",
+          raw.join(snap, raw(idName) === snap("id"), "left_anti"), parts)
+      }
+      val remaining = spark.read.parquet(s"$path/tombstones")
+        .join(snap, Seq("id"), "left_anti").localCheckpoint()
+      if (remaining.isEmpty) deleteDir(spark, s"$path/tombstones")
+      else replaceDir(spark, s"$path/tombstones", remaining)
+    }
+
+  // ----------------------------------------------------- generations
+  // Atomic index publish (VERDICT r11 next-round #2): a rebuild that
+  // overwrites a multi-directory index layout in place can be read
+  // TORN by a concurrent load (new centroids, old corpus). The fix is
+  // the commit-marker generation protocol: every [[publish]] writes a
+  // COMPLETE layout into a fresh `g<N>/` subdir and then creates the
+  // empty `_COMMITTED` marker inside it — a single atomic file create,
+  // no rename of a live path anywhere. [[currentGen]] resolves the
+  // highest committed generation, so a load racing a rebuild observes
+  // either the old generation or the new one, never a mix. The
+  // previous committed generation is retained (readers that resolved
+  // it mid-rebuild keep a complete layout); everything older is
+  // pruned. Same shape as a parquet job's _SUCCESS marker and
+  // Iceberg/Delta's snapshot pointer, reduced to what a filesystem
+  // gives us for free.
+
+  private val GenPattern = "^g(\\d{8})$".r
+  private val Committed = "_COMMITTED"
+
+  /** (genNumber, path, committed) for every generation dir under
+    * `root`, ascending.
+    */
+  private def listGens(spark: SparkSession,
+      root: String): Seq[(Long, org.apache.hadoop.fs.Path, Boolean)] = {
+    val (f, p) = fs(spark, root)
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName match {
+        case GenPattern(n) =>
+          Some((n.toLong, f.makeQualified(st.getPath),
+            f.exists(new org.apache.hadoop.fs.Path(st.getPath, Committed))))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Path of the highest COMMITTED generation under `root`, or None if
+    * nothing has been published. This is the load-side resolver: it
+    * never observes an in-flight rebuild (no marker yet) or a torn
+    * layout (the marker is created only after every part is written).
+    */
+  def currentGen(spark: SparkSession, root: String): Option[String] =
+    listGens(spark, root).filter(_._3).lastOption.map(_._2.toString)
+
+  /** Publish a new generation: `write` receives a fresh `g<N>/` path
+    * and must write the COMPLETE layout into it; the commit marker is
+    * created only after `write` returns, then generations older than
+    * the previous committed one are pruned. Returns the committed
+    * generation's path. A crash inside `write` leaves an uncommitted
+    * dir that no reader resolves and the next publish overwrites.
+    */
+  def publish(spark: SparkSession, root: String)(write: String => Unit): String = {
+    val gens = listGens(spark, root)
+    val next = gens.lastOption.map(_._1 + 1).getOrElse(0L)
+    val (f, _) = fs(spark, root)
+    val genPath = f.makeQualified(
+      new org.apache.hadoop.fs.Path(root, f"g$next%08d"))
+    f.delete(genPath, true) // impossible by numbering, but be safe
+    write(genPath.toString)
+    f.mkdirs(genPath) // a write() that wrote nothing still commits
+    f.create(new org.apache.hadoop.fs.Path(genPath, Committed), true).close()
+    // retain the previous committed generation for in-flight readers;
+    // prune older ones and any stale uncommitted dirs
+    val keep = gens.filter(_._3).map(_._1).lastOption
+    gens.foreach { case (n, p, committed) =>
+      if ((committed && !keep.contains(n)) || (!committed && n < next))
+        f.delete(p, true)
+    }
+    genPath.toString
   }
 }
