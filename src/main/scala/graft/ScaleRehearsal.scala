@@ -759,28 +759,42 @@ object ScaleRehearsal {
     val sb = new StringBuilder
     sb ++= "\n## Media near-dedup growth diagnostic\n\n"
     sb ++= "| kind | clips | verified edges | survivors |\n|---|---|---|---|\n"
-    Seq(("audio", 0.99999), ("video", 0.9999), ("image", 0.9999)).foreach {
-      case (kind, tau) =>
-        val feats = Multimodal.extractFeatures(spark,
-          Multimodal.asMedia(Tables.documentsParallel(spark, dir))
-            .filter(col("kind") === kind))
-          .toDF().select(col("doc_id"), col("feature")).cache()
-        def timed[T](f: => T): (T, Double) = {
-          val t0 = System.nanoTime(); val r = f
-          (r, (System.nanoTime() - t0) / 1e9)
-        }
-        val (n, tDecode) = timed(feats.count())
-        // the SAME dispatch the declared query takes (flat below the
-        // threshold, hier above) — profiled stage by stage
-        val pairs = graft.queries.Curation.mediaPairs(feats, n, tau)
-        val (edges, tPairs) = timed(pairs.count())
-        val (survivors, tFull) = timed(
-          graft.SparkEntry.queries(s"q_${kind}_neardup")(spark, dir).count())
-        sb ++= s"| $kind | $n | $edges | $survivors |\n"
-        println(f"[scale] mediadiag $kind: clips=$n edges=$edges survivors=$survivors " +
-          f"decode=$tDecode%.1fs pairs=$tPairs%.1fs full=$tFull%.1fs")
-        feats.unpersist()
-        Bench.scrub(spark)
+    Seq("video", "image", "audio").foreach { kind =>
+      val tau = graft.queries.Curation.MediaTaus(kind)
+      val feats = Multimodal.extractFeatures(spark,
+        Multimodal.asMedia(Tables.documentsParallel(spark, dir))
+          .filter(col("kind") === kind))
+        .toDF().select(col("doc_id"), col("feature")).cache()
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (n, tDecode) = timed(feats.count())
+      // the SAME dispatch the declared query takes (flat below the
+      // threshold, hier above) — profiled stage by stage
+      val pairs = graft.queries.Curation.mediaPairs(feats, n, tau)
+      val (edges, tPairs) = timed(pairs.count())
+      val (survivors, tFull) = timed(
+        graft.SparkEntry.queries(s"q_${kind}_neardup")(spark, dir).count())
+      sb ++= s"| $kind | $n | $edges | $survivors |\n"
+      println(f"[scale] mediadiag $kind: clips=$n edges=$edges survivors=$survivors " +
+        f"decode=$tDecode%.1fs pairs=$tPairs%.1fs full=$tFull%.1fs")
+      if (kind == "audio") {
+        // τ-sweep: where do the audio edges live on the r12 four-band
+        // features? 0.999+ is the near-identity (structural) band; the
+        // operating τ catches the statistical tail, the image/video
+        // profile. Recorded so edge growth at 20× is attributable to
+        // corpus densification, not feature crowding (the r11 failure
+        // mode: 468,704 edges at τ=0.99999 on 8-dim amplitude means).
+        val sweep = Seq(0.99, 0.999).map { t =>
+          val e = graft.queries.Curation.mediaPairs(feats, n, t).count()
+          s"τ=$t: $e"
+        }.mkString("; ")
+        sb ++= s"\n- audio τ-sweep (edges at operating τ=$tau above): $sweep\n\n"
+        println(s"[scale] mediadiag audio sweep: $sweep")
+      }
+      feats.unpersist()
+      Bench.scrub(spark)
     }
     sb.toString
   }

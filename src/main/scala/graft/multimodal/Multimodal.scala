@@ -232,6 +232,57 @@ object Multimodal {
   object WavCodec {
     val SampleRate = 8000f
 
+    // AudioSystem.getAudioInputStream / AudioSystem.write funnel every
+    // call through the JDK's SYNCHRONIZED provider registry — measured
+    // 2-3× slower under a 16-thread executor than single-threaded
+    // (the one codec-level contention point; ImageIO's registry does
+    // not serialize like this). Resolve the WAVE reader/writer SPI
+    // instances ONCE per JVM via the public ServiceLoader API — the
+    // same providers AudioSystem would pick per call — and invoke
+    // them directly; the codec itself stays javax.sound.sampled.
+    // Empty lists (exotic JVM) fall back to the AudioSystem calls.
+    private val wavReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      // WAVE readers FIRST: the registry order leads with AIFF/AU/
+      // SoftMidi, and paying a SoftMidi parse-attempt per payload is
+      // exactly the per-call cost this cache exists to avoid
+      try java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toList
+        .sortBy(r => !r.getClass.getSimpleName.startsWith("Wave"))
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+    private val wavWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      try java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.toList
+        .filter(_.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+
+    private def readAis(in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+      val it = wavReaders.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioInputStream(in)
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      }
+      javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+    }
+
+    private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+        out: java.io.OutputStream): Unit =
+      wavWriters.headOption match {
+        case Some(w) =>
+          w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          ()
+        case None =>
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          ()
+      }
+
     /** The sample formula [[synthesize]] encodes — pure integer
       * arithmetic in (docId, i) so a DuckDB oracle can recompute the
       * decoded sums without any audio library (q_audio_decode).
@@ -261,8 +312,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      writeWave(ais, bos)
       bos.toByteArray
     }
 
@@ -278,8 +328,7 @@ object Multimodal {
       */
     def decode(payload: Array[Byte]): Option[(Float, Array[Short])] =
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
+        val ais = readAis(new java.io.ByteArrayInputStream(payload))
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16) None
         else {
@@ -301,22 +350,65 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** 8-dim feature: mean normalized amplitude of 8 equal time
-      * segments — real sample statistics, the audio twin of
-      * [[ImageIoCodec.features]]'s quadrant luminance.
+    /** 32-dim feature: four bands × 8 equal time segments. The r11
+      * 8-dim mean-amplitude feature crowded pair cosines at ≈1 (any
+      * segment mean of a pseudo-random signal concentrates at 0.5 —
+      * VERDICT r11 next-round #1, the engine's one superlinear
+      * scaler); the three added bands are zero-mean and
+      * phase-sensitive at different scales, so unrelated clips
+      * decorrelate and near-dup τ drops from 0.99999 to 0.97:
+      *
+      *  - [0,8):   mean |s|/32768 — the r11 amplitude envelope;
+      *  - [8,16):  8 × mean s/32768 — DC band (signed offset);
+      *  - [16,24): 8 × mean (−1)^i·s/32768 — Nyquist band, the
+      *             square-wave (Walsh) correlate of the top
+      *             frequency band — rational arithmetic, unlike a
+      *             sinusoidal DFT bin, so the oracle restates it
+      *             exactly;
+      *  - [24,32): 8 × (2·frac[(s & 0xff) < 128] − 1) — low-byte
+      *             balance, sensitive to the signal's fine value
+      *             structure (phase mod 256) where the other bands
+      *             see the coarse envelope.
+      *
+      * Exactness contract: every per-sample term is a dyadic
+      * rational (s/32768 with |s| ≤ 32768, ±1 weights, 0/1
+      * indicators), so the segment SUMS are exact in double
+      * regardless of accumulation order; the only rounding ops are
+      * the one division by the segment count and the double→float
+      * cast, both restated identically in the DuckDB oracle
+      * (Curation.audioFeatureCtes).
       */
     def features(samples: Array[Short]): Array[Float] = {
-      val out = new Array[Double](8)
+      val amp = new Array[Double](8)
+      val dc = new Array[Double](8)
+      val ny = new Array[Double](8)
+      val bb = new Array[Double](8)
       val cnt = new Array[Long](8)
       val n = samples.length
       var i = 0
       while (i < n) {
         val seg = (i.toLong * 8 / math.max(n, 1)).toInt
-        out(seg) += math.abs(samples(i).toDouble) / 32768.0
+        val s = samples(i).toDouble / 32768.0
+        amp(seg) += math.abs(s)
+        dc(seg) += s
+        ny(seg) += (if ((i & 1) == 0) s else -s)
+        if ((samples(i) & 0xff) < 128) bb(seg) += 1.0
         cnt(seg) += 1
         i += 1
       }
-      Array.tabulate(8)(s => (if (cnt(s) > 0) out(s) / cnt(s) else 0.0).toFloat)
+      val out = new Array[Float](32)
+      var g = 0
+      while (g < 8) {
+        val c = cnt(g)
+        if (c > 0) {
+          out(g) = (amp(g) / c).toFloat
+          out(8 + g) = (8.0 * dc(g) / c).toFloat
+          out(16 + g) = (8.0 * ny(g) / c).toFloat
+          out(24 + g) = (8.0 * (2.0 * bb(g) / c - 1.0)).toFloat
+        }
+        g += 1
+      }
+      out
     }
   }
 

@@ -551,7 +551,7 @@ object Curation {
   // --------------------------------------------------- Q-AUDIO-SEARCH
   /** Audio similarity search — the audio twin of q_image_search:
     * REAL `javax.sound.sampled` decode of every audio payload →
-    * 8-segment mean-amplitude features → brute-force cosine top-10
+    * 32-dim four-band segment features → brute-force cosine top-10
     * against the lowest audio doc_id's feature. The oracle recomputes
     * the features from the synthetic sample formula (the WAV payloads
     * are pure arithmetic in (doc_id, i) and PCM is lossless), so the
@@ -561,9 +561,14 @@ object Curation {
     */
   private val qAudioSearch: Q = mediaSearch("audio")
 
-  /** Synthesis-formula recomputation of the audio decoder's 8-segment
-    * mean-amplitude features, ending in `f(doc_id, feature)` — shared
-    * by q_audio_search and q_audio_neardup.
+  /** Synthesis-formula recomputation of the audio decoder's 32-dim
+    * four-band features (amplitude / DC / Nyquist / low-byte balance
+    * × 8 segments — see [[graft.multimodal.Multimodal.WavCodec]]
+    * `features` for the exactness contract: every per-sample term is
+    * a dyadic rational, so the segment sums match the JVM's bit for
+    * bit regardless of accumulation order), ending in
+    * `f(doc_id, feature)` — shared by q_audio_search and
+    * q_audio_neardup.
     */
   private val audioFeatureCtes =
     """aud AS (
@@ -572,13 +577,25 @@ object Curation {
       |idx AS (SELECT unnest(range(0, 800)) AS i),
       |smp AS (
       |  SELECT doc_id, n, i,
-      |    abs(CAST((doc_id * 131 + i * 7919) % 65536 - 32768 AS DOUBLE))
-      |      / CAST(32768 AS DOUBLE) AS a,
+      |    CAST((doc_id * 131 + i * 7919) % 65536 - 32768 AS DOUBLE)
+      |      / CAST(32768 AS DOUBLE) AS s,
+      |    CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END AS alt,
+      |    CASE WHEN (doc_id * 131 + i * 7919) % 256 < 128
+      |         THEN 1.0 ELSE 0.0 END AS lb,
       |    CAST(i * 8 // n AS INTEGER) AS seg
       |  FROM aud, idx WHERE i < n),
-      |f0 AS (SELECT doc_id, seg, sum(a) / count(*) AS m
+      |f0 AS (SELECT doc_id, seg,
+      |         sum(abs(s)) / count(*) AS m,
+      |         8.0 * sum(s) / count(*) AS dc,
+      |         8.0 * sum(alt * s) / count(*) AS ny,
+      |         8.0 * (2.0 * sum(lb) / count(*) - 1.0) AS bb
       |       FROM smp GROUP BY doc_id, seg),
-      |f AS (SELECT doc_id, list(CAST(m AS FLOAT) ORDER BY seg) AS feature
+      |f AS (SELECT doc_id,
+      |        list_concat(list_concat(list_concat(
+      |          list(CAST(m AS FLOAT) ORDER BY seg),
+      |          list(CAST(dc AS FLOAT) ORDER BY seg)),
+      |          list(CAST(ny AS FLOAT) ORDER BY seg)),
+      |          list(CAST(bb AS FLOAT) ORDER BY seg)) AS feature
       |      FROM f0 GROUP BY doc_id)""".stripMargin
 
   private val qAudioSearchSql =
@@ -864,25 +881,37 @@ object Curation {
     } finally feats.unpersist()
   }
 
+  /** Per-modality near-dup τ — ONE definition shared by the declared
+    * queries, their oracles and the rehearsal's growth diagnostic (a
+    * diagnostic at a different τ than the query would profile the
+    * wrong pipeline).
+    */
+  private[graft] val MediaTaus: Map[String, Double] =
+    Map("image" -> 0.9999, "audio" -> 0.97, "video" -> 0.9999)
+
   /** Image τ = 0.9999: pixel-statistics cosines crowd 1.0 (median
     * ~0.97, max ~0.9999994) — a text-style 0.35 would collapse the
     * corpus into one cluster, 0.999999 would find a single pair;
     * 0.9999 yields a stable nonzero duplicate set at every SF.
     */
-  private val qImageNeardup: Q = mediaNeardup("image", 0.9999)
+  private val qImageNeardup: Q = mediaNeardup("image", MediaTaus("image"))
 
-  /** Audio cosines crowd FAR closer to 1 than image (segment
-    * amplitude means of a pseudo-random signal: median pair cosine
-    * ~0.9995, max ~0.99999995) — τ one decade tighter keeps the
-    * duplicate set meaningful (52 pairs at 167 clips, not 1120).
+  /** Audio τ = 0.97 on the r12 four-band features. The r11 8-dim
+    * amplitude means crowded pair cosines at ≈1 (median ~0.9995,
+    * forcing τ = 0.99999 and a verified-edge set that grew 46× at 20×
+    * clips — VERDICT r11 next-round #1); the widened zero-mean bands
+    * spread unrelated pairs to median ~0.66, so τ drops two decades
+    * and the duplicate set is the structural tail: 1 pair at 167
+    * clips, 3 at 1667, ~20k at the 20× rehearsal (the image/video
+    * profile), vs 468,704 before.
     */
-  private val qAudioNeardup: Q = mediaNeardup("audio", 0.99999)
+  private val qAudioNeardup: Q = mediaNeardup("audio", MediaTaus("audio"))
 
   /** Video features spread wider (median ~0.978); the image τ works
     * but yields a sparser edge set (8 pairs at 167 clips) — still
     * nonzero at every SF.
     */
-  private val qVideoNeardup: Q = mediaNeardup("video", 0.9999)
+  private val qVideoNeardup: Q = mediaNeardup("video", MediaTaus("video"))
 
   /** One shared oracle tail for the three media near-dedups: the
     * modality's synthesis-formula feature CTEs (ending in
@@ -906,7 +935,7 @@ object Curation {
       |ORDER BY doc_id""".stripMargin
 
   private val qImageNeardupSql = mediaNeardupSql(imageFeatureCtes, "0.9999")
-  private val qAudioNeardupSql = mediaNeardupSql(audioFeatureCtes, "0.99999")
+  private val qAudioNeardupSql = mediaNeardupSql(audioFeatureCtes, "0.97")
   private val qVideoNeardupSql = mediaNeardupSql(videoFeatureCtes, "0.9999")
 
   // ------------------------------------------------------- Q-COMPACT

@@ -60,17 +60,28 @@ object IvfIndex {
   /** Persist: corpus partitioned by cell (one directory per cell —
     * the unit of query-time pruning) + a (cell, centroid) table.
     * Releases [[build]]'s training cache once the write completes.
+    *
+    * ATOMIC PUBLISH (VERDICT r11 next-round #2): the layout is written
+    * into a fresh generation dir under `path` and committed by marker
+    * ([[graft.tools.Artifacts.publish]]) — a rebuild over a live index
+    * can never be read torn (new centroids, old corpus) by a
+    * concurrent [[load]], which resolves the last COMMITTED
+    * generation. The previous generation stays on disk for in-flight
+    * readers until the next publish.
     */
   def save(index: Index, path: String): Unit = {
-    try index.corpus.write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$path/corpus")
-    finally index.unpersist()
     val spark = index.corpus.sparkSession
     import spark.implicits._
-    index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    graft.tools.Artifacts.publish(spark, path) { gen =>
+      try index.corpus.write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$gen/corpus")
+      finally index.unpersist()
+      index.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(s"$gen/centroids")
+    }
+    ()
   }
 
   /** Incremental maintenance: assign ONLY the new vectors to the
@@ -93,20 +104,22 @@ object IvfIndex {
     */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Unit = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val centroids = spark.read.parquet(s"$gen/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
     newVectors.select(col(idCol), col(vecCol))
       .withColumn("cell", Similarity.cellColumn(col(vecCol), centroids))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+      .write.mode("append").partitionBy("cell").parquet(s"$gen/corpus")
   }
 
   def load(spark: SparkSession, path: String,
       idCol: String, vecCol: String): Index = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val centroids = spark.read.parquet(s"$gen/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
-    val raw = spark.read.parquet(s"$path/corpus")
+    val raw = spark.read.parquet(s"$gen/corpus")
     // tombstone sidecar (if any) consulted at load: probes anti-join
     // the bounded deleted-id set AFTER the cell partition filter (the
     // cell predicate pushes through the anti-join's streamed side, so

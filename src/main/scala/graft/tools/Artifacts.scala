@@ -126,6 +126,15 @@ object Artifacts {
   def currentGen(spark: SparkSession, root: String): Option[String] =
     listGens(spark, root).filter(_._3).lastOption.map(_._2.toString)
 
+  /** [[currentGen]] that fails LOUDLY when nothing was ever published
+    * — the maintenance-side resolver (append/delete/compact/load on a
+    * root with no committed generation is a caller bug, not an empty
+    * index).
+    */
+  def requireGen(spark: SparkSession, root: String): String =
+    currentGen(spark, root).getOrElse(throw new IllegalStateException(
+      s"no committed index generation under $root — publish (save) first"))
+
   /** Publish a new generation: `write` receives a fresh `g<N>/` path
     * and must write the COMPLETE layout into it; the commit marker is
     * created only after `write` returns, then generations older than

@@ -32,7 +32,9 @@ class MultimodalSpec extends SparkTestBase {
           r.n_frames == Multimodal.AviCodec.synthNumFrames(r.doc_id),
           s"doc ${r.doc_id}: decoded ${r.width}x${r.height}x${r.n_frames}")
       }
-      assert(r.feature.length == 8)
+      // audio carries the 32-dim four-band feature; image/video the
+      // 8-dim quadrant-luminance one
+      assert(r.feature.length == (if (r.kind == "audio") 32 else 8))
     }
     // determinism: second run identical
     val again = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs))
@@ -179,8 +181,13 @@ class MultimodalSpec extends SparkTestBase {
         s"sample $i: decoded $s != formula ${Multimodal.WavCodec.synthSample(43L, i)}")
     }
     val feats = Multimodal.WavCodec.features(samples)
-    assert(feats.length == 8)
-    assert(feats.forall(f => f >= 0f && f <= 1f)) // normalized amplitudes
+    assert(feats.length == 32)
+    // band [0,8): normalized amplitude means
+    assert(feats.take(8).forall(f => f >= 0f && f <= 1f))
+    // bands [8,32): zero-mean, scaled ×8 — bounded by ±8
+    assert(feats.drop(8).forall(f => f >= -8f && f <= 8f))
+    // the zero-mean bands must actually discriminate: not all ~0
+    assert(feats.drop(8).exists(f => math.abs(f) > 0.01f))
     // corrupt payload degrades to None, not an exception
     assert(Multimodal.WavCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.WavCodec.decode(Array.emptyByteArray).isEmpty)
