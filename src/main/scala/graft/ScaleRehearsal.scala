@@ -641,7 +641,8 @@ object ScaleRehearsal {
       IvfIndex.save(
         IvfIndex.build(base, "vec_id", "embedding", nCentroids = 16, iters = 2), path)
       val buildSec = (System.nanoTime() - t0) / 1e9
-      val before = graft.tools.Scratch.listParquetFiles(s"$path/corpus")
+      val before = graft.tools.Scratch.listParquetFiles(
+        s"${graft.tools.Artifacts.requireGen(spark, path)}/corpus")
       // min-of-2, each pass appending to a fresh byte-identical COPY
       // of the saved layout: append MUTATES the index, so re-timing
       // in place would append twice, and a single-shot sub-second job
@@ -658,7 +659,8 @@ object ScaleRehearsal {
           val t1 = System.nanoTime()
           IvfIndex.append(spark, p2, delta, "vec_id", "embedding")
           val t = (System.nanoTime() - t1) / 1e9
-          val after = graft.tools.Scratch.listParquetFiles(s"$p2/corpus")
+          val after = graft.tools.Scratch.listParquetFiles(
+            s"${graft.tools.Artifacts.requireGen(spark, p2)}/corpus")
           (t, before.forall { case (f, sz) => after.get(f).contains(sz) },
             (after.keySet -- before.keySet).size)
         } finally graft.tools.Scratch.deleteRecursively(new java.io.File(p2))
@@ -722,7 +724,8 @@ object ScaleRehearsal {
       sb ++= f"- classify 10%% batch through the loaded artifact: $serveSec%.2f s (min of 2) vs in-plan retrain+re-block+classify $inplanSec%.2f s → serve = ${100.0 * serveSec / inplanSec}%.0f%% of in-plan\n"
       // append: frozen-structure Δ ingest on a byte-identical copy
       // per pass (append mutates; the ivfAppendCheck protocol)
-      val before = graft.tools.Scratch.listParquetFiles(s"$path/corpus")
+      val before = graft.tools.Scratch.listParquetFiles(
+        s"${graft.tools.Artifacts.requireGen(spark, path)}/corpus")
       val passes = (0 until 2).map { _ =>
         val p2 = java.nio.file.Files.createTempDirectory("graft_semidx_append")
           .toAbsolutePath.toString
@@ -731,7 +734,8 @@ object ScaleRehearsal {
           val t3 = System.nanoTime()
           SemanticIndex.append(spark, p2, batch, "vec_id", "embedding")
           val t = (System.nanoTime() - t3) / 1e9
-          val after = graft.tools.Scratch.listParquetFiles(s"$p2/corpus")
+          val after = graft.tools.Scratch.listParquetFiles(
+            s"${graft.tools.Artifacts.requireGen(spark, p2)}/corpus")
           (t, before.forall { case (f, sz) => after.get(f).contains(sz) })
         } finally graft.tools.Scratch.deleteRecursively(new java.io.File(p2))
       }
@@ -897,7 +901,8 @@ object ScaleRehearsal {
       // retrain: full rebuild on the appended corpus, fresh layout
       val rebuilt = path + "_rebuilt"
       try {
-        val corpusNow = spark.read.parquet(s"$path/corpus")
+        val corpusNow = spark.read.parquet(
+          s"${graft.tools.Artifacts.requireGen(spark, path)}/corpus")
           .select(col("vec_id"), col("embedding"))
         IvfIndex.save(IvfIndex.build(corpusNow, "vec_id", "embedding",
           nCentroids = nCells, iters = 2), rebuilt)

@@ -58,29 +58,38 @@ object MinHashIndex {
     Index(buckets, shingles, idCol, shingleK, bands, rowsPerBand)
   }
 
+  /** Atomic publish ([[graft.tools.Artifacts.publish]], VERDICT r11
+    * next-round #2): the three-directory layout lands in a fresh
+    * committed generation, so a rebuild racing a concurrent [[load]]
+    * can never be read torn (new params, old buckets).
+    */
   def save(index: Index, path: String): Unit = {
-    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
-    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
     val spark = index.buckets.sparkSession
     import spark.implicits._
-    Seq((index.shingleK, index.bands, index.rowsPerBand))
-      .toDF("shingle_k", "bands", "rows_per_band")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    graft.tools.Artifacts.publish(spark, path) { gen =>
+      index.buckets.write.mode("overwrite").parquet(s"$gen/buckets")
+      index.shingles.write.mode("overwrite").parquet(s"$gen/shingles")
+      Seq((index.shingleK, index.bands, index.rowsPerBand))
+        .toDF("shingle_k", "bands", "rows_per_band")
+        .repartition(1).write.mode("overwrite").parquet(s"$gen/params")
+    }
+    ()
   }
 
   def load(spark: SparkSession, path: String, idCol: String): Index = {
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
     // by NAME, not position: a column reorder in save must fail loudly
     // here, never silently swap shingle_k/bands and band differently
     // than the saved index (ADVICE r10)
-    val p = spark.read.parquet(s"$path/params").collect()(0)
-    val bucketsRaw = spark.read.parquet(s"$path/buckets")
-    val shinglesRaw = spark.read.parquet(s"$path/shingles")
+    val p = spark.read.parquet(s"$gen/params").collect()(0)
+    val bucketsRaw = spark.read.parquet(s"$gen/buckets")
+    val shinglesRaw = spark.read.parquet(s"$gen/shingles")
     // the tombstone sidecar (if any) is consulted HERE, so every
     // classify over a loaded index sees the post-delete corpus with
     // zero changes to the probe path — an anti-join against the
     // bounded tombstone set (broadcast-sized by the compaction
     // cadence), exactly the q_cdc tombstone shape applied to an index
-    val (buckets, shingles) = tombstones(spark, path) match {
+    val (buckets, shingles) = tombstones(spark, gen) match {
       case Some(t) =>
         (bucketsRaw.join(t, bucketsRaw(idCol) === t("id"), "left_anti"),
           shinglesRaw.join(t, shinglesRaw(idCol) === t("id"), "left_anti"))
@@ -110,7 +119,8 @@ object MinHashIndex {
   def delete(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append").parquet(
+        s"${graft.tools.Artifacts.requireGen(spark, path)}/tombstones")
 
   /** Fold the tombstone sidecar into the layout: rewrite buckets and
     * shingles without the deleted ids, then remove THOSE ids from the
@@ -126,7 +136,8 @@ object MinHashIndex {
     * an IVF retrain — between compactions deletes stay O(|ids|).
     */
   def compact(spark: SparkSession, path: String, idCol: String): Unit =
-    graft.tools.Artifacts.foldTombstones(spark, path,
+    graft.tools.Artifacts.foldTombstones(spark,
+      graft.tools.Artifacts.requireGen(spark, path),
       Seq(("buckets", idCol, Nil), ("shingles", idCol, Nil)))
 
   /** Incremental maintenance: band + shingle ONLY the new docs under
@@ -138,12 +149,13 @@ object MinHashIndex {
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val p = spark.read.parquet(s"$path/params").collect()(0)
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val p = spark.read.parquet(s"$gen/params").collect()(0)
     val delta = build(newDocs, idCol, textCol,
       p.getAs[Int]("shingle_k"), p.getAs[Int]("bands"),
       p.getAs[Int]("rows_per_band"))
-    delta.buckets.write.mode("append").parquet(s"$path/buckets")
-    delta.shingles.write.mode("append").parquet(s"$path/shingles")
+    delta.buckets.write.mode("append").parquet(s"$gen/buckets")
+    delta.shingles.write.mode("append").parquet(s"$gen/shingles")
   }
 
   /** Bucket-occupancy view: (band_idx, band_hash, n) over the LSH

@@ -64,17 +64,25 @@ object SemanticIndex {
       idCol, vecCol, threshold)
   }
 
+  /** Atomic publish ([[graft.tools.Artifacts.publish]], VERDICT r11
+    * next-round #2): the four-directory layout is written into a
+    * fresh committed generation, so a rebuild racing a concurrent
+    * [[load]] can never be read torn (new centroids, old corpus/reps).
+    */
   def save(index: Index, path: String): Unit = {
     val spark = index.corpusBlocked.sparkSession
     import spark.implicits._
-    index.blocking.centroids.zipWithIndex
-      .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("cell", "cv")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    index.blocking.reps.write.mode("overwrite").parquet(s"$path/reps")
-    index.corpusBlocked.write.mode("overwrite").parquet(s"$path/corpus")
-    Seq((index.blocking.blockSize, index.blocking.signBits, index.threshold))
-      .toDF("block_size", "sign_bits", "threshold")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    graft.tools.Artifacts.publish(spark, path) { gen =>
+      index.blocking.centroids.zipWithIndex
+        .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("cell", "cv")
+        .repartition(1).write.mode("overwrite").parquet(s"$gen/centroids")
+      index.blocking.reps.write.mode("overwrite").parquet(s"$gen/reps")
+      index.corpusBlocked.write.mode("overwrite").parquet(s"$gen/corpus")
+      Seq((index.blocking.blockSize, index.blocking.signBits, index.threshold))
+        .toDF("block_size", "sign_bits", "threshold")
+        .repartition(1).write.mode("overwrite").parquet(s"$gen/params")
+    }
+    ()
   }
 
   /** The frozen halves only (params/centroids/reps — everything Δ
@@ -82,27 +90,28 @@ object SemanticIndex {
     * [[append]] so an append never touches the corpus table.
     */
   private def loadBlocking(spark: SparkSession,
-      path: String): (Dedup.SemanticBlocking, Double) = {
+      gen: String): (Dedup.SemanticBlocking, Double) = {
     // by NAME, not position: a column reorder in save must fail
     // loudly, never silently swap block_size/sign_bits (ADVICE r10)
-    val p = spark.read.parquet(s"$path/params").collect()(0)
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val p = spark.read.parquet(s"$gen/params").collect()(0)
+    val centroids = spark.read.parquet(s"$gen/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("cv")).toArray)
     val blocking = Dedup.SemanticBlocking(centroids,
-      spark.read.parquet(s"$path/reps"),
+      spark.read.parquet(s"$gen/reps"),
       p.getAs[Int]("block_size"), p.getAs[Int]("sign_bits"))
     (blocking, p.getAs[Double]("threshold"))
   }
 
   def load(spark: SparkSession, path: String, idCol: String,
       vecCol: String): Index = {
-    val (blocking, threshold) = loadBlocking(spark, path)
-    val corpusRaw = spark.read.parquet(s"$path/corpus")
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val (blocking, threshold) = loadBlocking(spark, gen)
+    val corpusRaw = spark.read.parquet(s"$gen/corpus")
     // tombstone sidecar (if any) consulted HERE: an anti-join against
     // the bounded tombstone set, so every classify sees the
     // post-delete corpus with zero changes to the probe path
-    val corpus = tombstones(spark, path) match {
+    val corpus = tombstones(spark, gen) match {
       case Some(t) =>
         corpusRaw.join(t, corpusRaw(idCol) === t("id"), "left_anti")
       case None => corpusRaw
@@ -128,7 +137,8 @@ object SemanticIndex {
   def delete(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append").parquet(
+        s"${graft.tools.Artifacts.requireGen(spark, path)}/tombstones")
 
   /** Fold tombstones into the layout: rewrite `corpus/` without the
     * deleted ids, remove those ids from the sidecar. The tombstone
@@ -139,7 +149,8 @@ object SemanticIndex {
     */
   def compact(spark: SparkSession, path: String, idCol: String,
       vecCol: String): Unit =
-    graft.tools.Artifacts.foldTombstones(spark, path,
+    graft.tools.Artifacts.foldTombstones(spark,
+      graft.tools.Artifacts.requireGen(spark, path),
       Seq(("corpus", idCol, Nil)))
 
   /** Incremental maintenance: assign ONLY the new vectors through the
@@ -152,10 +163,11 @@ object SemanticIndex {
     */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Unit = {
-    val (blocking, _) = loadBlocking(spark, path)
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val (blocking, _) = loadBlocking(spark, gen)
     Dedup.blockCorpus(blocking, newVectors, idCol, vecCol,
       blocking.signBits)
-      .write.mode("append").parquet(s"$path/corpus")
+      .write.mode("append").parquet(s"$gen/corpus")
   }
 
   /** Classify a batch against the indexed corpus — identical

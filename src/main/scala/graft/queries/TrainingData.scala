@@ -1261,7 +1261,9 @@ object TrainingData {
         (cbLoaded, p, q, math.max(200L, emb.count() / 10).toInt)
       } finally emb.unpersist()
     })
-    PqIndex.topK(cb, s.read.parquet(s"$path/codes"), Tables.embeddings(s, d),
+    PqIndex.topK(cb,
+      s.read.parquet(s"${graft.tools.Artifacts.requireGen(s, path)}/codes"),
+      Tables.embeddings(s, d),
       "vec_id", "embedding", qv, k = 10, c = cBudget)
       .withColumn("cosine", round(col("cosine"), 6))
   }

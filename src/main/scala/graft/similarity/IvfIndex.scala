@@ -125,7 +125,7 @@ object IvfIndex {
     // cell predicate pushes through the anti-join's streamed side, so
     // pruning is intact — IvfIndexSpec asserts PartitionFilters on the
     // deleted index too)
-    val corpus = tombstones(spark, path) match {
+    val corpus = tombstones(spark, gen) match {
       case Some(t) => raw.join(t, raw(idCol) === t("id"), "left_anti")
       case None => raw
     }
@@ -150,7 +150,8 @@ object IvfIndex {
   def delete(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append").parquet(
+        s"${graft.tools.Artifacts.requireGen(spark, path)}/tombstones")
 
   /** Fold tombstones into the layout: rewrite the corpus without the
     * deleted ids (cell-partitioned as before), remove those ids from
@@ -162,7 +163,8 @@ object IvfIndex {
     */
   def compact(spark: SparkSession, path: String,
       idCol: String, vecCol: String): Unit =
-    graft.tools.Artifacts.foldTombstones(spark, path,
+    graft.tools.Artifacts.foldTombstones(spark,
+      graft.tools.Artifacts.requireGen(spark, path),
       Seq(("corpus", idCol, Seq("cell"))))
 
   /** Cell-occupancy view of an index: (cell, n) for every trained

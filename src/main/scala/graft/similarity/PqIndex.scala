@@ -161,13 +161,19 @@ object PqIndex {
     * compressed serving index.
     */
   def save(cb: Codebook, codes: DataFrame, path: String): Unit = {
-    codes.write.mode("overwrite").parquet(s"$path/codes")
     val spark = codes.sparkSession
     import spark.implicits._
-    (for (s <- cb.centroids.indices; c <- cb.centroids(s).indices)
-      yield (s, c, cb.centroids(s)(c).toSeq))
-      .toDF("subspace", "code", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+    // atomic publish (VERDICT r11 next-round #2): codes + codebook
+    // land in one committed generation — a rebuild racing a
+    // concurrent load can never be read torn (new codebook, old codes)
+    graft.tools.Artifacts.publish(spark, path) { gen =>
+      codes.write.mode("overwrite").parquet(s"$gen/codes")
+      (for (s <- cb.centroids.indices; c <- cb.centroids(s).indices)
+        yield (s, c, cb.centroids(s)(c).toSeq))
+        .toDF("subspace", "code", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(s"$gen/codebook")
+    }
+    ()
   }
 
   /** Load a saved artifact: (codebook, codes). Codebook collect is
@@ -179,7 +185,8 @@ object PqIndex {
     */
   def load(spark: org.apache.spark.sql.SparkSession,
       path: String): (Codebook, DataFrame) = {
-    val rows = spark.read.parquet(s"$path/codebook")
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val rows = spark.read.parquet(s"$gen/codebook")
       .orderBy("subspace", "code").collect()
     val m = rows.map(_.getInt(0)).max + 1
     val k = rows.map(_.getInt(1)).max + 1
@@ -187,9 +194,9 @@ object PqIndex {
     rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) =
       r.getSeq[Double](2).toArray)
     val subDim = cents(0)(0).length
-    val codesRaw = spark.read.parquet(s"$path/codes")
+    val codesRaw = spark.read.parquet(s"$gen/codes")
     val idName = codesRaw.columns.filter(_ != "codes").head
-    val codes = tombstones(spark, path) match {
+    val codes = tombstones(spark, gen) match {
       case Some(t) =>
         codesRaw.join(t, codesRaw(idName) === t("id"), "left_anti")
       case None => codesRaw
@@ -217,7 +224,8 @@ object PqIndex {
   def delete(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame, idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append").parquet(
+        s"${graft.tools.Artifacts.requireGen(spark, path)}/tombstones")
 
   /** Fold tombstones into the layout: rewrite `codes/` without the
     * deleted ids, remove those ids from the sidecar. The tombstone
@@ -228,9 +236,10 @@ object PqIndex {
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val idName = spark.read.parquet(s"$path/codes")
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val idName = spark.read.parquet(s"$gen/codes")
       .columns.filter(_ != "codes").head
-    graft.tools.Artifacts.foldTombstones(spark, path,
+    graft.tools.Artifacts.foldTombstones(spark, gen,
       Seq(("codes", idName, Nil)))
   }
 
@@ -246,9 +255,10 @@ object PqIndex {
     */
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
     val (cb, _) = load(spark, path)
     encode(cb, newVectors, idCol, vecCol)
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append").parquet(s"$gen/codes")
   }
 
   /** End-to-end PQ top-k: ADC top-C candidate cut over the codes

@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
 class MinHashIndexSpec extends SparkTestBase {
+
+  /** Physical-layout assertions address the CURRENT COMMITTED
+    * generation (save publishes by commit marker since r12). */
+  private def gen(root: String): String = {
+    // currentGen returns a fully-qualified URI (file:/…); the file
+    // helpers here want the plain filesystem path
+    val g = graft.tools.Artifacts.currentGen(spark, root).get
+    new java.net.URI(g).getPath
+  }
   import spark.implicits._
 
   private def tmpDir(): String = {
@@ -63,17 +72,17 @@ class MinHashIndexSpec extends SparkTestBase {
     val path = tmpDir()
     MinHashIndex.save(MinHashIndex.build(corpus, "doc_id", "text",
       shingleK = 3, bands = 16, rowsPerBand = 2), path)
-    val bucketsBefore = allFiles(s"$path/buckets")
-    val shinglesBefore = allFiles(s"$path/shingles")
-    val paramsBefore = allFiles(s"$path/params")
+    val bucketsBefore = allFiles(s"${gen(path)}/buckets")
+    val shinglesBefore = allFiles(s"${gen(path)}/shingles")
+    val paramsBefore = allFiles(s"${gen(path)}/params")
 
     MinHashIndex.append(spark, path, delta, "doc_id", "text")
 
     // frozen-layout economics: append writes Δ's rows as NEW files,
     // never rewriting the corpus's (path+size identical), and the
     // params artifact is untouched
-    val bucketsAfter = allFiles(s"$path/buckets")
-    val shinglesAfter = allFiles(s"$path/shingles")
+    val bucketsAfter = allFiles(s"${gen(path)}/buckets")
+    val shinglesAfter = allFiles(s"${gen(path)}/shingles")
     bucketsBefore.foreach { case (f, sz) =>
       assert(bucketsAfter.get(f).contains(sz), s"append rewrote bucket file $f")
     }
@@ -81,7 +90,7 @@ class MinHashIndexSpec extends SparkTestBase {
       assert(shinglesAfter.get(f).contains(sz), s"append rewrote shingle file $f")
     }
     assert((bucketsAfter.keySet -- bucketsBefore.keySet).nonEmpty)
-    assert(allFiles(s"$path/params") == paramsBefore)
+    assert(allFiles(s"${gen(path)}/params") == paramsBefore)
 
     // the hash family is corpus-independent, so append ≡ rebuild
     // EXACTLY (no frozen-centroid caveat): classify against the
@@ -111,8 +120,8 @@ class MinHashIndexSpec extends SparkTestBase {
     val path = tmpDir()
     MinHashIndex.save(MinHashIndex.build(corpus, "doc_id", "text",
       shingleK = 3, bands = 16, rowsPerBand = 2), path)
-    val bucketsBefore = allFiles(s"$path/buckets")
-    val shinglesBefore = allFiles(s"$path/shingles")
+    val bucketsBefore = allFiles(s"${gen(path)}/buckets")
+    val shinglesBefore = allFiles(s"${gen(path)}/shingles")
     def classifyNow(): Seq[(Long, String, Option[Long], Option[Double])] =
       MinHashIndex.classify(MinHashIndex.load(spark, path, "doc_id"),
         batch, "doc_id", "text", 0.5).orderBy("doc_id")
@@ -125,8 +134,8 @@ class MinHashIndexSpec extends SparkTestBase {
     MinHashIndex.delete(spark, path, deleted.toDF("doc_id"), "doc_id")
 
     // logical delete: sidecar only, both layouts byte-identical
-    assert(allFiles(s"$path/buckets") == bucketsBefore, "delete touched buckets")
-    assert(allFiles(s"$path/shingles") == shinglesBefore, "delete touched shingles")
+    assert(allFiles(s"${gen(path)}/buckets") == bucketsBefore, "delete touched buckets")
+    assert(allFiles(s"${gen(path)}/shingles") == shinglesBefore, "delete touched shingles")
     val afterDelete = classifyNow()
     assert(afterDelete.flatMap(_._3).intersect(deleted).isEmpty,
       "deleted ids still resolved as dup_of")
@@ -142,8 +151,8 @@ class MinHashIndexSpec extends SparkTestBase {
     assert(afterDelete != full, "delete changed nothing — vacuous test")
 
     MinHashIndex.compact(spark, path, "doc_id")
-    assert(!new java.io.File(s"$path/tombstones").exists, "sidecar not dropped")
-    assert(allFiles(s"$path/buckets") != bucketsBefore, "compact did not rewrite")
+    assert(!new java.io.File(s"${gen(path)}/tombstones").exists, "sidecar not dropped")
+    assert(allFiles(s"${gen(path)}/buckets") != bucketsBefore, "compact did not rewrite")
     assert(classifyNow() == afterDelete)
   }
 
@@ -188,5 +197,25 @@ class MinHashIndexSpec extends SparkTestBase {
       shingleK = 3, bands = 16, rowsPerBand = 2)
     assert(idx.buckets.filter($"doc_id" === 999L).count() == 0)
     assert(idx.shingles.filter($"doc_id" === 999L).count() == 0)
+  }
+
+  test("rebuild publishes atomically: in-flight generation invisible; committed rebuild swaps") {
+    val path = tmpDir()
+    MinHashIndex.save(MinHashIndex.build(corpus, "doc_id", "text",
+      shingleK = 5, bands = 16, rowsPerBand = 2), path)
+    val g1 = gen(path)
+    def loadedIds() = MinHashIndex.load(spark, path, "doc_id")
+      .shingles.select("doc_id").as[Long].collect().toSet
+    val ids1 = loadedIds()
+    assert(ids1.nonEmpty)
+    // in-flight rebuild died mid-write: buckets present, no marker
+    delta.limit(2).write.parquet(s"$path/g00000001/buckets")
+    assert(gen(path) == g1 && loadedIds() == ids1)
+    // completed rebuild over a different corpus swaps cleanly
+    MinHashIndex.save(MinHashIndex.build(delta, "doc_id", "text",
+      shingleK = 5, bands = 16, rowsPerBand = 2), path)
+    val ids2 = loadedIds()
+    assert(ids2 == delta.select("doc_id").as[Long].collect().toSet)
+    assert(ids2 != ids1 && gen(path).endsWith("g00000002"))
   }
 }

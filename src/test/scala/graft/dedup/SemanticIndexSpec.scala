@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
 class SemanticIndexSpec extends SparkTestBase {
+
+  /** Physical-layout assertions address the CURRENT COMMITTED
+    * generation (save publishes by commit marker since r12). */
+  private def gen(root: String): String = {
+    // currentGen returns a fully-qualified URI (file:/…); the file
+    // helpers here want the plain filesystem path
+    val g = graft.tools.Artifacts.currentGen(spark, root).get
+    new java.net.URI(g).getPath
+  }
   import spark.implicits._
 
   private def tmpDir(): String = {
@@ -67,9 +76,9 @@ class SemanticIndexSpec extends SparkTestBase {
   test("append is delta-only (existing files untouched) and classifies through the frozen structure") {
     val path = tmpDir()
     SemanticIndex.save(SemanticIndex.build(corpus, "vec_id", "embedding", T), path)
-    val corpusBefore = allFiles(s"$path/corpus")
-    val repsBefore = allFiles(s"$path/reps")
-    val centroidsBefore = allFiles(s"$path/centroids")
+    val corpusBefore = allFiles(s"${gen(path)}/corpus")
+    val repsBefore = allFiles(s"${gen(path)}/reps")
+    val centroidsBefore = allFiles(s"${gen(path)}/centroids")
 
     SemanticIndex.append(spark, path, delta, "vec_id", "embedding")
 
@@ -77,13 +86,13 @@ class SemanticIndexSpec extends SparkTestBase {
     // nothing existing is rewritten and the trained halves
     // (centroids, reps) are byte-identical — append is ingest, not
     // retrain
-    val corpusAfter = allFiles(s"$path/corpus")
+    val corpusAfter = allFiles(s"${gen(path)}/corpus")
     corpusBefore.foreach { case (f, sz) =>
       assert(corpusAfter.get(f).contains(sz), s"append rewrote corpus file $f")
     }
     assert((corpusAfter.keySet -- corpusBefore.keySet).nonEmpty)
-    assert(allFiles(s"$path/reps") == repsBefore, "append touched reps")
-    assert(allFiles(s"$path/centroids") == centroidsBefore,
+    assert(allFiles(s"${gen(path)}/reps") == repsBefore, "append touched reps")
+    assert(allFiles(s"${gen(path)}/centroids") == centroidsBefore,
       "append touched centroids")
 
     // classify over the appended index ≡ the FROZEN corpus-trained
@@ -104,8 +113,8 @@ class SemanticIndexSpec extends SparkTestBase {
   test("delete tombstones: files untouched, classify equals frozen classify without the ids, compact folds in") {
     val path = tmpDir()
     SemanticIndex.save(SemanticIndex.build(corpus, "vec_id", "embedding", T), path)
-    val corpusBefore = allFiles(s"$path/corpus")
-    val repsBefore = allFiles(s"$path/reps")
+    val corpusBefore = allFiles(s"${gen(path)}/corpus")
+    val repsBefore = allFiles(s"${gen(path)}/reps")
     def classifyNow(): Seq[R] =
       rows(SemanticIndex.classify(
         SemanticIndex.load(spark, path, "vec_id", "embedding"), batch))
@@ -116,8 +125,8 @@ class SemanticIndexSpec extends SparkTestBase {
 
     // logical delete: sidecar only, layout byte-identical (reps stay
     // even where a deleted id WAS a rep — frozen geometry)
-    assert(allFiles(s"$path/corpus") == corpusBefore, "delete touched corpus")
-    assert(allFiles(s"$path/reps") == repsBefore, "delete touched reps")
+    assert(allFiles(s"${gen(path)}/corpus") == corpusBefore, "delete touched corpus")
+    assert(allFiles(s"${gen(path)}/reps") == repsBefore, "delete touched reps")
     val afterDelete = classifyNow()
     assert(afterDelete.flatMap(_._3).intersect(deleted).isEmpty,
       "deleted ids still resolved as dup_of")
@@ -132,8 +141,8 @@ class SemanticIndexSpec extends SparkTestBase {
     assert(afterDelete != full, "delete changed nothing — vacuous test")
 
     SemanticIndex.compact(spark, path, "vec_id", "embedding")
-    assert(!new java.io.File(s"$path/tombstones").exists, "sidecar not dropped")
-    assert(allFiles(s"$path/corpus") != corpusBefore, "compact did not rewrite")
+    assert(!new java.io.File(s"${gen(path)}/tombstones").exists, "sidecar not dropped")
+    assert(allFiles(s"${gen(path)}/corpus") != corpusBefore, "compact did not rewrite")
     assert(classifyNow() == afterDelete)
   }
 
@@ -146,5 +155,24 @@ class SemanticIndexSpec extends SparkTestBase {
     // 64 design size — tiny by construction, and exactly derivable
     val ratio = SemanticIndex.skewRatio(idx)
     assert(ratio == occ.map(_._3).max.toDouble / 64, s"ratio $ratio")
+  }
+
+  test("rebuild publishes atomically: in-flight generation invisible; committed rebuild swaps") {
+    val path = tmpDir()
+    SemanticIndex.save(SemanticIndex.build(corpus, "vec_id", "embedding",
+      threshold = 0.9), path)
+    val g1 = gen(path)
+    def corpusIds() = SemanticIndex.load(spark, path, "vec_id", "embedding")
+      .corpusBlocked.select("vec_id").as[Long].collect().toSet
+    val ids1 = corpusIds()
+    assert(ids1 == (1L to 7L).toSet)
+    // in-flight rebuild died mid-write: partial corpus, no marker
+    delta.write.parquet(s"$path/g00000001/corpus")
+    assert(gen(path) == g1 && corpusIds() == ids1)
+    // completed rebuild over corpus ∪ Δ swaps cleanly
+    SemanticIndex.save(SemanticIndex.build(corpus.union(delta),
+      "vec_id", "embedding", threshold = 0.9), path)
+    assert(corpusIds() == ids1 + 60L)
+    assert(gen(path).endsWith("g00000002"))
   }
 }

@@ -3,6 +3,15 @@ package graft.similarity
 import graft.SparkTestBase
 
 class IvfIndexSpec extends SparkTestBase {
+
+  /** Physical-layout assertions address the CURRENT COMMITTED
+    * generation (save publishes by commit marker since r12). */
+  private def gen(root: String): String = {
+    // currentGen returns a fully-qualified URI (file:/…); the file
+    // helpers here want the plain filesystem path
+    val g = graft.tools.Artifacts.currentGen(spark, root).get
+    new java.net.URI(g).getPath
+  }
   import spark.implicits._
 
   private def tmpDir(): String = {
@@ -50,7 +59,7 @@ class IvfIndexSpec extends SparkTestBase {
         .contains("cell"),
       s"cell predicate did not become a partition filter:\n$plan")
     // and the directory layout really is one dir per cell
-    val dirs = new java.io.File(s"$path/corpus").listFiles()
+    val dirs = new java.io.File(s"${gen(path)}/corpus").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
     assert(dirs.length > 2, s"expected cell= partition dirs, got ${dirs.toSeq}")
   }
@@ -79,7 +88,7 @@ class IvfIndexSpec extends SparkTestBase {
     val path = tmpDir()
     IvfIndex.save(
       IvfIndex.build(emb, "vec_id", "embedding", nCentroids = 8, iters = 1), path)
-    val before = allFiles(s"$path/corpus")
+    val before = allFiles(s"${gen(path)}/corpus")
     val full = IvfIndex.topK(IvfIndex.load(spark, path, "vec_id", "embedding"),
       q, k = 5, nProbe = 2).as[(Long, Double)].collect().toSeq
     // retract the top two hits — the probe MUST change
@@ -87,7 +96,7 @@ class IvfIndexSpec extends SparkTestBase {
     IvfIndex.delete(spark, path, deleted.toDF("vec_id"), "vec_id")
 
     // logical delete: sidecar only, every corpus file byte-identical
-    assert(allFiles(s"$path/corpus") == before, "delete touched corpus files")
+    assert(allFiles(s"${gen(path)}/corpus") == before, "delete touched corpus files")
     val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
     val afterDelete = IvfIndex.topK(loaded, q, k = 5, nProbe = 2)
       .as[(Long, Double)].collect().toSeq
@@ -96,7 +105,7 @@ class IvfIndexSpec extends SparkTestBase {
     // ≡ the SAME frozen centroids over the corpus minus the ids
     // (a retrained rebuild would move cells — deletes must not)
     val manual = IvfIndex.Index(loaded.centroids,
-      spark.read.parquet(s"$path/corpus")
+      spark.read.parquet(s"${gen(path)}/corpus")
         .filter(!$"vec_id".isin(deleted: _*)),
       "vec_id", "embedding", pruned = true)
     assert(afterDelete ==
@@ -111,8 +120,8 @@ class IvfIndexSpec extends SparkTestBase {
       s"tombstone join broke partition pruning:\n$plan")
 
     IvfIndex.compact(spark, path, "vec_id", "embedding")
-    assert(!new java.io.File(s"$path/tombstones").exists, "sidecar not dropped")
-    assert(allFiles(s"$path/corpus") != before, "compact did not rewrite")
+    assert(!new java.io.File(s"${gen(path)}/tombstones").exists, "sidecar not dropped")
+    assert(allFiles(s"${gen(path)}/corpus") != before, "compact did not rewrite")
     assert(IvfIndex.topK(IvfIndex.load(spark, path, "vec_id", "embedding"),
       q, k = 5, nProbe = 2).as[(Long, Double)].collect().toSeq == afterDelete)
   }
@@ -129,15 +138,15 @@ class IvfIndexSpec extends SparkTestBase {
     val path = tmpDir()
     IvfIndex.save(
       IvfIndex.build(base, "vec_id", "embedding", nCentroids = 8, iters = 2), path)
-    val centroidsBefore = allFiles(s"$path/centroids")
-    val before = dataFiles(s"$path/corpus")
+    val centroidsBefore = allFiles(s"${gen(path)}/centroids")
+    val before = dataFiles(s"${gen(path)}/corpus")
 
     IvfIndex.append(spark, path, delta, "vec_id", "embedding")
 
     // --- scanned/written work ∝ Δ: every pre-existing corpus file is
     // untouched (same path, same size — append never rewrites the
     // 80%), and the new files land only in cells Δ occupies
-    val after = dataFiles(s"$path/corpus")
+    val after = dataFiles(s"${gen(path)}/corpus")
     before.foreach { case (f, sz) =>
       assert(after.get(f).contains(sz), s"append rewrote existing file $f")
     }
@@ -153,7 +162,7 @@ class IvfIndexSpec extends SparkTestBase {
     // centroid artifact untouched (same files incl. non-parquet, same
     // sizes): frozen layout, no retrain — an entry COUNT would miss a
     // same-shape rewrite
-    assert(allFiles(s"$path/centroids") == centroidsBefore)
+    assert(allFiles(s"${gen(path)}/centroids") == centroidsBefore)
 
     // --- probe equivalence: append(idx, Δ) ≡ rebuild over base ∪ Δ at
     // the SAME frozen centroids (assignment is a pure function of
@@ -206,5 +215,32 @@ class IvfIndexSpec extends SparkTestBase {
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
       .select("vec_id").as[Long].collect().toSeq
     assert(got == brute) // probing every cell ⇒ exact
+  }
+
+  test("rebuild publishes atomically: in-flight generation invisible; committed rebuild swaps; old gen retained") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val v1 = emb.filter($"vec_id" < 30)
+    val v2 = emb.filter($"vec_id" >= 30 && $"vec_id" < 70)
+    val path = tmpDir()
+    IvfIndex.save(IvfIndex.build(v1, "vec_id", "embedding",
+      nCentroids = 4, iters = 1), path)
+    val g1 = gen(path)
+    def loadedIds() = IvfIndex.load(spark, path, "vec_id", "embedding")
+      .corpus.select("vec_id").as[Long].collect().toSet
+    val ids1 = v1.select("vec_id").as[Long].collect().toSet
+    assert(loadedIds() == ids1)
+    // an in-flight rebuild that died after a partial write: higher
+    // generation dir with corpus but NO commit marker — a racing load
+    // must keep resolving the committed generation, never the mix
+    v2.limit(5).write.parquet(s"$path/g00000001/corpus")
+    assert(gen(path) == g1)
+    assert(loadedIds() == ids1)
+    // the completed rebuild supersedes the stale uncommitted dir
+    IvfIndex.save(IvfIndex.build(v2, "vec_id", "embedding",
+      nCentroids = 4, iters = 1), path)
+    assert(loadedIds() == v2.select("vec_id").as[Long].collect().toSet)
+    assert(gen(path).endsWith("g00000002"))
+    // previous committed generation retained for in-flight readers
+    assert(graft.tools.Artifacts.exists(spark, s"$g1/corpus"))
   }
 }

@@ -3,6 +3,15 @@ package graft.similarity
 import graft.SparkTestBase
 
 class PqIndexSpec extends SparkTestBase {
+
+  /** Physical-layout assertions address the CURRENT COMMITTED
+    * generation (save publishes by commit marker since r12). */
+  private def gen(root: String): String = {
+    // currentGen returns a fully-qualified URI (file:/…); the file
+    // helpers here want the plain filesystem path
+    val g = graft.tools.Artifacts.currentGen(spark, root).get
+    new java.net.URI(g).getPath
+  }
   import spark.implicits._
 
   private lazy val emb = graft.Tables.embeddings(spark, sf)
@@ -53,7 +62,7 @@ class PqIndexSpec extends SparkTestBase {
         cbLoaded.centroids.flatten.flatten.toSeq ==
           cb.centroids.flatten.flatten.toSeq)
 
-      def files() = graft.tools.Scratch.listParquetFiles(s"$dir/codes")
+      def files() = graft.tools.Scratch.listParquetFiles(s"${gen(dir)}/codes")
       val before = files()
       PqIndex.append(spark, dir, delta, "vec_id", "embedding")
       val after = files()
@@ -94,7 +103,7 @@ class PqIndexSpec extends SparkTestBase {
         PqIndex.topK(cbL, codesL, emb, "vec_id", "embedding", q, k = 10, c = 50)
           .as[(Long, Double)].collect().toSeq
       }
-      def codeFiles() = graft.tools.Scratch.listParquetFiles(s"$dir/codes")
+      def codeFiles() = graft.tools.Scratch.listParquetFiles(s"${gen(dir)}/codes")
       val before = codeFiles()
       val full = serve()
       assert(full.head._1 == 0L, "self-query should rank itself first")
@@ -117,7 +126,7 @@ class PqIndexSpec extends SparkTestBase {
       assert(after != full, "delete changed nothing — vacuous test")
 
       PqIndex.compact(spark, dir)
-      assert(!new java.io.File(s"$dir/tombstones").exists, "sidecar not dropped")
+      assert(!new java.io.File(s"${gen(dir)}/tombstones").exists, "sidecar not dropped")
       assert(codeFiles() != before, "compact did not rewrite")
       assert(serve() == after)
     } finally graft.tools.Scratch.deleteRecursively(new java.io.File(dir))
@@ -174,5 +183,29 @@ class PqIndexSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       PqIndex.adcScores(cb, codes, "vec_id", Seq(1f, 2f, 3f))
     }
+  }
+
+  test("rebuild publishes atomically: in-flight generation invisible; committed rebuild swaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_gen").toString
+    try {
+      val v1 = emb.filter($"vec_id" < 30)
+      val v2 = emb.filter($"vec_id" >= 30 && $"vec_id" < 70)
+      val cb1 = PqIndex.train(v1, "vec_id", "embedding", m = 8, k = 4, iters = 1)
+      PqIndex.save(cb1, PqIndex.encode(cb1, v1, "vec_id", "embedding"), dir)
+      val g1 = gen(dir)
+      def codeIds() = PqIndex.load(spark, dir)._2
+        .select("vec_id").as[Long].collect().toSet
+      val ids1 = v1.select("vec_id").as[Long].collect().toSet
+      assert(codeIds() == ids1)
+      // in-flight rebuild died mid-write: codes present, no marker
+      v2.limit(3).selectExpr("vec_id", "array(1, 2) AS codes")
+        .write.parquet(s"$dir/g00000001/codes")
+      assert(gen(dir) == g1 && codeIds() == ids1)
+      // completed rebuild swaps cleanly
+      val cb2 = PqIndex.train(v2, "vec_id", "embedding", m = 8, k = 4, iters = 1)
+      PqIndex.save(cb2, PqIndex.encode(cb2, v2, "vec_id", "embedding"), dir)
+      assert(codeIds() == v2.select("vec_id").as[Long].collect().toSet)
+      assert(gen(dir).endsWith("g00000002"))
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(dir))
   }
 }

@@ -70,4 +70,31 @@ class NeardupStreamSpec extends SparkTestBase {
     assert(after.flatMap(_._3).intersect(deleted).isEmpty,
       "stream served a tombstoned corpus doc")
   }
+
+  test("stream restarts cleanly across an index rebuild (atomic publish)") {
+    val docs = (0L until 40L).map(doc).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream_gen").toFile
+    dir.deleteOnExit()
+    val d = dir.getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val idxPath = s"$d/idx"
+    MinHashIndex.save(MinHashIndex.build(corpus, "doc_id", "text",
+      shingleK = 5, bands = 16, rowsPerBand = 2), idxPath)
+    val v1 = NeardupStream.classifyFile(spark, d, idxPath, threshold = 0.5)
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(v1.exists(_._2 == "near_dup"))
+    // rebuild over an EMPTY-overlap corpus publishes a new generation;
+    // a restarted stream resolves it (never a torn mix) — every match
+    // disappears because the new corpus shares no vocabulary
+    val rebuilt = (16L until 20L)
+      .map(g => (g, (0 until 12).map(w => s"z${(g * 5 + w * 3) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    MinHashIndex.save(MinHashIndex.build(rebuilt, "doc_id", "text",
+      shingleK = 5, bands = 16, rowsPerBand = 2), idxPath)
+    val v2 = NeardupStream.classifyFile(spark, d, idxPath, threshold = 0.5)
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(v2.nonEmpty && v2.forall(_._2 == "new"),
+      s"restarted stream still matched the old generation: $v2")
+  }
 }
