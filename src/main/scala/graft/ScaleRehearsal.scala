@@ -64,6 +64,8 @@ object ScaleRehearsal {
     if (mode == "annserve") println(annServeCheck(spark, dir))
     if (mode == "chaincc") println(chainCcCheck(spark,
       sys.env.getOrElse("SPARK_GRAFT_CHAIN_N", "1000000").toLong))
+    if (mode == "deltacc") println(deltaCcCheck(spark,
+      sys.env.getOrElse("SPARK_GRAFT_DELTACC_N", "1000000").toLong))
     spark.stop()
   }
 
@@ -397,6 +399,10 @@ object ScaleRehearsal {
     // --- shape check 4: long-chain CC (alternating star ops) -------
     sb ++= chainCcCheck(spark,
       sys.env.getOrElse("SPARK_GRAFT_CHAIN_N", "1000000").toLong)
+
+    // --- shape check 4a: delta-CC label maintenance ----------------
+    sb ++= deltaCcCheck(spark,
+      sys.env.getOrElse("SPARK_GRAFT_DELTACC_N", "1000000").toLong)
 
     sb ++= planDump(spark, dir)
 
@@ -1000,6 +1006,59 @@ object ScaleRehearsal {
     sb ++= s"- HashMin on the same graph would need ${n - 1} rounds (one per hop) — " +
       "not runnable; the alternating variant converged within its 40-round cap\n"
     println(f"[scale] chaincc n=$n wrong=$wrong secs=$secs%.1f")
+    sb.toString
+  }
+
+  /** Delta-CC economics (mode=deltacc, VERDICT r11 next-round #3):
+    * maintain cluster labels under a 10% edge append via
+    * [[graft.dedup.ConnectedComponents.appendEdges]] and compare
+    * against the full recompute over base ∪ Δ. The base graph is a
+    * random sparse graph (avg degree ≈ 2 — the near-dup regime:
+    * many small components, some chains); Δ edges land on a 10%
+    * node subset, so most components are untouched, which is the
+    * production shape (a daily batch touches the clusters it
+    * collides with, not the corpus). Equality is asserted, not
+    * assumed — the speedup must not come from wrong labels.
+    */
+  def deltaCcCheck(spark: SparkSession, n: Long): String = {
+    import graft.dedup.ConnectedComponents
+    Bench.scrub(spark)
+    val sb = new StringBuilder
+    sb ++= "\n## Delta connected components (10% edge append)\n\n"
+    // deterministic pseudo-random sparse graph over n nodes
+    def randEdges(from: Long, to: Long) = spark.range(from, to)
+      .select(((col("id") * 7919 + 13) % n).as("a"),
+        ((col("id") * 104729 + 7) % n).as("b"))
+      .filter(col("a") =!= col("b"))
+    val nBase = n // avg degree ≈ 2
+    val base = randEdges(0, nBase)
+    // Δ concentrated on a 10% keyspace slice: most components untouched
+    val delta = randEdges(nBase, nBase + nBase / 10)
+      .select(pmod(col("a"), lit(n / 10)).as("a"),
+        pmod(col("b"), lit(n / 10)).as("b"))
+      .filter(col("a") =!= col("b"))
+    var t0 = System.nanoTime()
+    val labels = ConnectedComponents.componentsAlternating(base, maxIter = 40)
+      .localCheckpoint()
+    val tBase = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val updated = ConnectedComponents.appendEdges(labels, delta, maxIter = 40)
+      .localCheckpoint()
+    val nUpd = updated.count()
+    val tDelta = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val full = ConnectedComponents
+      .componentsAlternating(base.union(delta), maxIter = 40).localCheckpoint()
+    val nFull = full.count()
+    val tFull = (System.nanoTime() - t0) / 1e9
+    val mismatch = updated.as("u")
+      .join(full.as("f"), col("u.id") === col("f.id"))
+      .filter(col("u.component") =!= col("f.component")).count()
+    sb ++= f"- base: $nBase%,d edges over ≤$n%,d nodes, full CC $tBase%.1f s\n"
+    sb ++= f"- 10%% append: delta-CC $tDelta%.1f s vs full recompute $tFull%.1f s " +
+      f"(${tFull / math.max(tDelta, 0.001)}%.1fx) — $nUpd%,d labels, $mismatch mismatched vs full\n"
+    println(f"[scale] deltacc base=$tBase%.1fs delta=$tDelta%.1fs full=$tFull%.1fs mismatch=$mismatch (labels=$nUpd, fullLabels=$nFull)")
+    require(mismatch == 0, "delta-CC labels diverged from full recompute")
     sb.toString
   }
 

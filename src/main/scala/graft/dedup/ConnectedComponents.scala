@@ -277,6 +277,78 @@ object ConnectedComponents {
         col("component").cast(dt).as("component"))
   }
 
+  /** DELTA connected components — incremental cluster-LABEL
+    * maintenance (VERDICT r11 next-round #3, the missing half of the
+    * daily-ingest story): given the corpus's existing `labels`
+    * (id, component — component = the component's min id, exactly
+    * what [[components]]/[[componentsAlternating]] emit) and a batch
+    * of `newEdges`, produce labels for corpus ∪ Δ EQUAL to a full
+    * recompute over oldEdges ∪ newEdges — without touching any
+    * component the Δ edges don't reach.
+    *
+    * Why it works: within an existing component every node already
+    * shares one label, so for connectivity each component collapses
+    * to that label. Map each Δ endpoint to its current label (a node
+    * never seen before is its own label) and run CC over the
+    * resulting COMPONENT GRAPH — a graph whose node set is the
+    * touched components plus genuinely new ids, and whose edge count
+    * is |Δ|. Labels are min-ids, so the merged component graph's
+    * min-label IS the merged component's min node id (a new node
+    * smaller than an old component's min correctly becomes the new
+    * label). The result is a bounded relabel map (old label → merged
+    * label, one row per TOUCHED component), applied to the corpus
+    * labels as a broadcast-sized left join — a narrow map-side pass,
+    * never an iterative corpus-wide propagation.
+    *
+    * Cost: two Δ-sized label lookups + CC over a |Δ|-edge graph
+    * (usually the driver union-find branch) + the broadcast relabel
+    * join. The full recompute pays O(log n) shuffle rounds over ALL
+    * edges; the delta path's only corpus-sized work is the single
+    * narrow output join (DeltaCcSpec pins label equality on random /
+    * chain / planted graphs through both CC dispatch branches; the
+    * rehearsal's deltacc row measures the cost gap at scale).
+    *
+    * New nodes introduced by Δ (including isolated-looking endpoints
+    * that merge nothing) appear in the output with their merged
+    * labels, so the returned frame is the complete corpus ∪ Δ label
+    * table.
+    */
+  def appendEdges(labels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20, maxLocalEdges: Long = 1L << 20): DataFrame = {
+    val l = labels.select(col("id"), col("component"))
+    val lblA = l.select(col("id").as("a"), col("component").as("_ca"))
+    val lblB = l.select(col("id").as("b"), col("component").as("_cb"))
+    // Δ edges lifted to the component graph: endpoint → its current
+    // label, never-seen endpoint → itself
+    val compEdges = newEdges.select(col("a"), col("b"))
+      .join(lblA, Seq("a"), "left")
+      .join(lblB, Seq("b"), "left")
+      .select(coalesce(col("_ca"), col("a")).as("a"),
+        coalesce(col("_cb"), col("b")).as("b"))
+    val (merged, release) =
+      componentsAdaptiveReleasable(compEdges, maxIter, maxLocalEdges)
+    try {
+      // relabel map for the touched components (merged.id values are
+      // old labels or new node ids); bounded by |touched| + |Δ nodes|
+      val remap = merged
+        .select(col("id").as("_old"), col("component").as("_new"))
+        .localCheckpoint() // snapshot: the backing blocks are released below
+      // untouched corpus labels pass through; touched ones remap —
+      // remap is broadcast-sized by construction
+      val updatedOld = l
+        .join(broadcast(remap), col("component") === col("_old"), "left")
+        .select(col("id"), coalesce(col("_new"), col("component")).as("component"))
+      // nodes Δ introduced: endpoints never seen in the corpus labels
+      val newNodes = newEdges.select(col("a").as("id"))
+        .union(newEdges.select(col("b").as("id"))).distinct()
+        .join(l, Seq("id"), "left_anti")
+      val newRows = newNodes
+        .join(broadcast(remap), col("id") === col("_old"), "left")
+        .select(col("id"), coalesce(col("_new"), col("id")).as("component"))
+      updatedOld.union(newRows)
+    } finally release()
+  }
+
   /** Deduplicated corpus: one representative (min id) per component;
     * nodes without edges keep themselves. Output schema = `docs`
     * schema, whatever the caller's column names (internal columns are
