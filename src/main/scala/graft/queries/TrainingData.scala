@@ -2308,6 +2308,92 @@ object TrainingData {
   private val qQualityTrainedSql =
     qualityGdSql(lr = "3.0", iters = graft.ml.QualityModel.DefaultIters)
 
+  // ---------------------------------------------------- trained langid
+  /** q_langid_trained (VERDICT r11 next-round #6): the q_quality_trained
+    * recipe applied to language ID — five one-vs-rest scorers over
+    * battery + char-digram features, decimal-exact GD, durable weights,
+    * argmax prediction. See [[graft.ml.LangIdModel]] for the honesty
+    * note on the fixture (text ⊥ lang — the fitted model's edge over
+    * the 0.396-accuracy stopword CASE battery is the learned prior;
+    * the spec proves real-signal learning on a separable corpus).
+    */
+  private val qLangidTrained: Q = (s, d) => {
+    import graft.ml.LangIdModel
+    val docs = Tables.documents(s, d)
+    val w = graft.tools.Scratch.withDir("graft_langid_model") { p =>
+      LangIdModel.save(s, LangIdModel.train(docs), s"$p/weights")
+      LangIdModel.load(s, s"$p/weights") // weights collect eagerly
+    }
+    LangIdModel.guess(docs, w).orderBy("doc_id")
+  }
+
+  /** The unrolled 5-chain GD oracle — [[qualityGdSql]]'s devices
+    * (MATERIALIZED round CTEs, σ̃ link, DECIMAL(30,8) gradient sums,
+    * decimal→double before the lr step) over one weight chain per
+    * class, plus the stacked argmax tail (row_number over
+    * (dot DESC, class) — the engine's tie rule verbatim).
+    */
+  private def langidGdSql(lr: String, iters: Int): String = {
+    import graft.ml.LangIdModel
+    val nf = LangIdModel.NumFeatures
+    val sig = "(0.5 + 0.5 * dot / (1 + abs(dot)))"
+    def dotOf(w: String, f: String) =
+      (0 until nf).map(j => s"$w.w$j * $f.x$j").mkString("(", " + ", ")")
+    val batteryX = LangIdModel.Batteries.zipWithIndex.map { case (ws, i) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> list_contains($lst, t))) AS DOUBLE)
+         |      / len(string_split(lower(text), ' ')) * 10 AS x${i + 1}""".stripMargin
+    }
+    val digramX = LangIdModel.Digrams.zipWithIndex.map { case (dg, i) =>
+      s"""(length(lower(text)) - length(replace(lower(text), '$dg', ''))) / 2
+         |      * 100 / length(lower(text)) AS x${i + 5}""".stripMargin
+    }
+    def chain(c: String): String = {
+      val iterCtes = (1 to iters).map { i =>
+        s"""p_${c}_$i AS (
+           |  SELECT f.*, ${dotOf("w", "f")} AS dot
+           |  FROM feat f CROSS JOIN w_${c}_${i - 1} w),
+           |g_${c}_$i AS (
+           |  SELECT ${(0 until nf).map(j =>
+               s"sum(CAST(($sig - CASE WHEN lang = '$c' THEN 1.0 ELSE 0.0 END) " +
+                 s"* x$j AS DECIMAL(30,8))) AS s$j").mkString(",\n  ")}
+           |  FROM p_${c}_$i),
+           |w_${c}_$i AS MATERIALIZED (
+           |  SELECT ${(0 until nf).map(j =>
+               s"w.w$j - $lr * (CAST(g.s$j AS DOUBLE) / (SELECT n FROM nn)) AS w$j")
+                 .mkString(",\n  ")}
+           |  FROM w_${c}_${i - 1} w CROSS JOIN g_${c}_$i g)""".stripMargin
+      }.mkString(",\n")
+      val zeros = (0 until nf).map(j => s"CAST(0 AS DOUBLE) AS w$j").mkString(", ")
+      s"w_${c}_0 AS MATERIALIZED (SELECT $zeros),\n$iterCtes"
+    }
+    val chains = LangIdModel.Classes.map(chain).mkString(",\n")
+    val scUnion = LangIdModel.Classes.map(c =>
+      s"""SELECT f.doc_id, f.lang AS labeled_lang, '$c' AS lang_c,
+         |       ${dotOf("w", "f")} AS dot
+         |FROM feat f CROSS JOIN w_${c}_$iters w""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH feat AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    CAST(1.0 AS DOUBLE) AS x0,
+       |    ${(batteryX ++ digramX).mkString(",\n    ")}
+       |  FROM documents),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM feat),
+       |$chains,
+       |allsc AS ($scUnion),
+       |r AS (
+       |  SELECT doc_id, labeled_lang, lang_c,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY dot DESC NULLS LAST, lang_c) AS rn
+       |  FROM allsc)
+       |SELECT doc_id, labeled_lang, lang_c AS guessed_lang
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  private val qLangidTrainedSql =
+    langidGdSql(lr = "1.0", iters = graft.ml.LangIdModel.DefaultIters)
+
   // ------------------------------------------------ token-budget selection
   /** Data selection under a token budget — the mixture-building step
     * of a training run: per source, take documents in quality order
@@ -2407,6 +2493,7 @@ object TrainingData {
     "q_hybrid_search" -> qHybridSearch,
     "q_quality_model" -> qQualityModel,
     "q_quality_trained" -> qQualityTrained,
+    "q_langid_trained" -> qLangidTrained,
     "q_token_budget" -> qTokenBudget,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_near" -> qDedupNear,
@@ -2469,6 +2556,7 @@ object TrainingData {
     "q_hybrid_search" -> qHybridSearchSql,
     "q_quality_model" -> qQualityModelSql,
     "q_quality_trained" -> qQualityTrainedSql,
+    "q_langid_trained" -> qLangidTrainedSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_near" -> qDedupNearSql,
