@@ -1243,9 +1243,14 @@ object TrainingData {
     */
   private val pqBenchIndexes = scala.collection.concurrent.TrieMap
     .empty[String, (graft.similarity.PqIndex.Codebook, String, Seq[Float], Int)]
-  private val qSimPqServe: Q = (s, d) => {
-    import graft.similarity.PqIndex
-    val (cb, path, qv, cBudget) = pqBenchIndexes.getOrElseUpdate(d, {
+  /** Build+save the PQ artifact over `d`'s embeddings ONCE per JVM —
+    * shared by the single-query serve override and the streaming
+    * probe (the ivfIndexPathFor precedent for the compressed index).
+    */
+  private def pqIndexFor(s: SparkSession,
+      d: String): (graft.similarity.PqIndex.Codebook, String, Seq[Float], Int) =
+    pqBenchIndexes.getOrElseUpdate(d, {
+      import graft.similarity.PqIndex
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding")).cache()
       try {
@@ -1261,6 +1266,9 @@ object TrainingData {
         (cbLoaded, p, q, math.max(200L, emb.count() / 10).toInt)
       } finally emb.unpersist()
     })
+  private val qSimPqServe: Q = (s, d) => {
+    import graft.similarity.PqIndex
+    val (cb, path, qv, cBudget) = pqIndexFor(s, d)
     PqIndex.topK(cb,
       s.read.parquet(s"${graft.tools.Artifacts.requireGen(s, path)}/codes"),
       Tables.embeddings(s, d),
@@ -1406,6 +1414,53 @@ object TrainingData {
     exact.orderBy("qid", "rk")
   }
 
+  /** q_stream_ann_pq (VERDICT r11 next-round #7): the COMPRESSED-index
+    * streaming serve — [[qStreamAnn]]'s contract with the saved
+    * [[graft.similarity.PqIndex]] as the engine (ADC LUT probe per
+    * micro-batch + C-bounded exact re-rank, via
+    * `AnnStream.probePqFile`). Gates mean recall@10 ≥ 0.8 against the
+    * exact scan, then emits the exact ranking; the oracle is
+    * [[qStreamAnnSql]] VERBATIM (same emit contract, second streaming
+    * ANN engine).
+    */
+  private val qStreamAnnPq: Q = (s, d) => {
+    import graft.functions.{TopKAgg, VectorOps}
+    val (_, path, _, cBudget) = pqIndexFor(s, d)
+    val ann = graft.streaming.AnnStream.probePqFile(s, d, path,
+      k = 10, c = cBudget)
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val exact = corpus.join(broadcast(probes))
+      .withColumn("cos", VectorOps.cosine(col("qvec"), col("cvec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topK(10)(col("cos"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("hit._2").as("cid"), round(col("hit._1"), 6).as("cosine"))
+      .localCheckpoint()
+    val nQ = probes.count()
+    val hits = ann.select(col("query_id").as("qid"), col("vec_id").as("cid"))
+      .join(exact.select(col("qid"), col("cid")), Seq("qid", "cid")).count()
+    val recall = if (nQ == 0) 1.0 else hits.toDouble / (nQ * 10.0)
+    require(recall >= 0.8,
+      s"streamed PQ mean recall@10 = $recall < 0.8 (m=8,k=32,C=$cBudget) — " +
+        "serving quality regressed")
+    exact.orderBy("qid", "rk")
+  }
+
+  /** Bench-path override: the streamed ADC probe alone (the
+    * qStreamAnnServe argument applied to the PQ engine).
+    */
+  private val qStreamAnnPqServe: Q = (s, d) => {
+    val (_, path, _, cBudget) = pqIndexFor(s, d)
+    graft.streaming.AnnStream.probePqFile(s, d, path, k = 10, c = cBudget)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rk")
+  }
+
   /** Exact restatement of the streamed-ANN emit — q_knn_join's
     * dialect with the streamed slice as the probe set and the FULL
     * corpus (self included: a query's rank-1 is itself at cosine 1)
@@ -1467,6 +1522,7 @@ object TrainingData {
     "q_stream_neardup" -> qStreamNeardup,
     "q_stream_semdedup" -> qStreamSemdedup,
     "q_stream_ann" -> qStreamAnnServe,
+    "q_stream_ann_pq" -> qStreamAnnPqServe,
     "q_embed_search_ivf" -> qEmbedSearchIvfServe,
     "q_zorder_prune" -> Analytics.qZorderPruneServe,
     // inverse of the serve overrides above: the correctness body is
@@ -2502,6 +2558,7 @@ object TrainingData {
     "q_stream_neardup" -> qStreamNeardup,
     "q_stream_semdedup" -> qStreamSemdedup,
     "q_stream_ann" -> qStreamAnn,
+    "q_stream_ann_pq" -> qStreamAnnPq,
     "q_dedup_audit" -> qDedupAudit,
     "q_simhash" -> qSimhash,
     "q_simhash_near" -> qSimhashNear,
@@ -2586,6 +2643,7 @@ object TrainingData {
     // per-vector purity, ONE oracle
     "q_stream_semdedup" -> qSemdedupIncrSql,
     "q_stream_ann" -> qStreamAnnSql,
+    "q_stream_ann_pq" -> qStreamAnnSql, // same emit contract, second engine
     "q_dedup_audit" -> qDedupAuditSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_near" -> qSimhashNearSql,

@@ -261,6 +261,87 @@ object PqIndex {
       .write.mode("append").parquet(s"$gen/codes")
   }
 
+  /** Batched online ADC probe — the [[IvfIndex.probeJoin]] twin for
+    * the COMPRESSED serving index (VERDICT r11 next-round #7): score
+    * every query in `queries` against the stored codes in ONE scan,
+    * cut top-C per query with the bounded TopKAgg (at most C rows per
+    * (query, partition) reach the shuffle — never a score matrix),
+    * then exact-re-rank each query's C survivors against their true
+    * vectors through one broadcast join and emit
+    * (query_id, rk, vec_id, cosine) top-k rows.
+    *
+    * `queries` must be BOUNDED (a micro-batch / probe slice): its
+    * rows are collected once to build the per-query ADC LUTs (M×K
+    * doubles each — the per-query table [[adcScores]] builds, batched)
+    * — the same bounded-collect contract as IvfIndex.probeJoin's
+    * nearestCentroids cut. Per-call cost: one codes scan × nQ LUT
+    * lookups map-side, a C×nQ-row candidate shuffle, and a broadcast
+    * re-rank join — the vectors of non-candidates are never read.
+    */
+  def probeJoin(cb: Codebook, codes: DataFrame, emb: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int, c: Int): DataFrame = {
+    require(c >= k)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(qIdCol), col(qVecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    if (qRows.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("rk"), col("id").as("vec_id"),
+        col("id").cast("double").as("cosine"))
+    // codeword norms are query-independent: one shared table
+    val nrmSqLut = Array.tabulate(cb.m, cb.k) { (s, cd) =>
+      var n = 0.0; var j = 0
+      while (j < cb.subDim) {
+        val x = cb.centroids(s)(cd)(j); n += x * x; j += 1
+      }
+      n
+    }
+    val luts: Map[Long, (Array[Array[Double]], Double)] = qRows.map {
+      case (qid, qv) =>
+        val dotLut = Array.tabulate(cb.m, cb.k) { (s, cd) =>
+          var d = 0.0; var j = 0
+          while (j < cb.subDim) {
+            d += qv(s * cb.subDim + j).toDouble * cb.centroids(s)(cd)(j)
+            j += 1
+          }
+          d
+        }
+        val qn = math.sqrt(
+          qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        qid -> (dotLut, qn)
+    }.toMap
+    val scoreU = udf { (qid: Long, cs: Seq[Int]) =>
+      val (dotLut, qn) = luts(qid)
+      var d = 0.0; var n = 0.0; var s = 0
+      while (s < cs.length) {
+        d += dotLut(s)(cs(s)); n += nrmSqLut(s)(cs(s)); s += 1
+      }
+      val denom = qn * math.sqrt(n)
+      if (denom == 0.0) None else Some(d / denom)
+    }
+    val qIdsDf = qRows.map(_._1).toSeq.toDF("query_id")
+    val cand = codes.crossJoin(broadcast(qIdsDf))
+      .withColumn("adc", scoreU(col("query_id"), col("codes")))
+      .filter(col("adc").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(c)(col("adc"), col(idCol)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit._2").as(idCol))
+    val qVecDf = qRows.toSeq.toDF("query_id", "qvec")
+    val cos = VectorOps.cosineFor(emb, vecCol)
+    emb.join(broadcast(cand), Seq(idCol))
+      .join(broadcast(qVecDf), Seq("query_id"))
+      .withColumn("cos", cos(col(vecCol), col("qvec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("cos"), col(idCol)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("hit._2").as("vec_id"), col("hit._1").as("cosine"))
+  }
+
   /** End-to-end PQ top-k: ADC top-C candidate cut over the codes
     * (per-partition heap, merge of C rows), then exact cosine re-rank
     * of the C survivors against their true vectors via a broadcast

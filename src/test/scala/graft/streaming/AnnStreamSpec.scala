@@ -114,4 +114,60 @@ class AnnStreamSpec extends SparkTestBase {
       full.map(_._1).distinct.sorted,
       "tombstoning corpus ids must not drop queries")
   }
+
+  test("PQ twin: probeJoin equals the per-query PqIndex.topK for every query") {
+    import graft.similarity.PqIndex
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val path = s"${tmpDir("ann_pq_probe")}/idx"
+    val cb0 = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 8, iters = 1)
+    PqIndex.save(cb0, PqIndex.encode(cb0, emb, "vec_id", "embedding"), path)
+    val (cb, codes) = PqIndex.load(spark, path)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val batched = PqIndex.probeJoin(cb, codes, emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, c = 40)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+      .toMap
+    val qs = queries.as[(Long, Seq[Float])].collect()
+    assert(qs.length >= 3, "fixture too small to exercise batching")
+    qs.foreach { case (qid, qv) =>
+      val single = PqIndex.topK(cb, codes, emb, "vec_id", "embedding", qv,
+        k = 5, c = 40).as[(Long, Double)].collect().toSeq
+      assert(batched(qid) == single, s"PQ probeJoin != topK for query $qid")
+    }
+  }
+
+  test("PQ twin: stream≡batch across a forced multi-trigger run; tombstones honored") {
+    import graft.similarity.PqIndex
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val d = tmpDir("ann_pq_stream")
+    emb.repartition(4).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val idxPath = s"${tmpDir("ann_pq_stream_idx")}/idx"
+    val cb0 = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 8, iters = 1)
+    PqIndex.save(cb0, PqIndex.encode(cb0, emb, "vec_id", "embedding"), idxPath)
+    val (cb, codes) = PqIndex.load(spark, idxPath)
+    val expected = PqIndex.probeJoin(cb, codes, emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, c = 40)
+      .orderBy("query_id", "rk")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(expected.nonEmpty)
+    val got = AnnStream.probePqFile(spark, d, idxPath, k = 5, c = 40,
+      maxFilesPerTrigger = Some(1)) // force a genuinely multi-trigger run
+      .orderBy("query_id", "rk")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected, "PQ stream != batch")
+    // tombstone every rank-1 hit; a restarted stream must never serve one
+    val deleted = expected.filter(_._2 == 1L).map(_._3).distinct
+    assert(deleted.nonEmpty)
+    PqIndex.delete(spark, idxPath, deleted.toDF("vec_id"), "vec_id")
+    val after = AnnStream.probePqFile(spark, d, idxPath, k = 5, c = 40)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(after.map(_._3).intersect(deleted).isEmpty,
+      "PQ stream served a tombstoned corpus vector")
+    assert(after.nonEmpty && after.map(_._1).distinct.sorted ==
+      expected.map(_._1).distinct.sorted)
+  }
 }
