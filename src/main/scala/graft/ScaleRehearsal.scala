@@ -66,6 +66,7 @@ object ScaleRehearsal {
       sys.env.getOrElse("SPARK_GRAFT_CHAIN_N", "1000000").toLong))
     if (mode == "deltacc") println(deltaCcCheck(spark,
       sys.env.getOrElse("SPARK_GRAFT_DELTACC_N", "1000000").toLong))
+    if (mode == "qualitytrain") println(qualityTrainCheck(spark, dir))
     spark.stop()
   }
 
@@ -403,6 +404,9 @@ object ScaleRehearsal {
     // --- shape check 4a: delta-CC label maintenance ----------------
     sb ++= deltaCcCheck(spark,
       sys.env.getOrElse("SPARK_GRAFT_DELTACC_N", "1000000").toLong)
+
+    // --- shape check 4b: trained-model train/score economics -------
+    sb ++= qualityTrainCheck(spark, dir)
 
     sb ++= planDump(spark, dir)
 
@@ -1006,6 +1010,45 @@ object ScaleRehearsal {
     sb ++= s"- HashMin on the same graph would need ${n - 1} rounds (one per hop) — " +
       "not runnable; the alternating variant converged within its 40-round cap\n"
     println(f"[scale] chaincc n=$n wrong=$wrong secs=$secs%.1f")
+    sb.toString
+  }
+
+  /** Trained-model economics at 20× (mode=qualitytrain, VERDICT r11
+    * next-round #8): q_quality_trained's GD is `iters` full passes
+    * over the CACHED feature frame — linear per pass with a 4-value
+    * driver state between passes, the Lloyd-round cost shape. This
+    * section measures the train/score split on the scaled corpus and
+    * documents the 100 TB escape hatch: full-batch decimal-exact GD
+    * needs `iters` corpus passes by definition; when a pass stops
+    * fitting the ingest window, train on a deterministic hash-sample
+    * (`xxhash64(id) % K == 0` — the trainer is unchanged, only its
+    * input shrinks; the learned 4-weight model is statistically
+    * identical long before the sample stops fitting in one executor
+    * wave) and SCORE the full corpus, which is one narrow pass.
+    */
+  def qualityTrainCheck(spark: SparkSession, dir: String): String = {
+    import graft.ml.QualityModel
+    Bench.scrub(spark)
+    val sb = new StringBuilder
+    sb ++= "\n## Trained quality model at 20× (train/score split)\n\n"
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    var t0 = System.nanoTime()
+    val w = QualityModel.train(docs)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val kept = QualityModel.score(docs, w).filter(col("keep")).count()
+    val tScore = (System.nanoTime() - t0) / 1e9
+    // the escape hatch, measured: train on the 5% hash sample, score all
+    t0 = System.nanoTime()
+    val wS = QualityModel.train(docs.filter(xxhash64(col("doc_id")) % 20 === 0))
+    val tTrainS = (System.nanoTime() - t0) / 1e9
+    val keptS = QualityModel.score(docs, wS).filter(col("keep")).count()
+    val agree = 1.0 - math.abs(keptS - kept).toDouble / math.max(kept, 1L)
+    sb ++= f"- corpus: $n%,d docs; full-batch train (${QualityModel.DefaultIters} passes): $tTrain%.1f s; corpus-wide score: $tScore%.1f s\n"
+    sb ++= f"- sampled-GD escape hatch (5%% hash sample): train $tTrainS%.1f s; keep-set size agreement with the full-batch model: ${agree * 100}%.1f%%\n"
+    sb ++= "- 100 TB shape: score is ONE narrow pass (production cost); training cost is capped by the sample, not the corpus\n"
+    println(f"[scale] qualitytrain n=$n train=$tTrain%.1fs score=$tScore%.1fs sampled=$tTrainS%.1fs agree=${agree * 100}%.1f%%")
     sb.toString
   }
 
