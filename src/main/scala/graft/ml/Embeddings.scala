@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.ml.feature.{IDF, Word2Vec}
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
