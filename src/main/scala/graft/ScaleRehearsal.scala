@@ -228,14 +228,23 @@ object ScaleRehearsal {
     // 20× index size, the exact q_stream_neardup economics on the
     // embedding side (the one-time index build lands on the untimed
     // first call, as in Bench)
-    "q_stream_semdedup")
-    // q_stream_ann is deliberately NOT a heavy row: its correctness
-    // body's recall gate is queries × corpus BY CONTRACT and the
-    // fixture's query count scales WITH the corpus, so the row would
-    // price a 400× product no production serving tier pays (query
-    // rate does not scale with corpus size). The serving economics —
-    // right-sized cells, per-trigger probe cost, recall on a bounded
-    // sample — are measured in annServeCheck below instead.
+    "q_stream_semdedup",
+    // round-12: the trained langid (5 one-vs-rest chains × 8 GD
+    // aggregation passes over a 20× cached feature frame — the
+    // q_quality_trained economics × 5 classes) and the serving-engine
+    // retrieval eval (3 engine builds + 20 fixed probes × corpus —
+    // probe count does NOT scale with the corpus here, unlike the
+    // streamed slice, so the row prices exactly what a per-retrain
+    // eval pays at 20×)
+    "q_langid_trained", "q_eval_ann")
+    // q_stream_ann / q_stream_ann_pq are deliberately NOT heavy rows:
+    // their correctness bodies' recall gates are queries × corpus BY
+    // CONTRACT and the fixture's query count scales WITH the corpus,
+    // so the rows would price a 400× product no production serving
+    // tier pays (query rate does not scale with corpus size). The
+    // serving economics — right-sized cells, per-trigger probe cost,
+    // recall on a bounded sample — are measured in annServeCheck /
+    // pqServeCheck below instead.
 
   def run(spark: SparkSession, src: String, dir: String, factor: Int): Unit = {
     val sb = new StringBuilder
