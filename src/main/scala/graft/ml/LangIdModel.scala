@@ -96,20 +96,46 @@ object LangIdModel {
     */
   def train(docs: DataFrame, lr: Double = DefaultLr,
       iters: Int = DefaultIters): Map[String, Array[Double]] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val f = features(docs).cache()
     try {
       val n = f.count()
       require(n > 0, "cannot train on an empty corpus")
       var w: Map[String, Array[Double]] =
         Classes.map(_ -> Array.fill(NumFeatures)(0.0)).toMap
+      // the round's weights enter the plan as a broadcast one-row
+      // DATA relation (per-class array columns), not as literals:
+      // literal weights made every round a structurally-new plan, so
+      // whole-stage codegen recompiled the 45-sum aggregate each
+      // iteration (~0.5 s/round of pure compilation — most of the
+      // query's first-cut cost); with attribute weights the plan
+      // shape is round-invariant and the generated class is reused.
+      // Arithmetic is unchanged: same doubles, same op order.
       for (_ <- 0 until iters) {
         val cur = w
-        val aggs = for (c <- Classes; j <- 0 until NumFeatures) yield {
-          val r = link(dotCol(cur(c))) -
-            when(col("lang") === c, lit(1.0)).otherwise(lit(0.0))
-          sum((r * col(s"x$j")).cast(DecimalType(30, 8))).as(s"${c}_s$j")
-        }
-        val row = f.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val wDf = Seq(Tuple5(cur("de").toSeq, cur("en").toSeq,
+          cur("es").toSeq, cur("fr").toSeq, cur("zh").toSeq))
+          .toDF(Classes.map(c => s"w_$c"): _*)
+        def dotOf(c: String): Column =
+          (0 until NumFeatures)
+            .map(j => element_at(col(s"w_$c"), j + 1) * col(s"x$j"))
+            .reduce(_ + _)
+        // residuals PRE-PROJECTED once per (row, class) — the 45
+        // aggregate inputs then reference the 5 residual columns
+        // instead of each re-evaluating its class's link(dot) (9× the
+        // per-row flops for identical values; same expression tree,
+        // so bit-identical results)
+        val withR = f.crossJoin(broadcast(wDf))
+          .select((0 until NumFeatures).map(j => col(s"x$j")) ++
+            Seq(col("lang")) ++
+            Classes.map(c => (link(dotOf(c)) -
+              when(col("lang") === c, lit(1.0)).otherwise(lit(0.0)))
+              .as(s"r_$c")): _*)
+        val aggs = for (c <- Classes; j <- 0 until NumFeatures) yield
+          sum((col(s"r_$c") * col(s"x$j")).cast(DecimalType(30, 8)))
+            .as(s"${c}_s$j")
+        val row = withR.agg(aggs.head, aggs.tail: _*).collect()(0)
         w = Classes.zipWithIndex.map { case (c, ci) =>
           c -> Array.tabulate(NumFeatures)(j =>
             cur(c)(j) - lr * (row.getDecimal(ci * NumFeatures + j).doubleValue / n))
