@@ -661,7 +661,8 @@ object ScaleRehearsal {
         IvfIndex.build(base, "vec_id", "embedding", nCentroids = 16, iters = 2), path)
       val buildSec = (System.nanoTime() - t0) / 1e9
       val before = graft.tools.Scratch.listParquetFiles(
-        s"${graft.tools.Artifacts.requireGen(spark, path)}/corpus")
+        s"${graft.tools.Artifacts.localPath(
+          graft.tools.Artifacts.requireGen(spark, path))}/corpus")
       // min-of-2, each pass appending to a fresh byte-identical COPY
       // of the saved layout: append MUTATES the index, so re-timing
       // in place would append twice, and a single-shot sub-second job
@@ -679,7 +680,8 @@ object ScaleRehearsal {
           IvfIndex.append(spark, p2, delta, "vec_id", "embedding")
           val t = (System.nanoTime() - t1) / 1e9
           val after = graft.tools.Scratch.listParquetFiles(
-            s"${graft.tools.Artifacts.requireGen(spark, p2)}/corpus")
+            s"${graft.tools.Artifacts.localPath(
+              graft.tools.Artifacts.requireGen(spark, p2))}/corpus")
           (t, before.forall { case (f, sz) => after.get(f).contains(sz) },
             (after.keySet -- before.keySet).size)
         } finally graft.tools.Scratch.deleteRecursively(new java.io.File(p2))
@@ -744,7 +746,8 @@ object ScaleRehearsal {
       // append: frozen-structure Δ ingest on a byte-identical copy
       // per pass (append mutates; the ivfAppendCheck protocol)
       val before = graft.tools.Scratch.listParquetFiles(
-        s"${graft.tools.Artifacts.requireGen(spark, path)}/corpus")
+        s"${graft.tools.Artifacts.localPath(
+          graft.tools.Artifacts.requireGen(spark, path))}/corpus")
       val passes = (0 until 2).map { _ =>
         val p2 = java.nio.file.Files.createTempDirectory("graft_semidx_append")
           .toAbsolutePath.toString
@@ -754,7 +757,8 @@ object ScaleRehearsal {
           SemanticIndex.append(spark, p2, batch, "vec_id", "embedding")
           val t = (System.nanoTime() - t3) / 1e9
           val after = graft.tools.Scratch.listParquetFiles(
-            s"${graft.tools.Artifacts.requireGen(spark, p2)}/corpus")
+            s"${graft.tools.Artifacts.localPath(
+              graft.tools.Artifacts.requireGen(spark, p2))}/corpus")
           (t, before.forall { case (f, sz) => after.get(f).contains(sz) })
         } finally graft.tools.Scratch.deleteRecursively(new java.io.File(p2))
       }

@@ -135,6 +135,14 @@ object Artifacts {
     currentGen(spark, root).getOrElse(throw new IllegalStateException(
       s"no committed index generation under $root — publish (save) first"))
 
+  /** Strip the filesystem scheme off a [[currentGen]]/[[requireGen]]
+    * result for java.io/java.nio consumers (local runs only — Spark
+    * readers take the qualified URI as-is).
+    */
+  def localPath(qualified: String): String =
+    try new java.net.URI(qualified).getPath
+    catch { case _: java.net.URISyntaxException => qualified }
+
   /** Publish a new generation: `write` receives a fresh `g<N>/` path
     * and must write the COMPLETE layout into it; the commit marker is
     * created only after `write` returns, then generations older than
