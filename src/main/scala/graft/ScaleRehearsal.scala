@@ -340,19 +340,20 @@ object ScaleRehearsal {
       "  fixes recall, not cost); the production cost point is the banded\n" +
       "  index + incremental classify (`q_neardup_incremental`, ~1× here),\n" +
       "  which touches only batch-side collisions.\n"
-    sb ++= "- `q_audio_neardup` (and to a lesser degree `q_video_neardup`):\n" +
-      "  the x-factor above ~8 is OUTPUT growth, measured, not a shuffle\n" +
-      "  defect — the media-diag section below counts the τ-verified edge\n" +
-      "  set at 46× the sf0.1 base for 20× the clips (audio cosines crowd\n" +
-      "  1.0, so in-block TRUE-duplicate density rises with corpus\n" +
-      "  density), and the remaining stage costs are decode (~12 s, linear,\n" +
-      "  embarrassingly parallel) and the flat-path kmeans (~11 s, O(n·k)\n" +
-      "  BY DISPATCH: measured against the hier path at this size, flat\n" +
-      "  still wins end-to-end — 52 s vs 58 s — and the dispatch hands\n" +
-      "  over to O(n·√k) hier above 65536 clips, before the quadratic\n" +
-      "  term can dominate). The per-block cap (1024) bounds any single\n" +
-      "  block's pair contribution; CC ingests the bounded edge set\n" +
-      "  through the adaptive local/distributed dispatch.\n"
+    sb ++= "- media near-dedup (`q_image/audio/video_neardup`): r11's one\n" +
+      "  superlinear scaler — audio's 8-dim amplitude features crowded\n" +
+      "  pair cosines at ≈1, yielding 468,704 verified edges (46× base)\n" +
+      "  at τ=0.99999 — is CLOSED by the r12 four-band featurizer: the\n" +
+      "  zero-mean bands spread unrelated cosines (median ~0.66), τ\n" +
+      "  dropped to 0.97, and the media-diag section below now counts\n" +
+      "  11,244 audio edges at 20× — fewer than image or video at the\n" +
+      "  same scale — with a τ-sweep row separating the statistical\n" +
+      "  tail from the near-identity structure. Remaining stage costs\n" +
+      "  are decode (linear, embarrassingly parallel, SPI cached\n" +
+      "  per JVM) and the flat-path kmeans (O(n·k) BY DISPATCH; hands\n" +
+      "  over to O(n·√k) hier above 65536 clips). The per-block cap\n" +
+      "  (1024) bounds any single block's pair contribution; CC ingests\n" +
+      "  the bounded edge set through the adaptive dispatch.\n"
 
     // --- media growth diagnostic (edge/survivor accounting) --------
     sb ++= mediaDiag(spark, dir)
