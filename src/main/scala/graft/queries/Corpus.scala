@@ -412,6 +412,32 @@ object Corpus {
   private val qStreamIngest: Q = (s, d) =>
     graft.streaming.IngestDedupStream.classifyFile(s, d)
 
+  // ------------------------------------------------------------ Q-STREAM-CC
+  /** STREAMING connected components ([[graft.streaming.CcStream]]) —
+    * duplicate-group labels maintained INCREMENTALLY per micro-batch
+    * via `ConnectedComponents.appendEdges` (round 12's delta CC),
+    * never a full recompute: each arriving document contributes one
+    * per-row-pure edge to its content hub (a 60-bit md5-prefix key
+    * lifted above every doc id), so components are {dup-group ∪ hub}
+    * stars whose label is the group's min doc_id, and the edge SET —
+    * hence the fixpoint — is independent of the trigger split
+    * (stream ≡ batch by construction; CcStreamSpec pins it and pins
+    * labels ≡ a one-shot componentsAlternating over all edges). The
+    * first STATEFUL member of the streaming dedup battery: the
+    * classify streams serve a frozen index, here the evolving label
+    * state IS the product. The oracle restates the star fixpoint
+    * closed-form: min(doc_id) per md5 15-hex-char prefix — the same
+    * key the hub is built from, so a hub collision (or any label
+    * drift) fails the hash.
+    */
+  private val qStreamCc: Q = (s, d) =>
+    graft.streaming.CcStream.labelFile(s, d).orderBy("doc_id")
+
+  private val qStreamCcSql =
+    """SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY substr(md5(text), 1, 15)) AS component
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- Q-SHORTEST-PATH
   /** Single-source BFS shortest paths, bounded at 4 hops
     * ([[ShortestPaths]]), over a deterministically sparsified
@@ -1233,7 +1259,8 @@ object Corpus {
     "q_mix_apply" -> qMixApply,
     "q_attribution" -> qAttribution,
     "q_stream_anomaly" -> qStreamAnomaly,
-    "q_stream_ingest" -> qStreamIngest)
+    "q_stream_ingest" -> qStreamIngest,
+    "q_stream_cc" -> qStreamCc)
 
   val oracles: Map[String, String] = Map(
     "q_drift" -> qDriftSql,
@@ -1255,5 +1282,6 @@ object Corpus {
     "q_mix_apply" -> qMixApplySql,
     "q_attribution" -> qAttributionSql,
     "q_stream_anomaly" -> qStreamAnomalySql,
-    "q_stream_ingest" -> qDedupIncrementalSql)
+    "q_stream_ingest" -> qDedupIncrementalSql,
+    "q_stream_cc" -> qStreamCcSql)
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STREAMING connected components — incremental cluster-LABEL
+  * maintenance as a live stream, the serving face of
+  * [[graft.dedup.ConnectedComponents.appendEdges]] (round 12's delta
+  * CC): documents arrive as a real file stream, each micro-batch
+  * contributes its edges, and the cluster labels are UPDATED per
+  * trigger at Δ cost — never a full CC recompute. This is the first
+  * STATEFUL member of the streaming dedup battery (the classify
+  * streams are deliberately stateless against a frozen index; here
+  * the state IS the product — the corpus's evolving duplicate-group
+  * labels, the thing a takedown/dedup service queries).
+  *
+  * Edge construction is PER-ROW PURE, so the edge SET is independent
+  * of how triggers split the corpus: each document links to its
+  * content hub — node `HubOffset + conv(md5(text)[0,15), 16)`, a
+  * 60-bit digest-prefix key lifted above every document id. Exact
+  * duplicates share the hub, so components are {dup-group ∪ hub}
+  * STARS and the component label is the group's min doc_id (hubs can
+  * never be minima). Arrival order cannot change the fixpoint:
+  * labels are min-ids and [[graft.dedup.ConnectedComponents
+  * .appendEdges]] is exact under any edge partition (DeltaCcSpec),
+  * so stream ≡ batch BY CONSTRUCTION — CcStreamSpec pins it across a
+  * forced multi-trigger run.
+  *
+  * Per-trigger cost: Δ-sized label lookups + CC over the trigger's
+  * own edges + one broadcast relabel join — the appendEdges
+  * economics applied per trigger. The label state rotates through
+  * [[graft.operators.Snapshots.persistRound]], so exactly one
+  * generation of label blocks is ever held (the iterative-dataflow
+  * retention rule applied to stream state).
+  */
+object CcStream {
+
+  /** Above every doc_id, above every 60-bit digest prefix. */
+  val HubOffset: Long = 1L << 61
+
+  /** Per-row pure edges: (doc_id, content hub). */
+  private[streaming] def edgesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("a"),
+      (lit(HubOffset) +
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")).as("b"))
+
+  /** Stream `dir`'s documents and maintain duplicate-group labels
+    * incrementally; returns the final (doc_id, component) table for
+    * DOCUMENT nodes (hub nodes are internal), eagerly materialized.
+    */
+  def labelFile(spark: SparkSession, dir: String,
+      shufflePartitions: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.dedup.ConnectedComponents
+    import graft.operators.Snapshots
+    val src = EventSource.streamTable(spark, dir, "documents", maxFilesPerTrigger)
+      .select(col("doc_id"), col("text"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_cc")
+      .toAbsolutePath.toString
+    // evolving label state; rotated per trigger so superseded label
+    // blocks actually free (the Snapshots contract)
+    var labels: DataFrame = spark.range(0)
+      .select(col("id"), col("id").as("component"))
+    var labelsRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    try {
+      ConfScope.withConf(spark, "spark.sql.shuffle.partitions",
+        shufflePartitions.toString) {
+        val q = src.writeStream
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .foreachBatch { (mb: DataFrame, _: Long) =>
+            val (snap, rdd) = Snapshots.persistRound(
+              ConnectedComponents.appendEdges(labels, edgesOf(mb)), labelsRdd)
+            labels = snap
+            labelsRdd = Some(rdd)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      labels.filter(col("id") < HubOffset)
+        .select(col("id").as("doc_id"), col("component"))
+        .localCheckpoint() // eager: the state blocks free below
+    } finally {
+      labelsRdd.foreach(_.unpersist(blocking = false))
+      graft.tools.Scratch.deleteRecursively(new java.io.File(scratch))
+    }
+  }
+}
