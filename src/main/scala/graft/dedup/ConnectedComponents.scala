@@ -333,17 +333,23 @@ object ConnectedComponents {
       val remap = merged
         .select(col("id").as("_old"), col("component").as("_new"))
         .localCheckpoint() // snapshot: the backing blocks are released below
-      // untouched corpus labels pass through; touched ones remap —
-      // remap is broadcast-sized by construction
+      // the broadcast HINT is size-gated: a daily batch's remap is
+      // broadcast-sized by construction, but nothing in the API stops
+      // a caller from appending half the corpus — past the bound the
+      // relabel join degrades to a shuffle instead of OOMing the
+      // driver (the count is free: remap is already materialized)
+      val remapH =
+        if (remap.count() <= 4_000_000L) broadcast(remap) else remap
+      // untouched corpus labels pass through; touched ones remap
       val updatedOld = l
-        .join(broadcast(remap), col("component") === col("_old"), "left")
+        .join(remapH, col("component") === col("_old"), "left")
         .select(col("id"), coalesce(col("_new"), col("component")).as("component"))
       // nodes Δ introduced: endpoints never seen in the corpus labels
       val newNodes = newEdges.select(col("a").as("id"))
         .union(newEdges.select(col("b").as("id"))).distinct()
         .join(l, Seq("id"), "left_anti")
       val newRows = newNodes
-        .join(broadcast(remap), col("id") === col("_old"), "left")
+        .join(remapH, col("id") === col("_old"), "left")
         .select(col("id"), coalesce(col("_new"), col("id")).as("component"))
       updatedOld.union(newRows)
     } finally release()
