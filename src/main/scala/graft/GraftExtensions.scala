@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArgminCellExpr, BloomContainsExpr, CmsEstimateExpr, CosineSimExpr, DotProductExpr, L2SqExpr, MinHashSigExpr, NfcNormalizeExpr, ShinglesExpr, SimHash60Md5Expr, SimHash64Expr, SortedIsectCountExpr, StripAccentsExpr}
+import graft.functions.{AdcScoreExpr, ArgminCellExpr, BloomContainsExpr, CmsEstimateExpr, CosineSimExpr, DotProductExpr, L2SqExpr, MinHashSigExpr, NfcNormalizeExpr, ShinglesExpr, SimHash60Md5Expr, SimHash64Expr, SortedIsectCountExpr, StripAccentsExpr}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §4.2 preference order: native Expression over UDF).
@@ -93,6 +93,14 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_l2sq(vec, centroid)")
         L2SqExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adc_score"),
+      new ExpressionInfo(classOf[AdcScoreExpr].getName, "graft_adc_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_adc_score(codes, dotLut, nrmSqLut, queryNorm)")
+        AdcScoreExpr(children.head, children(1), children(2), children(3))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),

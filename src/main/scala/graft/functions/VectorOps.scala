@@ -66,6 +66,14 @@ object VectorOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** PQ asymmetric-distance cosine (native, fused): codes row ×
+    * per-query dot LUT × shared squared-norm LUT × query norm. See
+    * [[AdcScoreExpr]]; null on malformed inputs or a zero denominator.
+    */
+  def adcScore(codes: Column, dotLut: Column, nrmSqLut: Column,
+      queryNorm: Column): Column =
+    call_function("graft_adc_score", codes, dotLut, nrmSqLut, queryNorm)
+
   /** Relational twin of [[dot]]: zip_with + aggregate fold. */
   def dotRelational(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

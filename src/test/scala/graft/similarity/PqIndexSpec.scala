@@ -159,6 +159,80 @@ class PqIndexSpec extends SparkTestBase {
       codes.filter($"vec_id" < 0)) == 0.0)
   }
 
+  test("native graft_adc_score ≡ the r12 closure UDF bit-for-bit; no UDF in the serve plan") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val q = emb.filter($"vec_id" === 3).select("embedding").as[Seq[Float]].head()
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val codes = PqIndex.encode(cb, emb, "vec_id", "embedding").cache()
+    try {
+      // the exact r12 scorer, reconstructed: per-row closure over the
+      // driver-built LUTs — the behavior contract the kernel must hit
+      val dotLut = Array.tabulate(cb.m, cb.k) { (s, c) =>
+        var d = 0.0; var j = 0
+        while (j < cb.subDim) {
+          d += q(s * cb.subDim + j).toDouble * cb.centroids(s)(c)(j); j += 1
+        }
+        d
+      }
+      val nrmSqLut = Array.tabulate(cb.m, cb.k) { (s, c) =>
+        var n = 0.0; var j = 0
+        while (j < cb.subDim) {
+          val x = cb.centroids(s)(c)(j); n += x * x; j += 1
+        }
+        n
+      }
+      val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val scoreU = udf { cs: Seq[Int] =>
+        var d = 0.0; var n = 0.0; var s = 0
+        while (s < cs.length) {
+          d += dotLut(s)(cs(s)); n += nrmSqLut(s)(cs(s)); s += 1
+        }
+        val denom = qn * math.sqrt(n)
+        if (denom == 0.0) None else Some(d / denom)
+      }
+      val viaUdf = codes.select($"vec_id", scoreU(col("codes")).as("adc"))
+        .as[(Long, Option[Double])].collect().toMap
+      val viaKernel = PqIndex.adcScores(cb, codes, "vec_id", q)
+        .as[(Long, Option[Double])].collect().toMap
+      assert(viaKernel.nonEmpty && viaKernel.keySet == viaUdf.keySet)
+      viaKernel.foreach { case (id, k) =>
+        // bit equality, not tolerance: same fold order by construction
+        assert(k.map(java.lang.Double.doubleToLongBits) ==
+          viaUdf(id).map(java.lang.Double.doubleToLongBits), s"id $id")
+      }
+      // the scan plan carries no Scala UDF: the kernel runs inside
+      // whole-stage codegen (the point of VERDICT r12 next-round #2)
+      val plan = PqIndex.adcScores(cb, codes, "vec_id", q)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("UDF"), plan)
+      // the `*(n)` prefix marks a whole-stage-codegen'd operator
+      assert(plan.linesIterator.next().startsWith("*("), plan)
+    } finally { codes.unpersist(); () }
+  }
+
+  test("native kernel null contract: malformed codes and zero query → null, never a throw") {
+    val codes = Seq(
+      (1L, Seq(0, 1)), // fine
+      (2L, Seq(0, 99)), // code out of LUT range
+      (3L, Seq(0, 1, 2)) // more subspaces than the LUT has
+    ).toDF("vec_id", "codes")
+    val lut = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    val nrm = Seq(Seq(1.0, 1.0), Seq(1.0, 1.0))
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    val scored = codes.select($"vec_id",
+      graft.functions.VectorOps.adcScore($"codes",
+        typedlit(lut), typedlit(nrm), lit(2.0)).as("adc"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(scored(1L).contains((1.0 + 4.0) / (2.0 * math.sqrt(2.0))))
+    assert(scored(2L).isEmpty && scored(3L).isEmpty)
+    // zero query norm → null
+    val zeroQ = codes.filter($"vec_id" === 1L).select($"vec_id",
+      graft.functions.VectorOps.adcScore($"codes",
+        typedlit(lut), typedlit(nrm), lit(0.0)).as("adc"))
+      .as[(Long, Option[Double])].collect()
+    assert(zeroQ.head._2.isEmpty)
+  }
+
   test("plan shape: candidate cut heaps over codes; re-rank is a broadcast semi join") {
     val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
     val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 0)
