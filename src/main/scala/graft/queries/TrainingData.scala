@@ -1524,6 +1524,7 @@ object TrainingData {
     "q_stream_ann" -> qStreamAnnServe,
     "q_stream_ann_pq" -> qStreamAnnPqServe,
     "q_embed_search_ivf" -> qEmbedSearchIvfServe,
+    "q_eval_ann" -> Curation.qEvalAnnServe,
     "q_zorder_prune" -> Analytics.qZorderPruneServe,
     // inverse of the serve overrides above: the correctness body is
     // CHEAPER than what a user pays (cached merges), so the bench
