@@ -337,9 +337,14 @@ object ConnectedComponents {
       // broadcast-sized by construction, but nothing in the API stops
       // a caller from appending half the corpus — past the bound the
       // relabel join degrades to a shuffle instead of OOMing the
-      // driver (the count is free: remap is already materialized)
+      // driver (the count is free: remap is already materialized).
+      // Bound rationale (ADVICE r12): a driver-built hashed relation
+      // expands (long, long) rows ~10× over the 16 B raw — 1M rows
+      // ≈ 160 MB hashed, inside the headroom of a driver that also
+      // serves broadcast joins; the old 4M-row gate could OOM before
+      // it ever degraded
       val remapH =
-        if (remap.count() <= 4_000_000L) broadcast(remap) else remap
+        if (remap.count() <= 1_000_000L) broadcast(remap) else remap
       // untouched corpus labels pass through; touched ones remap
       val updatedOld = l
         .join(remapH, col("component") === col("_old"), "left")

@@ -56,30 +56,42 @@ object Artifacts {
   }
 
   /** Tombstone-fold protocol shared by the four serving indexes'
-    * `compact`: SNAPSHOT the tombstone sidecar once (localCheckpoint —
-    * one read, frozen thereafter), rewrite each data directory with
-    * the snapshotted ids anti-joined out, then remove ONLY the
-    * snapshotted ids from the sidecar. Two races the pre-r12 versions
-    * lost are closed (ADVICE r11): every rewrite filters against the
-    * SAME tombstone set (lazy plans used to re-read the sidecar at
-    * different times), and a delete() landing mid-compact survives in
-    * the sidecar instead of being silently resurrected by the final
-    * sidecar drop. `dirs` = (subdir, id column in that subdir's rows,
-    * partition columns for the rewrite).
+    * `compact`: snapshot the tombstone sidecar AT THE FILE LEVEL
+    * (list its part files once — ADVICE r12; the r12 version
+    * snapshotted ids and anti-joined the sidecar afterwards, which
+    * silently dropped a delete() landing between that read and the
+    * sidecar rewrite), rewrite each data directory with the
+    * snapshotted files' ids anti-joined out, then delete ONLY the
+    * listed files. A delete() appending new part files mid-compact
+    * survives untouched in the sidecar for the next fold; every data
+    * rewrite filters against the SAME frozen id set (localCheckpoint
+    * of the listed files). The final empty-dir cleanup is a
+    * NON-RECURSIVE delete — if a concurrent append landed after the
+    * listing, the dir is non-empty and the delete is a no-op instead
+    * of destroying the new tombstones. `dirs` = (subdir, id column in
+    * that subdir's rows, partition columns for the rewrite).
     */
   def foldTombstones(spark: SparkSession, path: String,
       dirs: Seq[(String, String, Seq[String])]): Unit =
     if (exists(spark, s"$path/tombstones")) {
-      val snap = spark.read.parquet(s"$path/tombstones").localCheckpoint()
-      dirs.foreach { case (sub, idName, parts) =>
-        val raw = spark.read.parquet(s"$path/$sub")
-        replaceDir(spark, s"$path/$sub",
-          raw.join(snap, raw(idName) === snap("id"), "left_anti"), parts)
+      val (f, tp) = fs(spark, s"$path/tombstones")
+      val listed = f.listStatus(tp).toSeq.filter(_.isFile)
+        .map(_.getPath)
+      val dataFiles = listed.filter(_.getName.endsWith(".parquet"))
+      if (dataFiles.nonEmpty) {
+        val snap = spark.read
+          .parquet(dataFiles.map(_.toString): _*).localCheckpoint()
+        dirs.foreach { case (sub, idName, parts) =>
+          val raw = spark.read.parquet(s"$path/$sub")
+          replaceDir(spark, s"$path/$sub",
+            raw.join(snap, raw(idName) === snap("id"), "left_anti"), parts)
+        }
       }
-      val remaining = spark.read.parquet(s"$path/tombstones")
-        .join(snap, Seq("id"), "left_anti").localCheckpoint()
-      if (remaining.isEmpty) deleteDir(spark, s"$path/tombstones")
-      else replaceDir(spark, s"$path/tombstones", remaining)
+      // drop the snapshotted files (and their job markers); anything
+      // appended since the listing stays
+      listed.foreach(p => f.delete(p, false))
+      try { f.delete(tp, false); () }
+      catch { case _: java.io.IOException => () } // non-empty: appended since
     }
 
   // ----------------------------------------------------- generations

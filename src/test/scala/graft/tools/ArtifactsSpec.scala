@@ -43,6 +43,29 @@ class ArtifactsSpec extends SparkTestBase {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("foldTombstones is file-scoped: only the listed sidecar files fold and drop") {
+    val root = scratch("artifacts_fold_files")
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+        .write.parquet(s"$root/corpus")
+      // two separately-appended sidecar files
+      Seq(2L).toDF("id").write.mode("append").parquet(s"$root/tombstones")
+      Seq(4L).toDF("id").write.mode("append").parquet(s"$root/tombstones")
+      Artifacts.foldTombstones(spark, root, Seq(("corpus", "doc_id", Nil)))
+      assert(spark.read.parquet(s"$root/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      assert(!Artifacts.exists(spark, s"$root/tombstones"))
+      // a delete landing AFTER a fold survives for the next fold — the
+      // file-scoped protocol never rewrites or re-reads the sidecar,
+      // so later appends are structurally untouchable
+      Seq(3L).toDF("id").write.mode("append").parquet(s"$root/tombstones")
+      Artifacts.foldTombstones(spark, root, Seq(("corpus", "doc_id", Nil)))
+      assert(spark.read.parquet(s"$root/corpus")
+        .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+      assert(!Artifacts.exists(spark, s"$root/tombstones"))
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("publish/currentGen: commit marker protocol, previous gen retained") {
     val root = scratch("artifacts_publish")
     try {
