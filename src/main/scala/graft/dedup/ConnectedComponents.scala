@@ -316,23 +316,10 @@ object ConnectedComponents {
   def appendEdges(labels: DataFrame, newEdges: DataFrame,
       maxIter: Int = 20, maxLocalEdges: Long = 1L << 20): DataFrame = {
     val l = labels.select(col("id"), col("component"))
-    val lblA = l.select(col("id").as("a"), col("component").as("_ca"))
-    val lblB = l.select(col("id").as("b"), col("component").as("_cb"))
-    // Δ edges lifted to the component graph: endpoint → its current
-    // label, never-seen endpoint → itself
-    val compEdges = newEdges.select(col("a"), col("b"))
-      .join(lblA, Seq("a"), "left")
-      .join(lblB, Seq("b"), "left")
-      .select(coalesce(col("_ca"), col("a")).as("a"),
-        coalesce(col("_cb"), col("b")).as("b"))
-    val (merged, release) =
-      componentsAdaptiveReleasable(compEdges, maxIter, maxLocalEdges)
-    try {
-      // relabel map for the touched components (merged.id values are
-      // old labels or new node ids); bounded by |touched| + |Δ nodes|
-      val remap = merged
-        .select(col("id").as("_old"), col("component").as("_new"))
-        .localCheckpoint() // snapshot: the backing blocks are released below
+    // relabel map for the touched components (remap._old values are
+    // old labels or new node ids); bounded by |touched| + |Δ nodes|
+    val remap = deltaRemap(l, newEdges, maxIter, maxLocalEdges)
+    locally {
       // the broadcast HINT is size-gated: a daily batch's remap is
       // broadcast-sized by construction, but nothing in the API stops
       // a caller from appending half the corpus — past the bound the
@@ -357,7 +344,36 @@ object ConnectedComponents {
         .join(remapH, col("id") === col("_old"), "left")
         .select(col("id"), coalesce(col("_new"), col("id")).as("component"))
       updatedOld.union(newRows)
-    } finally release()
+    }
+  }
+
+  /** The bounded RELABEL MAP at the heart of [[appendEdges]]: lift the
+    * Δ edges to the component graph (endpoint → its current label,
+    * never-seen endpoint → itself), run CC over that |Δ|-edge graph,
+    * and return (_old → _new) — one row per component or new node the
+    * Δ touches. `labels` may be PRE-FILTERED to the Δ endpoint ids:
+    * the lift reads nothing else, which is what lets
+    * [[LabelStore.appendEdges]] feed it a row-group-pruned endpoint
+    * slice instead of the corpus label table. The result is
+    * MATERIALIZED (localCheckpoint) so callers can count/collect it
+    * freely; bounded by |touched components| + |Δ nodes|.
+    */
+  private[graft] def deltaRemap(labels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20, maxLocalEdges: Long = 1L << 20): DataFrame = {
+    val l = labels.select(col("id"), col("component"))
+    val lblA = l.select(col("id").as("a"), col("component").as("_ca"))
+    val lblB = l.select(col("id").as("b"), col("component").as("_cb"))
+    val compEdges = newEdges.select(col("a"), col("b"))
+      .join(lblA, Seq("a"), "left")
+      .join(lblB, Seq("b"), "left")
+      .select(coalesce(col("_ca"), col("a")).as("a"),
+        coalesce(col("_cb"), col("b")).as("b"))
+    val (merged, release) =
+      componentsAdaptiveReleasable(compEdges, maxIter, maxLocalEdges)
+    try merged
+      .select(col("id").as("_old"), col("component").as("_new"))
+      .localCheckpoint() // snapshot: the CC backing blocks free below
+    finally release()
   }
 
   /** Deduplicated corpus: one representative (min id) per component;

@@ -1,0 +1,251 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tools.Artifacts
+
+/** DURABLE, BUCKETED connected-component label store — the on-disk
+  * form of the (id, component) table that [[ConnectedComponents]]
+  * computes and [[graft.streaming.CcStream]] maintains (VERDICT r12
+  * next-round #1). Before this, the streaming CC state lived only in
+  * rotated in-memory snapshots: a restart replayed the whole corpus,
+  * and every trigger's relabel was an O(corpus) pass + corpus-sized
+  * re-materialization. This store fixes both:
+  *
+  *  - **Durability**: the label table is generation-published
+  *    ([[Artifacts.publish]] commit-marker protocol) — a reader
+  *    resolves only complete committed generations, and a restarted
+  *    stream resumes from the last committed generation instead of
+  *    replaying history.
+  *  - **Bucketed layout, touched-bucket-only writes**: rows live in
+  *    `nBuckets` hash buckets of their COMPONENT label
+  *    (`pmod(component, nBuckets)`). [[appendEdges]] computes the
+  *    bounded relabel map ([[ConnectedComponents.deltaRemap]]), reads
+  *    ONLY the buckets holding touched components, and writes ONLY
+  *    those buckets' new content — per-trigger write cost is
+  *    O(Δ + touched buckets), never O(corpus). Untouched buckets'
+  *    files are structurally untouchable (asserted in LabelStoreSpec):
+  *    the new generation's manifest simply keeps pointing at them.
+  *
+  * Physical layout (manifest-pool — the Iceberg/Delta snapshot-pointer
+  * idea reduced to what a filesystem provides):
+  * {{{
+  * root/pool/<token>/bucket=N/…parquet       immutable bucket data
+  * root/g%08d/{meta,manifest}/…, _COMMITTED  generation = pointer set
+  * }}}
+  * A generation's `manifest` maps bucket → the pool subdir holding its
+  * current rows; buckets absent from the manifest are empty. Data
+  * dirs are shared ACROSS generations (an untouched bucket's dir is
+  * referenced by both the old and new manifest), which is exactly why
+  * delta maintenance stays O(touched) while publishes stay atomic.
+  * After each publish, pool dirs referenced by no committed
+  * generation are pruned.
+  *
+  * The Δ-endpoint label lookup — the one read that is keyed by id
+  * while the layout is keyed by component — collects the (bounded,
+  * micro-batch-sized) endpoint id set and pushes it down as an `isin`
+  * literal over the store scan; bucket files are written sorted by id
+  * within each bucket, so parquet row-group min/max stats turn the
+  * lookup into point reads. Past `maxLiteralLookup` endpoints it
+  * degrades to a semi join (one narrow two-column scan, no shuffle of
+  * the store side).
+  *
+  * Contract: id and component are LongType (the
+  * [[ConnectedComponents]] driver-path contract); labels are min-ids,
+  * so [[appendEdges]] here ≡ [[ConnectedComponents.appendEdges]] ≡ a
+  * full CC recompute (LabelStoreSpec pins all three equal).
+  */
+object LabelStore {
+
+  /** Hash bucket of a component label. */
+  private def bucketCol(c: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(c, lit(nBuckets.toLong)).cast("int")
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Fresh immutable pool dir for one write. */
+  private def newPoolDir(root: String): String =
+    s"$root/pool/" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  /** bucket → pool subdir for every non-empty bucket under `dataDir`. */
+  private def listBucketDirs(spark: SparkSession,
+      dataDir: String): Map[Int, String] = {
+    val (f, p) = fsOf(spark, dataDir)
+    if (!f.exists(p)) return Map.empty
+    f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("bucket="))
+        Some(n.stripPrefix("bucket=").toInt -> s"$dataDir/$n")
+      else None
+    }.toMap
+  }
+
+  private def writeGen(spark: SparkSession, root: String, nBuckets: Int,
+      manifest: Map[Int, String]): Unit = {
+    import spark.implicits._
+    Artifacts.publish(spark, root) { gen =>
+      Seq(nBuckets).toDF("n_buckets")
+        .repartition(1).write.parquet(s"$gen/meta")
+      val rows = manifest.toSeq.sorted
+      // empty manifests still need a typed parquet file to read back
+      rows.toDF("bucket", "dir")
+        .repartition(1).write.parquet(s"$gen/manifest")
+    }
+    prunePool(spark, root)
+  }
+
+  private def manifestOf(spark: SparkSession,
+      gen: String): (Int, Map[Int, String]) = {
+    val n = spark.read.parquet(s"$gen/meta").collect()(0).getInt(0)
+    val man = spark.read.parquet(s"$gen/manifest").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    (n, man)
+  }
+
+  /** Drop pool dirs no committed generation references (the previous
+    * generation is retained by [[Artifacts.publish]], so its manifest
+    * keeps its dirs alive for in-flight readers).
+    */
+  private def prunePool(spark: SparkSession, root: String): Unit = {
+    val keep = Artifacts.committedGens(spark, root)
+      .flatMap(g => manifestOf(spark, g)._2.values)
+      .map(d => d.split("/pool/").last.split("/").head).toSet
+    val (f, poolP) = fsOf(spark, s"$root/pool")
+    if (f.exists(poolP))
+      f.listStatus(poolP).foreach { st =>
+        if (st.isDirectory && !keep.contains(st.getPath.getName))
+          f.delete(st.getPath, true)
+      }
+  }
+
+  private def emptyLabels(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id"), col("id").as("component"))
+
+  private def readDirs(spark: SparkSession,
+      dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) emptyLabels(spark)
+    else spark.read.parquet(dirs.distinct: _*)
+      .select(col("id"), col("component"))
+
+  /** Publish the complete label table as a new generation (initial
+    * save or a full rebuild — the retrain-cadence analogue of
+    * [[graft.similarity.IvfIndex.save]]). Rows land hash-bucketed by
+    * component and sorted by id within each bucket (row-group stats
+    * for the endpoint lookups).
+    */
+  def save(labels: DataFrame, root: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1)
+    val spark = labels.sparkSession
+    val dataDir = newPoolDir(root)
+    labels.select(col("id").cast("long").as("id"),
+        col("component").cast("long").as("component"))
+      .withColumn("bucket", bucketCol(col("component"), nBuckets))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .write.partitionBy("bucket").parquet(dataDir)
+    writeGen(spark, root, nBuckets, listBucketDirs(spark, dataDir))
+  }
+
+  /** The complete (id, component) table of the current committed
+    * generation — one multi-path scan over the manifest's dirs.
+    */
+  def load(spark: SparkSession, root: String): DataFrame = {
+    val (_, man) = manifestOf(spark, Artifacts.requireGen(spark, root))
+    readDirs(spark, man.values.toSeq)
+  }
+
+  /** Partition-pruned read: only the named buckets' dirs are opened. */
+  def loadBuckets(spark: SparkSession, root: String,
+      buckets: Set[Int]): DataFrame = {
+    val (_, man) = manifestOf(spark, Artifacts.requireGen(spark, root))
+    readDirs(spark,
+      man.collect { case (b, d) if buckets(b) => d }.toSeq)
+  }
+
+  /** Number of hash buckets the store was created with. */
+  def nBucketsOf(spark: SparkSession, root: String): Int =
+    manifestOf(spark, Artifacts.requireGen(spark, root))._1
+
+  /** bucket → data dir of the current committed generation — the
+    * observability face of the layout (which buckets exist, where
+    * their files live), and what the touched-bucket-only-write specs
+    * assert against.
+    */
+  def manifest(spark: SparkSession, root: String): Map[Int, String] =
+    manifestOf(spark, Artifacts.requireGen(spark, root))._2
+
+  /** Delta-CC label maintenance against the durable store — the
+    * [[ConnectedComponents.appendEdges]] semantics with O(Δ + touched
+    * buckets) I/O: endpoint lookups are literal-pruned point reads,
+    * the relabel map is Δ-bounded, and only buckets holding touched
+    * components (or receiving rows) are read and rewritten; every
+    * other bucket's files pass through to the new generation's
+    * manifest untouched. Publishes a new committed generation; a
+    * concurrent [[load]] sees the old or new generation, never a mix.
+    * Idempotent: re-applying already-merged edges publishes an
+    * identical label table (the relabel map degenerates to identity),
+    * which is what makes at-least-once stream replays safe.
+    */
+  def appendEdges(spark: SparkSession, root: String, newEdges: DataFrame,
+      maxIter: Int = 20, maxLocalEdges: Long = 1L << 20,
+      maxLiteralLookup: Int = 100000): Unit = {
+    val gen = Artifacts.requireGen(spark, root)
+    val (nB, man) = manifestOf(spark, gen)
+    val all = readDirs(spark, man.values.toSeq)
+    val edges = newEdges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    // Δ endpoints: bounded by the batch; materialized once
+    val eps = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+      .localCheckpoint()
+    val nEps = eps.count()
+    if (nEps == 0) return // empty trigger: nothing to publish
+    // id-keyed lookup over the component-keyed layout: literal isin
+    // (row-group-pruned point reads over the id-sorted buckets) below
+    // the gate, a narrow semi join above it
+    val lookup = (if (nEps <= maxLiteralLookup) {
+      val ids = eps.collect().map(_.getLong(0))
+      all.filter(col("id").isin(ids: _*))
+    } else all.join(eps, Seq("id"), "left_semi"))
+      .localCheckpoint() // bounded (⊆ endpoints); read ≥3 times below
+    val remap = ConnectedComponents.deltaRemap(
+      lookup, edges, maxIter, maxLocalEdges)
+    // ids Δ introduced (never seen in the store) and their merged
+    // labels; a self-edge-only new id falls back to itself
+    val newRows = eps.join(lookup.select(col("id")), Seq("id"), "left_anti")
+      .join(remap, col("id") === col("_old"), "left")
+      .select(col("id"), coalesce(col("_new"), col("id")).as("component"))
+      .localCheckpoint() // bounded (⊆ endpoints)
+    // touched buckets: where remapped rows leave, arrive, or new rows
+    // land — a ≤ nBuckets collect
+    val tB = remap.select(bucketCol(col("_old"), nB).as("b"))
+      .union(remap.select(bucketCol(col("_new"), nB).as("b")))
+      .union(newRows.select(bucketCol(col("component"), nB).as("b")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (tB.isEmpty) return
+    // CLOSURE: a row leaves bucket(_old) only for bucket(_new); both
+    // are in tB, so rewriting exactly tB's content is complete
+    val remapH =
+      if (remap.count() <= 1_000_000L) broadcast(remap) else remap
+    val touched = readDirs(spark,
+      man.collect { case (b, d) if tB(b) => d }.toSeq)
+    val updated = touched
+      .join(remapH, col("component") === col("_old"), "left")
+      .select(col("id"),
+        coalesce(col("_new"), col("component")).as("component"))
+      .unionAll(newRows)
+      .withColumn("bucket", bucketCol(col("component"), nB))
+    val deltaDir = newPoolDir(root)
+    updated.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .write.partitionBy("bucket").parquet(deltaDir)
+    // buckets in tB that came out empty drop from the manifest
+    writeGen(spark, root, nB,
+      (man -- tB) ++ listBucketDirs(spark, deltaDir))
+  }
+}

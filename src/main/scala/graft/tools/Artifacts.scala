@@ -138,6 +138,15 @@ object Artifacts {
   def currentGen(spark: SparkSession, root: String): Option[String] =
     listGens(spark, root).filter(_._3).lastOption.map(_._2.toString)
 
+  /** ALL committed generations under `root`, ascending — at most the
+    * previous and current after any [[publish]] (older ones are
+    * pruned). Manifest-based layouts ([[graft.dedup.LabelStore]]) use
+    * this to compute the union of still-referenced data dirs before
+    * pruning their shared pool.
+    */
+  def committedGens(spark: SparkSession, root: String): Seq[String] =
+    listGens(spark, root).filter(_._3).map(_._2.toString)
+
   /** [[currentGen]] that fails LOUDLY when nothing was ever published
     * — the maintenance-side resolver (append/delete/compact/load on a
     * root with no committed generation is a caller bug, not an empty

@@ -45,6 +45,76 @@ class CcStreamSpec extends SparkTestBase {
       .forall(i => m(i) == i))
   }
 
+  test("durable label store: stream ≡ batch; restart resumes from the committed generation") {
+    val src = java.nio.file.Files.createTempDirectory("cc_store_src").toFile
+    src.deleteOnExit()
+    docs.repartition(5).write.mode("overwrite")
+      .parquet(s"${src.getAbsolutePath}/documents.parquet")
+    val expected = graft.dedup.ConnectedComponents
+      .componentsAlternating(CcStream.edgesOf(docs))
+      .filter(col("id") < CcStream.HubOffset)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+
+    // uninterrupted durable run ≡ batch CC
+    val store1 = java.nio.file.Files.createTempDirectory("cc_store1").toString
+    try {
+      val un = CcStream.labelStoreFile(spark, src.getAbsolutePath, store1,
+        nBuckets = 8, maxFilesPerTrigger = Some(1))
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(un == expected, s"durable stream != batch CC: $un")
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(store1))
+
+    // interrupted run: phase 1 sees only some files, the stream stops
+    // (process exit), phase 2 reopens the SAME store+checkpoint with
+    // the full dir — it must resume, not replay, and the final labels
+    // must equal the uninterrupted run's
+    val parts = new java.io.File(src, "documents.parquet").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 5)
+    val staged = java.nio.file.Files.createTempDirectory("cc_store_staged").toFile
+    staged.deleteOnExit()
+    val stagedTbl = new java.io.File(staged, "documents.parquet")
+    assert(stagedTbl.mkdirs())
+    def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(stagedTbl, f.getName).toPath)
+      ()
+    }
+    val store2 = java.nio.file.Files.createTempDirectory("cc_store2").toString
+    try {
+      copyIn(parts.take(2).toSeq)
+      CcStream.labelStoreFile(spark, staged.getAbsolutePath, store2,
+        nBuckets = 8, maxFilesPerTrigger = Some(1))
+      // phase 1's labels are already durable and correct for its slice
+      val slice = spark.read.parquet(parts.take(2).map(_.getAbsolutePath): _*)
+      val sliceExpected = graft.dedup.ConnectedComponents
+        .componentsAlternating(CcStream.edgesOf(slice))
+        .filter(col("id") < CcStream.HubOffset)
+        .select(col("id").as("doc_id"), col("component"))
+        .as[(Long, Long)].collect().toSet
+      val sliceGot = graft.dedup.LabelStore.load(spark, store2)
+        .filter(col("id") < CcStream.HubOffset)
+        .as[(Long, Long)].collect().toSet
+      assert(sliceGot == sliceExpected, "phase-1 store labels wrong")
+      val gensAfterP1 = graft.tools.Artifacts.committedGens(spark, store2)
+
+      copyIn(parts.drop(2).toSeq)
+      val resumed = CcStream.labelStoreFile(spark, staged.getAbsolutePath,
+        store2, nBuckets = 8, maxFilesPerTrigger = Some(1))
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(resumed == expected, s"restart-resume != uninterrupted: $resumed")
+      // resumption, not replay: phase 2 published exactly one new
+      // generation per NEW file (3), never re-processing phase 1's —
+      // generation numbers are monotone, so replay would overshoot
+      val gensAfterP2 = graft.tools.Artifacts.committedGens(spark, store2)
+      val genNum = (g: String) => g.split("/g").last.toLong
+      assert(genNum(gensAfterP2.last) - genNum(gensAfterP1.last) == 3,
+        s"expected 3 new generations (one per new file), " +
+          s"got ${genNum(gensAfterP2.last) - genNum(gensAfterP1.last)}")
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(store2))
+  }
+
   test("edge construction is per-row pure: edge set independent of batching") {
     val all = CcStream.edgesOf(docs).as[(Long, Long)].collect().toSet
     val halves = CcStream.edgesOf(docs.filter($"doc_id" < 8))
