@@ -376,6 +376,76 @@ object ConnectedComponents {
     finally release()
   }
 
+  /** DELTA RETRACTION — the takedown half of incremental label
+    * maintenance ([[appendEdges]] is the ingest half; VERDICT r12
+    * next-round #4): given the corpus `labels`, the graph's current
+    * `edges` (cols a, b) and the node `ids` to delete (col id),
+    * produce labels for the surviving nodes EQUAL to a full CC
+    * recompute over the surviving edges — recomputing ONLY the
+    * components the deleted ids touch.
+    *
+    * Why the recompute is component-bounded: an edge's endpoints
+    * share a component by definition, so a deletion can only split or
+    * relabel the components its ids belong to. The touched-component
+    * set is |ids|-bounded; their member rows and intra-component
+    * surviving edges are component-size-bounded; CC runs over just
+    * those edges (usually the driver union-find branch), members left
+    * edge-less become their own singletons (a split's debris), and
+    * every untouched label passes through verbatim. Deleted ids never
+    * appear in the output. Handles the hard cases a naive relabel
+    * misses: deleting a cut vertex SPLITS a component into several
+    * new labels; deleting the component's min id moves the label to
+    * the next-smallest member (RemoveNodesSpec pins ≡ full recompute
+    * on random / chain / planted graphs through both CC dispatch
+    * branches).
+    */
+  def removeNodes(labels: DataFrame, edges: DataFrame, ids: DataFrame,
+      maxIter: Int = 20, maxLocalEdges: Long = 1L << 20): DataFrame = {
+    val l = labels.select(col("id"), col("component"))
+    val del = ids.select(col("id")).distinct().localCheckpoint()
+    // components the deletions touch — bounded by |ids|
+    val touched = broadcast(l.join(del, Seq("id"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint())
+    val members = l.join(touched, Seq("component"), "left_semi")
+    val replacement =
+      recomputeTouched(members, edges, del, maxIter, maxLocalEdges)
+    // the USING join reorders columns (join key first) and unionAll is
+    // positional — re-project before the union
+    l.join(touched, Seq("component"), "left_anti")
+      .select(col("id"), col("component"))
+      .unionAll(replacement)
+  }
+
+  /** New labels for the members of the touched components after a
+    * deletion: CC over the surviving intra-component edges plus
+    * self-singletons for surviving members left edge-less. `members`
+    * = (id, component) rows of exactly the touched components; `del`
+    * = distinct deleted ids (col id). The CC leg is MATERIALIZED
+    * (its backing snapshot is released before return); the singleton
+    * leg stays lazy over `members`. Shared by [[removeNodes]] and
+    * [[LabelStore.removeIds]] (which feeds it a bucket-pruned member
+    * read).
+    */
+  private[graft] def recomputeTouched(members: DataFrame, edges: DataFrame,
+      del: DataFrame, maxIter: Int, maxLocalEdges: Long): DataFrame = {
+    // one endpoint membership test suffices: endpoints co-habit a
+    // component by the CC invariant
+    val surviving = edges.select(col("a"), col("b"))
+      .join(members.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(del.select(col("id").as("a")), Seq("a"), "left_anti")
+      .join(del.select(col("id").as("b")), Seq("b"), "left_anti")
+    val (recon, release) =
+      componentsAdaptiveReleasable(surviving, maxIter, maxLocalEdges)
+    val rec =
+      try recon.select(col("id"), col("component")).localCheckpoint()
+      finally release()
+    val isolated = members.select(col("id"))
+      .join(del, Seq("id"), "left_anti")
+      .join(rec.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    rec.unionAll(isolated)
+  }
+
   /** Deduplicated corpus: one representative (min id) per component;
     * nodes without edges keep themselves. Output schema = `docs`
     * schema, whatever the caller's column names (internal columns are

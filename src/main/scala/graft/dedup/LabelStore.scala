@@ -248,4 +248,69 @@ object LabelStore {
     writeGen(spark, root, nB,
       (man -- tB) ++ listBucketDirs(spark, deltaDir))
   }
+
+  /** TAKEDOWN through the bucketed layout (VERDICT r12 next-round #4):
+    * delete the nodes in `ids` (col id) from the stored label table,
+    * recomputing only the components they touch —
+    * [[ConnectedComponents.removeNodes]] semantics with
+    * O(|ids| + touched buckets) I/O. `edges` is the graph's CURRENT
+    * edge table (cols a, b — e.g. re-derived from the surviving
+    * documents' content, or the near-dup pair log); only its rows
+    * inside touched components are read, via one semi-join pass.
+    * Deleted ids never reappear in any later generation — the touched
+    * buckets are REWRITTEN without them (no sidecar to resurrect
+    * from); a subsequent [[appendEdges]] re-admits an id only if new
+    * edges genuinely reference it. Publishes a new committed
+    * generation; untouched buckets pass through by reference, exactly
+    * like [[appendEdges]].
+    */
+  def removeIds(spark: SparkSession, root: String, ids: DataFrame,
+      edges: DataFrame, maxIter: Int = 20,
+      maxLocalEdges: Long = 1L << 20,
+      maxLiteralLookup: Int = 100000): Unit = {
+    val gen = Artifacts.requireGen(spark, root)
+    val (nB, man) = manifestOf(spark, gen)
+    val all = readDirs(spark, man.values.toSeq)
+    val del = ids.select(col("id").cast("long").as("id")).distinct()
+      .localCheckpoint()
+    val nDel = del.count()
+    if (nDel == 0) return
+    // labels of the deleted ids: the id-keyed point lookup again
+    val delLabels = (if (nDel <= maxLiteralLookup) {
+      val idArr = del.collect().map(_.getLong(0))
+      all.filter(col("id").isin(idArr: _*))
+    } else all.join(del, Seq("id"), "left_semi"))
+      .localCheckpoint()
+    val touched = delLabels.select(col("component")).distinct()
+      .localCheckpoint() // bounded by |ids|
+    val tcB = touched.select(bucketCol(col("component"), nB).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (tcB.isEmpty) return // none of the ids exist: no-op
+    val tcH = broadcast(touched)
+    // member rows of the touched components: a bucket-pruned read
+    val members = readDirs(spark,
+      man.collect { case (b, d) if tcB(b) => d }.toSeq)
+      .join(tcH, Seq("component"), "left_semi")
+      .localCheckpoint() // component-size-bounded; read by 3 legs
+    val replacement = ConnectedComponents
+      .recomputeTouched(members, edges, del, maxIter, maxLocalEdges)
+      .localCheckpoint() // bounded: the touched comps' new labels
+    // splits can MOVE the label to a new min id — arrivals widen the
+    // touched-bucket set beyond the old components' buckets
+    val tB = tcB ++ replacement
+      .select(bucketCol(col("component"), nB).as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val newContent = readDirs(spark,
+      man.collect { case (b, d) if tB(b) => d }.toSeq)
+      .join(tcH, Seq("component"), "left_anti") // untouched comps stay
+      .select(col("id"), col("component")) // USING join reordered cols
+      .unionAll(replacement)
+      .withColumn("bucket", bucketCol(col("component"), nB))
+    val deltaDir = newPoolDir(root)
+    newContent.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .write.partitionBy("bucket").parquet(deltaDir)
+    writeGen(spark, root, nB,
+      (man -- tB) ++ listBucketDirs(spark, deltaDir))
+  }
 }
