@@ -661,9 +661,16 @@ object ScaleRehearsal {
       IvfIndex.save(
         IvfIndex.build(base, "vec_id", "embedding", nCentroids = 16, iters = 2), path)
       val buildSec = (System.nanoTime() - t0) / 1e9
-      val before = graft.tools.Scratch.listParquetFiles(
-        s"${graft.tools.Artifacts.localPath(
-          graft.tools.Artifacts.requireGen(spark, path))}/corpus")
+      def corpusFiles(root: String): Map[String, Long] =
+        IvfIndex.corpusDirs(spark, root).flatMap { d =>
+          val local = graft.tools.Artifacts.localPath(d)
+          graft.tools.Scratch.listParquetFiles(local).map { case (f, sz) =>
+            // key by root-relative path so the check carries across
+            // the per-pass byte copies
+            (s"${local.split("/pool/").last}/$f", sz)
+          }
+        }.toMap
+      val before = corpusFiles(path)
       // min-of-2, each pass appending to a fresh byte-identical COPY
       // of the saved layout: append MUTATES the index, so re-timing
       // in place would append twice, and a single-shot sub-second job
@@ -680,18 +687,32 @@ object ScaleRehearsal {
           val t1 = System.nanoTime()
           IvfIndex.append(spark, p2, delta, "vec_id", "embedding")
           val t = (System.nanoTime() - t1) / 1e9
-          val after = graft.tools.Scratch.listParquetFiles(
-            s"${graft.tools.Artifacts.localPath(
-              graft.tools.Artifacts.requireGen(spark, p2))}/corpus")
+          val after = corpusFiles(p2)
           (t, before.forall { case (f, sz) => after.get(f).contains(sz) },
             (after.keySet -- before.keySet).size)
         } finally graft.tools.Scratch.deleteRecursively(new java.io.File(p2))
       }
       val appendSec = passes.map(_._1).min
       val untouched = passes.forall(_._2)
+      // generation-published append (the streaming-maintenance arm,
+      // r13): same frozen-centroid delta assignment, plus a manifest
+      // publish per call — what a per-trigger ingest loop pays while
+      // concurrent probes keep serving committed generations
+      val pubPasses = (0 until 2).map { _ =>
+        val p2 = java.nio.file.Files.createTempDirectory("graft_ivf_apub_pass")
+          .toAbsolutePath.toString
+        try {
+          graft.tools.Scratch.copyRecursively(path, p2)
+          val t1 = System.nanoTime()
+          IvfIndex.appendPublish(spark, p2, delta, "vec_id", "embedding")
+          (System.nanoTime() - t1) / 1e9
+        } finally graft.tools.Scratch.deleteRecursively(new java.io.File(p2))
+      }
+      val appendPubSec = pubPasses.min
       sb ++= f"- base $nBase vectors: build+save $buildSec%.1f s; Δ $nDelta vectors (${100.0 * nDelta / (nBase + nDelta)}%.1f%%): append $appendSec%.1f s (${100.0 * appendSec / buildSec}%.1f%% of build, min of ${passes.length})\n"
       sb ++= s"- pre-existing corpus files untouched by append: ${if (untouched) "OK" else "VIOLATED"}; new files: ${passes.head._3}\n"
-      println(f"[scale] ivf append build=$buildSec%.1fs append=$appendSec%.1fs untouched=$untouched")
+      sb ++= f"- generation-published append (per-trigger streaming maintenance, atomic for concurrent probes): $appendPubSec%.1f s (${100.0 * appendPubSec / buildSec}%.1f%% of build/rebuild, min of ${pubPasses.length})\n"
+      println(f"[scale] ivf append build=$buildSec%.1fs append=$appendSec%.1fs appendPublish=$appendPubSec%.1fs untouched=$untouched")
     } finally {
       graft.tools.Scratch.deleteRecursively(new java.io.File(path))
     }
@@ -925,8 +946,8 @@ object ScaleRehearsal {
       // retrain: full rebuild on the appended corpus, fresh layout
       val rebuilt = path + "_rebuilt"
       try {
-        val corpusNow = spark.read.parquet(
-          s"${graft.tools.Artifacts.requireGen(spark, path)}/corpus")
+        val corpusNow = IvfIndex.corpusDirs(spark, path)
+          .map(spark.read.parquet(_)).reduce(_ unionAll _)
           .select(col("vec_id"), col("embedding"))
         IvfIndex.save(IvfIndex.build(corpusNow, "vec_id", "embedding",
           nCentroids = nCells, iters = 2), rebuilt)

@@ -69,8 +69,7 @@ object LabelStore {
 
   /** Fresh immutable pool dir for one write. */
   private def newPoolDir(root: String): String =
-    s"$root/pool/" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    Artifacts.newPoolDir(root)
 
   /** bucket → pool subdir for every non-empty bucket under `dataDir`. */
   private def listBucketDirs(spark: SparkSession,
@@ -111,17 +110,10 @@ object LabelStore {
     * generation is retained by [[Artifacts.publish]], so its manifest
     * keeps its dirs alive for in-flight readers).
     */
-  private def prunePool(spark: SparkSession, root: String): Unit = {
-    val keep = Artifacts.committedGens(spark, root)
-      .flatMap(g => manifestOf(spark, g)._2.values)
-      .map(d => d.split("/pool/").last.split("/").head).toSet
-    val (f, poolP) = fsOf(spark, s"$root/pool")
-    if (f.exists(poolP))
-      f.listStatus(poolP).foreach { st =>
-        if (st.isDirectory && !keep.contains(st.getPath.getName))
-          f.delete(st.getPath, true)
-      }
-  }
+  private def prunePool(spark: SparkSession, root: String): Unit =
+    Artifacts.prunePool(spark, root,
+      Artifacts.committedGens(spark, root)
+        .flatMap(g => manifestOf(spark, g)._2.values))
 
   private def emptyLabels(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id"), col("id").as("component"))

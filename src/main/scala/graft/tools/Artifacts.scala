@@ -164,6 +164,33 @@ object Artifacts {
     try new java.net.URI(qualified).getPath
     catch { case _: java.net.URISyntaxException => qualified }
 
+  /** Fresh immutable data dir under `root/pool` for one write —
+    * manifest-pool layouts ([[graft.dedup.LabelStore]], the IVF
+    * corpus) write data here and publish generations that point at
+    * it, so untouched data passes between generations BY REFERENCE.
+    */
+  def newPoolDir(root: String): String =
+    s"$root/pool/" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  /** Delete pool subdirs whose token appears in none of
+    * `referencedDirs` (each a path of the form
+    * `root/pool/<token>[/…]`). Callers pass the union of every
+    * COMMITTED generation's manifest, so in-flight readers of the
+    * retained previous generation keep a complete layout.
+    */
+  def prunePool(spark: SparkSession, root: String,
+      referencedDirs: Iterable[String]): Unit = {
+    val keep = referencedDirs
+      .map(d => d.split("/pool/").last.split("/").head).toSet
+    val (f, poolP) = fs(spark, s"$root/pool")
+    if (f.exists(poolP))
+      f.listStatus(poolP).foreach { st =>
+        if (st.isDirectory && !keep.contains(st.getPath.getName))
+          f.delete(st.getPath, true)
+      }
+  }
+
   /** Publish a new generation: `write` receives a fresh `g<N>/` path
     * and must write the COMPLETE layout into it; the commit marker is
     * created only after `write` returns, then generations older than

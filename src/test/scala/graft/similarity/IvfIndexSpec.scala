@@ -58,8 +58,13 @@ class IvfIndexSpec extends SparkTestBase {
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("cell"),
       s"cell predicate did not become a partition filter:\n$plan")
-    // and the directory layout really is one dir per cell
-    val dirs = new java.io.File(s"${gen(path)}/corpus").listFiles()
+    // and the directory layout really is one dir per cell (a fresh
+    // save publishes exactly one pool dir)
+    val corpusDir = IvfIndex.corpusDirs(spark, path) match {
+      case Seq(one) => one
+      case more => fail(s"fresh save should have one corpus dir: $more")
+    }
+    val dirs = new java.io.File(corpusDir).listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
     assert(dirs.length > 2, s"expected cell= partition dirs, got ${dirs.toSeq}")
   }
@@ -88,7 +93,9 @@ class IvfIndexSpec extends SparkTestBase {
     val path = tmpDir()
     IvfIndex.save(
       IvfIndex.build(emb, "vec_id", "embedding", nCentroids = 8, iters = 1), path)
-    val before = allFiles(s"${gen(path)}/corpus")
+    def corpusFiles(): Map[String, Long] = IvfIndex.corpusDirs(spark, path)
+      .flatMap(d => allFiles(d).map { case (f, sz) => (s"$d#$f", sz) }).toMap
+    val before = corpusFiles()
     val full = IvfIndex.topK(IvfIndex.load(spark, path, "vec_id", "embedding"),
       q, k = 5, nProbe = 2).as[(Long, Double)].collect().toSeq
     // retract the top two hits — the probe MUST change
@@ -96,7 +103,7 @@ class IvfIndexSpec extends SparkTestBase {
     IvfIndex.delete(spark, path, deleted.toDF("vec_id"), "vec_id")
 
     // logical delete: sidecar only, every corpus file byte-identical
-    assert(allFiles(s"${gen(path)}/corpus") == before, "delete touched corpus files")
+    assert(corpusFiles() == before, "delete touched corpus files")
     val loaded = IvfIndex.load(spark, path, "vec_id", "embedding")
     val afterDelete = IvfIndex.topK(loaded, q, k = 5, nProbe = 2)
       .as[(Long, Double)].collect().toSeq
@@ -105,7 +112,8 @@ class IvfIndexSpec extends SparkTestBase {
     // ≡ the SAME frozen centroids over the corpus minus the ids
     // (a retrained rebuild would move cells — deletes must not)
     val manual = IvfIndex.Index(loaded.centroids,
-      spark.read.parquet(s"${gen(path)}/corpus")
+      IvfIndex.corpusDirs(spark, path).map(spark.read.parquet(_))
+        .reduce(_ unionAll _)
         .filter(!$"vec_id".isin(deleted: _*)),
       "vec_id", "embedding", pruned = true)
     assert(afterDelete ==
@@ -121,7 +129,7 @@ class IvfIndexSpec extends SparkTestBase {
 
     IvfIndex.compact(spark, path, "vec_id", "embedding")
     assert(!new java.io.File(s"${gen(path)}/tombstones").exists, "sidecar not dropped")
-    assert(allFiles(s"${gen(path)}/corpus") != before, "compact did not rewrite")
+    assert(corpusFiles() != before, "compact did not rewrite")
     assert(IvfIndex.topK(IvfIndex.load(spark, path, "vec_id", "embedding"),
       q, k = 5, nProbe = 2).as[(Long, Double)].collect().toSeq == afterDelete)
   }
@@ -139,14 +147,16 @@ class IvfIndexSpec extends SparkTestBase {
     IvfIndex.save(
       IvfIndex.build(base, "vec_id", "embedding", nCentroids = 8, iters = 2), path)
     val centroidsBefore = allFiles(s"${gen(path)}/centroids")
-    val before = dataFiles(s"${gen(path)}/corpus")
+    def corpusFiles(): Map[String, Long] = IvfIndex.corpusDirs(spark, path)
+      .flatMap(d => dataFiles(d).map { case (f, sz) => (s"$d#$f", sz) }).toMap
+    val before = corpusFiles()
 
     IvfIndex.append(spark, path, delta, "vec_id", "embedding")
 
     // --- scanned/written work ∝ Δ: every pre-existing corpus file is
     // untouched (same path, same size — append never rewrites the
     // 80%), and the new files land only in cells Δ occupies
-    val after = dataFiles(s"${gen(path)}/corpus")
+    val after = corpusFiles()
     before.foreach { case (f, sz) =>
       assert(after.get(f).contains(sz), s"append rewrote existing file $f")
     }
@@ -240,7 +250,10 @@ class IvfIndexSpec extends SparkTestBase {
       nCentroids = 4, iters = 1), path)
     assert(loadedIds() == v2.select("vec_id").as[Long].collect().toSet)
     assert(gen(path).endsWith("g00000002"))
-    // previous committed generation retained for in-flight readers
-    assert(graft.tools.Artifacts.exists(spark, s"$g1/corpus"))
+    // previous committed generation retained for in-flight readers —
+    // manifest AND every pool dir it references
+    IvfIndex.corpusDirsOf(spark, path, g1).foreach { d =>
+      assert(graft.tools.Artifacts.exists(spark, d), s"pruned $d")
+    }
   }
 }
