@@ -1152,6 +1152,76 @@ object TrainingData {
       .orderBy("rank")
   }
 
+  /** Graph-based ANN over the embeddings table — the FOURTH serving
+    * engine (VERDICT r12 next-round #7), same contract as
+    * q_sim_ivf / q_sim_pq / q_sim_mrl: the query RUNS the full
+    * navigable-graph pipeline ([[graft.similarity.GraphIndex]]:
+    * deterministic exact-kNN + md5-ring adjacency, multi-entry
+    * best-first beam expansion, exact re-rank of the visited set),
+    * gates recall@10 ≥ 0.8 against the exact scan in-query, then
+    * emits the exact ranking so the driver can hash-check it
+    * (q_sim_ivf's oracle SQL verbatim — one restatement, FOUR ANN
+    * engines). Candidate budget max(200, n/5): on near-random
+    * embeddings a coverage-based cut needs more visits than the
+    * score-based PQ/MRL cuts (which approximate-score EVERY row) —
+    * the honest graph-ANN trade on an unclustered corpus; real
+    * embedding manifolds are where the walk's locality pays.
+    */
+  private val qSimGraph: Q = (s, d) => {
+    import graft.similarity.GraphIndex
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      val qv = queryVec(s, d)
+      // the kNN build makes an all-pairs pass — emb stays cached
+      val adj = GraphIndex.build(emb, "vec_id", "embedding")
+        .localCheckpoint() // the walk probes it once per round
+      val budget = math.max(200L, emb.count() / 5).toInt
+      val graphIds = GraphIndex.searchCandidates(adj, emb,
+        "vec_id", "embedding", qv, budget).toSet
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+      val exactIds = exact.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val recall = graphIds.intersect(exactIds).size / 10.0
+      require(recall >= 0.8,
+        s"graph recall@10 = $recall < 0.8 (m=16, beam=4, budget=$budget) — " +
+          "graph navigability regressed")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosine").desc, col("vec_id"))
+      exact
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cosine", round(col("cosine"), 6))
+        .select(col("rank"), col("vec_id"), col("cosine"))
+        .orderBy("rank")
+    } finally emb.unpersist()
+  }
+
+  /** Bench-path override for q_sim_graph — the four-engine
+    * build-once/probe-many pattern: the adjacency artifact builds on
+    * the first call per sf dir (untimed warm pass, materialized to
+    * scratch parquet); the timed pass pays the beam walk + the
+    * bounded exact re-rank, which is what a graph index serves per
+    * query.
+    */
+  private val graphBenchIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[Float], Int)]
+  private val qSimGraphServe: Q = (s, d) => {
+    import graft.similarity.GraphIndex
+    val (path, qv, budget) = graphBenchIndexes.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding")).cache()
+      try {
+        val p = benchScratchDir("graft_graph_bench")
+        GraphIndex.build(emb, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$p/adj")
+        (p, queryVec(s, d), math.max(200L, emb.count() / 5).toInt)
+      } finally emb.unpersist()
+    })
+    GraphIndex.topK(s.read.parquet(s"$path/adj"),
+      Tables.embeddings(s, d), "vec_id", "embedding", qv,
+      k = 10, budget = budget)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
   /** Bench-path override for q_sim_ivf (VERDICT r3 next-round #2).
     *
     * The correctness body above deliberately runs IVF + the exact scan
@@ -1514,6 +1584,7 @@ object TrainingData {
     "q_sim_ivf" -> qSimIvfServe,
     "q_sim_pq" -> qSimPqServe,
     "q_sim_mrl" -> qSimMrlServe,
+    "q_sim_graph" -> qSimGraphServe,
     "q_neardup_incremental" -> qNeardupIncrServe,
     "q_semdedup_incremental" -> qSemdedupIncrServe,
     // same body as the declared query — listed so the bench warm
@@ -2584,6 +2655,7 @@ object TrainingData {
     "q_sim_ivf" -> qSimIvf,
     "q_sim_pq" -> qSimPq,
     "q_sim_mrl" -> qSimMrl,
+    "q_sim_graph" -> qSimGraph,
     "q_containment" -> qContainment,
     "q_text_tokens" -> qTextTokens,
     "q_text_bpe" -> qTextBpe,
@@ -2653,6 +2725,7 @@ object TrainingData {
     "q_sim_ivf" -> qSimIvfSql,
     "q_sim_pq" -> qSimIvfSql, // exact-restatement shared verbatim (same output contract)
     "q_sim_mrl" -> qSimIvfSql, // ditto — third ANN engine, same output contract
+    "q_sim_graph" -> qSimIvfSql, // ditto — FOURTH ANN engine, same output contract
     "q_containment" -> qContainmentSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_bpe" -> qTextBpeSql,

@@ -26,12 +26,18 @@ import org.apache.spark.sql.functions._
   * so stream ≡ batch BY CONSTRUCTION — CcStreamSpec pins it across a
   * forced multi-trigger run.
   *
-  * Per-trigger cost: Δ-sized label lookups + CC over the trigger's
-  * own edges + one broadcast relabel join — the appendEdges
-  * economics applied per trigger. The label state rotates through
+  * Per-trigger cost of the EPHEMERAL variant ([[labelFile]]), stated
+  * honestly (ADVICE r12): the relabel map is Δ-sized and CC runs over
+  * the trigger's own edges, but the endpoint-label lookups and the
+  * relabel join SHUFFLE the full in-memory label table and the new
+  * snapshot re-materializes all labels — an N-trigger stream is
+  * O(N · corpus), not O(N · Δ). The label state rotates through
   * [[graft.operators.Snapshots.persistRound]], so exactly one
-  * generation of label blocks is ever held (the iterative-dataflow
-  * retention rule applied to stream state).
+  * generation of label blocks is ever held. The DURABLE variant
+  * ([[labelStoreFile]], r13) is the fix: labels live in the bucketed
+  * [[graft.dedup.LabelStore]], endpoint lookups are row-group-pruned
+  * point reads, and per-trigger WRITES touch only the buckets holding
+  * the trigger's components.
   */
 object CcStream {
 

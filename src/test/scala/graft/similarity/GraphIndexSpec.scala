@@ -1,0 +1,53 @@
+package graft.similarity
+
+import graft.SparkTestBase
+
+class GraphIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding")
+
+  test("adjacency is deterministic, symmetric, and navigable (one connected component)") {
+    val a1 = GraphIndex.build(emb, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toSet
+    val a2 = GraphIndex.build(emb, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toSet
+    assert(a1 == a2, "build is not deterministic")
+    assert(a1.forall { case (s, n) => a1((n, s)) }, "adjacency not symmetric")
+    // the md5 ring guarantees global navigability: one component
+    val edges = a1.toSeq.toDF("a", "b")
+    val comps = graft.dedup.ConnectedComponents.componentsAdaptive(edges)
+      .select("component").distinct().count()
+    assert(comps == 1L, s"graph has $comps components — ring links broken")
+    // every node has at least the ring degree, at most m + 2*skips-ish
+    val deg = a1.groupBy(_._1).map(_._2.size)
+    assert(deg.min >= 2)
+  }
+
+  test("beam search: budget-bounded candidates, deterministic, recall@10 >= 0.8; exact re-rank") {
+    val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
+    val adj = GraphIndex.build(emb, "vec_id", "embedding").cache()
+    try {
+      val budget = math.max(200L, emb.count() / 5).toInt
+      val c1 = GraphIndex.searchCandidates(adj, emb, "vec_id", "embedding",
+        q, budget)
+      val c2 = GraphIndex.searchCandidates(adj, emb, "vec_id", "embedding",
+        q, budget)
+      assert(c1 == c2, "search is not deterministic")
+      // bounded: can overshoot by at most one round's expansion
+      assert(c1.size <= budget + adj.count().toInt, s"candidates ${c1.size}")
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .as[(Long, Double)].collect().toSeq
+      val recall = c1.toSet.intersect(brute.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.8, s"graph recall@10 = $recall")
+      // the emitted ranking is the EXACT cosine over candidates
+      val got = GraphIndex.topK(adj, emb, "vec_id", "embedding", q,
+        k = 10, budget = budget).as[(Long, Double)].collect().toSeq
+      val bruteMap = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 1000)
+        .as[(Long, Double)].collect().toMap
+      got.foreach { case (id, c) => assert(c == bruteMap(id)) }
+      assert(got.head._1 == 0L, "self-query should rank itself first")
+    } finally { adj.unpersist(); () }
+  }
+}
