@@ -270,7 +270,7 @@ object Curation {
     * (cells, probeCells, recon).
     */
   private def evalAnnBuild(s: SparkSession,
-      emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      emb: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     import s.implicits._
     val probesLocal = emb.filter(col("vec_id") < 20)
@@ -343,7 +343,12 @@ object Curation {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("s"), col("cv")))),
         e => e.getField("cv"))).as("xhat"))
-    (cells, probeCells, recon)
+
+    // ---- graph leg structure: the deterministic navigable graph
+    // (exact-kNN m=16 + md5-ring skips — GraphIndex.build's default)
+    val adj = graft.similarity.GraphIndex.build(emb, "vec_id", "embedding")
+
+    (cells, probeCells, recon, adj)
   }
 
   /** SCORING half of q_eval_ann — what an operator re-runs per
@@ -352,8 +357,8 @@ object Curation {
     * per-engine metric tail.
     */
   private def evalAnnScore(s: SparkSession, emb: DataFrame,
-      cells: DataFrame, probeCells: DataFrame,
-      recon: DataFrame): DataFrame = {
+      cells: DataFrame, probeCells: DataFrame, recon: DataFrame,
+      adj: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val n = emb.count()
@@ -416,6 +421,45 @@ object Curation {
           .select(col("query_id"), col("vec_id"), col("srank"))
           .localCheckpoint()
 
+        // ---- graph leg: fixed-round best-first beam -----------------
+        // the GraphIndex search with data-INDEPENDENT termination
+        // (R=4 rounds, beam 4, 8 md5 entries) so the oracle can unroll
+        // it round by round like the k-means chains; per-probe visited
+        // sets stay bounded (≤ entries + R·beam·degree rows) and every
+        // round snapshots so the plan never replicates the walk tree
+        import s.implicits._
+        val entryDf = graft.similarity.GraphIndex
+          .entryPoints(emb, "vec_id", 8).toDF("vec_id")
+        val adjSnap = adj.localCheckpoint()
+        var gVisited = probes.select(col("query_id"))
+          .crossJoin(broadcast(entryDf)).localCheckpoint()
+        var gExpanded = gVisited.filter(lit(false))
+        val wBeam = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc_nulls_last, col("vec_id"))
+        for (_ <- 1 to 4) {
+          val gf = gVisited
+            .join(gExpanded.select(col("query_id").as("_exq"),
+              col("vec_id").as("_ex")),
+              col("query_id") === col("_exq") &&
+                col("vec_id") === col("_ex"), "left_anti")
+            .join(sims, Seq("query_id", "vec_id"))
+            .withColumn("_rn", row_number().over(wBeam))
+            .filter(col("_rn") <= 4)
+            .select(col("query_id"), col("vec_id"))
+            .localCheckpoint()
+          val gn = gf.join(adjSnap, gf("vec_id") === adjSnap("src"))
+            .select(col("query_id"), col("nb").as("vec_id")).distinct()
+            .join(gVisited, Seq("query_id", "vec_id"), "left_anti")
+          gVisited = gVisited.unionAll(gn).localCheckpoint()
+          gExpanded = gExpanded.unionAll(gf).localCheckpoint()
+        }
+        val graphSys = gVisited
+          .join(sims, Seq("query_id", "vec_id"))
+          .withColumn("srank", row_number().over(wq))
+          .filter(col("srank") <= 10)
+          .select(col("query_id"), col("vec_id"), col("srank"))
+          .localCheckpoint()
+
         // ---- q_eval_retrieval's metric tail, once per engine --------
         val idcg = (1 to 10).map(i => lit(1.0) / log2(lit(i + 1.0))).reduce(_ + _)
         def metricsFor(sys: org.apache.spark.sql.DataFrame,
@@ -438,6 +482,7 @@ object Curation {
         metricsFor(ivfSys, "ivf")
           .unionAll(metricsFor(pqSys, "pq"))
           .unionAll(metricsFor(mrlSys, "mrl"))
+          .unionAll(metricsFor(graphSys, "graph"))
           .groupBy(col("engine"))
           .agg(dmean("r10").as("recall_at_10"), dmean("mrr").as("mrr"),
             dmean("ndcg").as("ndcg_at_10"))
@@ -450,8 +495,8 @@ object Curation {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding")).cache()
     try {
-      val (cells, probeCells, recon) = evalAnnBuild(s, emb)
-      evalAnnScore(s, emb, cells, probeCells, recon)
+      val (cells, probeCells, recon, adj) = evalAnnBuild(s, emb)
+      evalAnnScore(s, emb, cells, probeCells, recon, adj)
     } finally emb.unpersist()
   }
 
@@ -472,11 +517,12 @@ object Curation {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding")).cache()
       try {
-        val (cells, probeCells, recon) = evalAnnBuild(s, emb)
+        val (cells, probeCells, recon, adj) = evalAnnBuild(s, emb)
         val p = TrainingData.benchScratchDir("graft_evalann_bench")
         cells.write.mode("overwrite").parquet(s"$p/cells")
         probeCells.write.mode("overwrite").parquet(s"$p/probe_cells")
         recon.write.mode("overwrite").parquet(s"$p/recon")
+        adj.write.mode("overwrite").parquet(s"$p/adj")
         p
       } finally emb.unpersist()
     })
@@ -484,7 +530,8 @@ object Curation {
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
       s.read.parquet(s"$base/cells"),
       s.read.parquet(s"$base/probe_cells"),
-      s.read.parquet(s"$base/recon"))
+      s.read.parquet(s"$base/recon"),
+      s.read.parquet(s"$base/adj"))
   }
 
   /** Unrolled k-means chain for the eval-ANN oracle — the qClusterSql
@@ -566,6 +613,82 @@ object Curation {
          |          (SELECT sum(1.0 / log2(i + 1))
          |           FROM (SELECT unnest(range(1, 11)) AS i)), 6) AS ndcg
          |  FROM j_$name GROUP BY query_id)""".stripMargin
+    // ---- graph leg: the GraphIndex pipeline unrolled — exact-kNN
+    // m=16 + md5-ring adjacency, 8 md5-first entries, 4 best-first
+    // rounds at beam 4 (fixed rounds: data-independent shape, the
+    // kmeansChainSql unrolling idea applied to the walk). Round CTEs
+    // are MATERIALIZED: DuckDB inlines plain CTEs per reference and
+    // a chained walk would expand exponentially (the q_bpe_train
+    // lesson).
+    val pairCos =
+      """list_sum(list_transform(list_zip(l.embedding, r.embedding),
+        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(l.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(r.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    def graphRound(i: Int) =
+      s"""gf$i AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT v.query_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY v.query_id
+         |                         ORDER BY s.cos DESC NULLS LAST, v.vec_id) AS rn
+         |    FROM gv${i - 1} v
+         |    JOIN sims s ON s.query_id = v.query_id AND s.vec_id = v.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM ge${i - 1} x
+         |                      WHERE x.query_id = v.query_id
+         |                        AND x.vec_id = v.vec_id))
+         |  WHERE rn <= 4),
+         |gn$i AS MATERIALIZED (
+         |  SELECT DISTINCT f.query_id, a.nb AS vec_id
+         |  FROM gf$i f JOIN gadj a ON a.src = f.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM gv${i - 1} v
+         |                    WHERE v.query_id = f.query_id
+         |                      AND v.vec_id = a.nb)),
+         |gv$i AS MATERIALIZED (
+         |  SELECT * FROM gv${i - 1} UNION ALL SELECT * FROM gn$i),
+         |ge$i AS MATERIALIZED (
+         |  SELECT * FROM ge${i - 1} UNION ALL SELECT * FROM gf$i)""".stripMargin
+    val graphLeg =
+      s"""gknn AS MATERIALIZED (
+         |  SELECT src, nb FROM (
+         |    SELECT l.vec_id AS src, r.vec_id AS nb,
+         |      row_number() OVER (PARTITION BY l.vec_id
+         |                         ORDER BY $pairCos DESC NULLS LAST,
+         |                                  r.vec_id) AS rn
+         |    FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id)
+         |  WHERE rn <= 16),
+         |gpos AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |                                vec_id) - 1 AS pos
+         |  FROM embeddings),
+         |gring AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS nb
+         |  FROM gpos a, gpos b,
+         |       (SELECT count(*) AS n FROM embeddings) c,
+         |       (SELECT unnest([1, 2, 4, 8, 16, 32]) AS off) o
+         |  WHERE b.pos = (a.pos + o.off) % c.n),
+         |gadjf AS (SELECT src, nb FROM gknn UNION SELECT src, nb FROM gring),
+         |gadj AS MATERIALIZED (
+         |  SELECT src, nb FROM gadjf
+         |  UNION SELECT nb, src FROM gadjf),
+         |gent AS (
+         |  SELECT vec_id FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |gv0 AS MATERIALIZED (
+         |  SELECT p.query_id, g.vec_id FROM p CROSS JOIN gent g),
+         |ge0 AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM gv0 WHERE 1 = 0),
+         |${(1 to 4).map(graphRound).mkString(",\n")},
+         |graphsys AS (
+         |  SELECT query_id, vec_id, srank FROM (
+         |    SELECT s.query_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |                         ORDER BY s.cos DESC, s.vec_id) AS srank
+         |    FROM sims s JOIN gv4 v
+         |      ON v.query_id = s.query_id AND v.vec_id = s.vec_id)
+         |  WHERE srank <= 10)""".stripMargin
     s"""WITH p AS (SELECT vec_id AS query_id, embedding AS qv
        |           FROM embeddings WHERE vec_id < 20),
        |cbudget AS (SELECT greatest(200, count(*) // 10) AS c FROM embeddings),
@@ -658,12 +781,15 @@ object Curation {
        |    FROM sims s JOIN mrlcand c
        |      ON c.query_id = s.query_id AND c.vec_id = s.vec_id)
        |  WHERE srank <= 10),
+       |$graphLeg,
        |${sysMetrics("ivfsys", "ivf")},
        |${sysMetrics("pqsys", "pq")},
        |${sysMetrics("mrlsys", "mrl")},
+       |${sysMetrics("graphsys", "graph")},
        |allm AS (SELECT * FROM m_ivf UNION ALL
        |         SELECT * FROM m_pq UNION ALL
-       |         SELECT * FROM m_mrl)
+       |         SELECT * FROM m_mrl UNION ALL
+       |         SELECT * FROM m_graph)
        |SELECT engine,
        |  round(CAST(sum(CAST(r10 AS DECIMAL(38, 10))) AS DOUBLE)
        |        / count(*), 6) AS recall_at_10,
