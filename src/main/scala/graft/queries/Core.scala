@@ -966,8 +966,14 @@ object Core {
   }
 
   // ----------------------------------------------------------- Q-DOCX/PIPE
-  /** docx source census over the reference fixture (rows-only check —
-    * DuckDB cannot read docx; golden-tested in DocxSourceSpec).
+  /** docx source census over the reference fixture. DuckDB cannot
+    * read docx, but the census is a handful of integers measured
+    * INDEPENDENTLY of this engine (direct OOXML inspection,
+    * FIXTURES.md §1: 49 body-level paragraphs, 18 top-level tables,
+    * 13 "Core element" marker paragraphs) — so the oracle is that
+    * golden manifest as a VALUES literal (VERDICT r12 next-round #8:
+    * promotes the row from `no_oracle` to hash-checked; a source
+    * regression now fails the driver gate, not just DocxSourceSpec).
     */
   private val fixtureDocx = "/root/reference/chemistry_form_1_2.docx"
 
@@ -1033,7 +1039,21 @@ object Core {
     "q_agg2" -> qAgg2,
     "q_try" -> qTry)
 
+  /** The q_docx golden manifest (FIXTURES.md §1, measured by direct
+    * OOXML inspection — independent of the engine under test).
+    */
+  private val qDocxSql =
+    """SELECT doc_id, element_type,
+      |       CAST(n_elements AS BIGINT) AS n_elements,
+      |       CAST(n_markers AS BIGINT) AS n_markers
+      |FROM (VALUES
+      |  ('chemistry_form_1_2.docx', 'paragraph', 49, 13),
+      |  ('chemistry_form_1_2.docx', 'table', 18, 0))
+      |  AS t(doc_id, element_type, n_elements, n_markers)
+      |ORDER BY doc_id, element_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_docx" -> qDocxSql,
     "q_scan" -> qScanSql,
     "q_seg" -> qSegSql,
     "q_clean" -> qCleanSql,
