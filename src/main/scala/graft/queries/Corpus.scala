@@ -438,6 +438,60 @@ object Corpus {
       |  min(doc_id) OVER (PARTITION BY substr(md5(text), 1, 15)) AS component
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** DURABLE streaming CC (VERDICT r12 next-round #1): the same
+    * stream as q_stream_cc, but the evolving labels live in the
+    * generation-published bucketed [[graft.dedup.LabelStore]] — each
+    * trigger rewrites only the buckets its components touch, the
+    * stream checkpoint is durable next to the store, and a restart
+    * resumes from the committed generation instead of replaying the
+    * corpus (restart-resume spec-pinned in CcStreamSpec). Labels are
+    * identical to the ephemeral path by construction, so the oracle
+    * is q_stream_cc's closed-form group-min verbatim. The query's
+    * store is scratch (the driver re-runs from nothing); the returned
+    * frame is snapshotted before the scratch drops.
+    */
+  private val qStreamCcStore: Q = (s, d) => {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q_cc_store").toAbsolutePath.toString
+    try graft.streaming.CcStream.labelStoreFile(s, d, store, nBuckets = 16)
+      .orderBy("doc_id").localCheckpoint()
+    finally graft.tools.Scratch.deleteRecursively(new java.io.File(store))
+  }
+
+  /** TAKEDOWN over the duplicate-group labels (VERDICT r12 next-round
+    * #4): batch CC over the content hub-star graph, then
+    * [[graft.dedup.ConnectedComponents.removeNodes]] deletes every
+    * doc_id ≡ 0 (mod 97) — a set that includes group MINIMA, so the
+    * retraction has to re-root components, not just drop rows. Only
+    * the touched components recompute; the oracle is the closed-form
+    * survivor group-min (dup groups are {docs ∪ hub} stars, so a
+    * deletion can shrink a group or re-min it but never split it —
+    * splits are RemoveNodesSpec's chain/random territory).
+    */
+  private val qCcTakedown: Q = (s, d) => {
+    import graft.dedup.ConnectedComponents
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val edges = graft.streaming.CcStream.edgesOf(docs)
+      .localCheckpoint() // read by CC and by the retraction's edge scan
+    val labels = ConnectedComponents.componentsAdaptive(edges)
+    val del = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("id"))
+    ConnectedComponents.removeNodes(labels, edges, del)
+      .filter(col("id") < graft.streaming.CcStream.HubOffset)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  private val qCcTakedownSql =
+    """SELECT d.doc_id, min(d2.doc_id) AS component
+      |FROM documents d
+      |JOIN documents d2
+      |  ON substr(md5(d2.text), 1, 15) = substr(md5(d.text), 1, 15)
+      | AND d2.doc_id % 97 <> 0
+      |WHERE d.doc_id % 97 <> 0
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------- Q-SHORTEST-PATH
   /** Single-source BFS shortest paths, bounded at 4 hops
     * ([[ShortestPaths]]), over a deterministically sparsified
@@ -1260,7 +1314,9 @@ object Corpus {
     "q_attribution" -> qAttribution,
     "q_stream_anomaly" -> qStreamAnomaly,
     "q_stream_ingest" -> qStreamIngest,
-    "q_stream_cc" -> qStreamCc)
+    "q_stream_cc" -> qStreamCc,
+    "q_stream_cc_store" -> qStreamCcStore,
+    "q_cc_takedown" -> qCcTakedown)
 
   val oracles: Map[String, String] = Map(
     "q_drift" -> qDriftSql,
@@ -1283,5 +1339,7 @@ object Corpus {
     "q_attribution" -> qAttributionSql,
     "q_stream_anomaly" -> qStreamAnomalySql,
     "q_stream_ingest" -> qDedupIncrementalSql,
-    "q_stream_cc" -> qStreamCcSql)
+    "q_stream_cc" -> qStreamCcSql,
+    "q_stream_cc_store" -> qStreamCcSql, // durable path, identical labels
+    "q_cc_takedown" -> qCcTakedownSql)
 }

@@ -1484,6 +1484,71 @@ object TrainingData {
     exact.orderBy("qid", "rk")
   }
 
+  /** STREAMING INDEX MAINTENANCE end-to-end (VERDICT r12 next-round
+    * #3): build+save the IVF index on the low-id 80% of the corpus,
+    * stream the high-id 20% in as a multi-trigger file stream where
+    * EVERY trigger Δ-appends at the frozen centroids and publishes a
+    * new committed generation
+    * ([[graft.streaming.IndexMaintStream.appendFile]] — concurrent
+    * probes keep serving complete committed layouts throughout,
+    * IndexMaintStreamSpec), then serve the full probe slice
+    * (vec_id % 20 == 0) from the MAINTAINED index. Gate: mean
+    * recall@10 ≥ 0.8 against the exact scan over corpus ∪ Δ (nProbe
+    * 12/16 — the centroids never saw the appended 20%, one headroom
+    * step over q_stream_ann's 10); emit the exact per-query ranking —
+    * [[qStreamAnnSql]] verbatim, the THIRD reuse of that contract.
+    * What this row prices is the whole maintenance loop an ingest
+    * service pays: build amortized + per-trigger append/publish +
+    * the batched probe.
+    */
+  private val qStreamIndexMaint: Q = (s, d) => {
+    import graft.functions.{TopKAgg, VectorOps}
+    import graft.similarity.IvfIndex
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cut = emb.selectExpr("percentile(vec_id, 0.8)").head().getDouble(0).toLong
+    val base = emb.filter(col("vec_id") <= cut)
+    val delta = emb.filter(col("vec_id") > cut)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q_idx_maint").toAbsolutePath.toString
+    val deltaDir = java.nio.file.Files
+      .createTempDirectory("graft_q_idx_maint_delta").toAbsolutePath.toString
+    try {
+      IvfIndex.save(IvfIndex.build(base, "vec_id", "embedding",
+        nCentroids = 16, iters = 2), store)
+      delta.repartition(3).write.parquet(s"$deltaDir/embeddings.parquet")
+      graft.streaming.IndexMaintStream.appendFile(s, deltaDir, store,
+        maxFilesPerTrigger = Some(1))
+      val idx = IvfIndex.load(s, store, "vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .localCheckpoint()
+      val ann = IvfIndex.probeJoin(idx, probes, "qid", "qvec",
+        k = 10, nProbe = 12)
+        .localCheckpoint() // materialized before the scratch store drops
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val exact = corpus.join(broadcast(probes))
+        .withColumn("cos", VectorOps.cosine(col("qvec"), col("cvec")))
+        .filter(col("cos").isNotNull)
+        .groupBy(col("qid"))
+        .agg(TopKAgg.topK(10)(col("cos"), col("cid")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+          col("hit._2").as("cid"), round(col("hit._1"), 6).as("cosine"))
+        .localCheckpoint()
+      val nQ = probes.count()
+      val hits = ann.select(col("query_id").as("qid"), col("vec_id").as("cid"))
+        .join(exact.select(col("qid"), col("cid")), Seq("qid", "cid")).count()
+      val recall = if (nQ == 0) 1.0 else hits.toDouble / (nQ * 10.0)
+      require(recall >= 0.8,
+        s"maintained-index mean recall@10 = $recall < 0.8 (nProbe=12/16) — " +
+          "streaming maintenance degraded the serving index")
+      exact.orderBy("qid", "rk")
+    } finally {
+      graft.tools.Scratch.deleteRecursively(new java.io.File(store))
+      graft.tools.Scratch.deleteRecursively(new java.io.File(deltaDir))
+    }
+  }
+
   /** q_stream_ann_pq (VERDICT r11 next-round #7): the COMPRESSED-index
     * streaming serve — [[qStreamAnn]]'s contract with the saved
     * [[graft.similarity.PqIndex]] as the engine (ADC LUT probe per
@@ -2630,6 +2695,7 @@ object TrainingData {
     "q_stream_neardup" -> qStreamNeardup,
     "q_stream_semdedup" -> qStreamSemdedup,
     "q_stream_ann" -> qStreamAnn,
+    "q_stream_index_maint" -> qStreamIndexMaint,
     "q_stream_ann_pq" -> qStreamAnnPq,
     "q_dedup_audit" -> qDedupAudit,
     "q_simhash" -> qSimhash,
@@ -2717,6 +2783,7 @@ object TrainingData {
     "q_stream_semdedup" -> qSemdedupIncrSql,
     "q_stream_ann" -> qStreamAnnSql,
     "q_stream_ann_pq" -> qStreamAnnSql, // same emit contract, second engine
+    "q_stream_index_maint" -> qStreamAnnSql, // maintained index serves corpus ∪ Δ = the full table
     "q_dedup_audit" -> qDedupAuditSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_near" -> qSimhashNearSql,

@@ -45,7 +45,7 @@ object CcStream {
   val HubOffset: Long = 1L << 61
 
   /** Per-row pure edges: (doc_id, content hub). */
-  private[streaming] def edgesOf(docs: DataFrame): DataFrame =
+  private[graft] def edgesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("a"),
       (lit(HubOffset) +
         conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")).as("b"))
