@@ -68,6 +68,7 @@ object ScaleRehearsal {
       sys.env.getOrElse("SPARK_GRAFT_DELTACC_N", "1000000").toLong))
     if (mode == "labelstore") println(labelStoreCheck(spark,
       sys.env.getOrElse("SPARK_GRAFT_DELTACC_N", "1000000").toLong))
+    if (mode == "adc") println(adcKernelCheck(spark, dir))
     if (mode == "qualitytrain") println(qualityTrainCheck(spark, dir))
     spark.stop()
   }
@@ -1228,6 +1229,78 @@ object ScaleRehearsal {
       sb ++= "- at this toy scale the per-trigger wall is file-listing/scheduling-bound (~constant); the terms that dominate at 100 TB — bytes read for relabel and bytes written — are touched-fraction-bound, which is the column above\n"
       require(mismatch == 0, "label store diverged from full recompute")
     } finally graft.tools.Scratch.deleteRecursively(new java.io.File(root))
+    sb.toString
+  }
+
+  /** ADC scorer economics at code volume (mode=adc, VERDICT r12 #2):
+    * replicate the sf corpus's PQ codes 500× (≈1M code rows — the
+    * regime where the serving scan's per-row cost is the bill) and
+    * time one full ADC pass: the native `graft_adc_score` kernel vs
+    * the r12 closure-UDF scorer, min of 2 each. Equality asserted on
+    * the aggregate (same sum of scores) — the speedup must not come
+    * from different arithmetic.
+    */
+  def adcKernelCheck(spark: SparkSession, dir: String): String = {
+    import graft.similarity.PqIndex
+    import org.apache.spark.sql.functions._
+    Bench.scrub(spark)
+    val sb = new StringBuilder
+    sb ++= "\n## ADC kernel vs closure UDF at 1M code rows\n\n"
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      val q: Seq[Float] = emb.orderBy("vec_id").select(col("embedding"))
+        .head().getSeq[Float](0)
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32, iters = 1)
+      val reps = 500
+      val codes = PqIndex.encode(cb, emb, "vec_id", "embedding")
+        .crossJoin(spark.range(reps).select(col("id").as("_rep")))
+        .select((col("vec_id") * reps + col("_rep")).as("vec_id"), col("codes"))
+        .localCheckpoint()
+      val n = codes.count()
+      // kernel pass (adcScores is kernel-backed since r13)
+      def timeIt(f: () => Unit): Double = {
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      var kernelSum = 0.0
+      val tKernel = (0 until 2).map(_ => timeIt { () =>
+        kernelSum = PqIndex.adcScores(cb, codes, "vec_id", q)
+          .agg(sum(col("adc"))).collect()(0).getDouble(0)
+      }).min
+      // the r12 closure-UDF scorer, reconstructed
+      val dotLut = Array.tabulate(cb.m, cb.k) { (s, c) =>
+        var d = 0.0; var j = 0
+        while (j < cb.subDim) {
+          d += q(s * cb.subDim + j).toDouble * cb.centroids(s)(c)(j); j += 1
+        }
+        d
+      }
+      val nrmSqLut = Array.tabulate(cb.m, cb.k) { (s, c) =>
+        var nn = 0.0; var j = 0
+        while (j < cb.subDim) {
+          val x = cb.centroids(s)(c)(j); nn += x * x; j += 1
+        }
+        nn
+      }
+      val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val scoreU = udf { cs: Seq[Int] =>
+        var d = 0.0; var nn = 0.0; var s2 = 0
+        while (s2 < cs.length) {
+          d += dotLut(s2)(cs(s2)); nn += nrmSqLut(s2)(cs(s2)); s2 += 1
+        }
+        val denom = qn * math.sqrt(nn)
+        if (denom == 0.0) None else Some(d / denom)
+      }
+      var udfSum = 0.0
+      val tUdf = (0 until 2).map(_ => timeIt { () =>
+        udfSum = codes.select(scoreU(col("codes")).as("adc"))
+          .agg(sum(col("adc"))).collect()(0).getDouble(0)
+      }).min
+      require(kernelSum == udfSum,
+        s"kernel/UDF score sums diverged: $kernelSum vs $udfSum")
+      sb ++= f"- $n%,d code rows, one full ADC pass: kernel $tKernel%.2f s vs closure UDF $tUdf%.2f s (${tUdf / math.max(tKernel, 0.001)}%.1f×), identical score sum\n"
+      println(f"[scale] adc n=$n kernel=$tKernel%.2fs udf=$tUdf%.2fs x=${tUdf / math.max(tKernel, 0.001)}%.1f")
+    } finally { emb.unpersist(); () }
     sb.toString
   }
 
