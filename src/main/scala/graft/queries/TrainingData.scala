@@ -1211,12 +1211,11 @@ object TrainingData {
         .select(col("vec_id"), col("embedding")).cache()
       try {
         val p = benchScratchDir("graft_graph_bench")
-        GraphIndex.build(emb, "vec_id", "embedding")
-          .write.mode("overwrite").parquet(s"$p/adj")
+        GraphIndex.save(GraphIndex.build(emb, "vec_id", "embedding"), p)
         (p, queryVec(s, d), math.max(200L, emb.count() / 5).toInt)
       } finally emb.unpersist()
     })
-    GraphIndex.topK(s.read.parquet(s"$path/adj"),
+    GraphIndex.topK(GraphIndex.load(s, path),
       Tables.embeddings(s, d), "vec_id", "embedding", qv,
       k = 10, budget = budget)
       .withColumn("cosine", round(col("cosine"), 6))

@@ -135,6 +135,55 @@ object GraphIndex {
     visited.keys.toSeq
   }
 
+  /** Persist the adjacency artifact — the serving structure a graph
+    * index amortizes per retrain, published by commit marker like the
+    * other serving indexes ([[graft.tools.Artifacts.publish]]): a
+    * rebuild racing a concurrent [[load]] is never read torn, the
+    * previous generation stays for in-flight readers. Incremental
+    * INSERT (the NSW add-node walk: beam-search the new vector's
+    * neighbors, link, symmetrize) is deliberately not offered yet —
+    * unlike the frozen-centroid/frozen-codebook appends of
+    * IVF/PQ, a correct graph insert changes EXISTING nodes' edge
+    * lists (the reverse links), so the append≡rebuild contract the
+    * other indexes spec needs its own design; rebuild on the retrain
+    * cadence is the current maintenance story.
+    */
+  def save(adj: DataFrame, path: String): Unit = {
+    val spark = adj.sparkSession
+    graft.tools.Artifacts.publish(spark, path) { gen =>
+      adj.write.mode("overwrite").parquet(s"$gen/adj")
+    }
+    ()
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(
+      s"${graft.tools.Artifacts.requireGen(spark, path)}/adj")
+
+  /** Degree view of an adjacency: (src, degree) — the graph index's
+    * occupancy observable (IvfIndex.occupancy / PqIndex.codeUsage /
+    * the blocking indexes' bucket counts are the siblings). Bounded
+    * by n rows; one aggregate over the edge scan.
+    */
+  def occupancy(adj: DataFrame): DataFrame =
+    adj.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+
+  /** Navigability-drift diagnostic over [[occupancy]]: max degree /
+    * mean degree. ≈1–2 on a healthy build (kNN gives every node m
+    * out-edges; reverse links add variance); a hub whose degree
+    * balloons is where beam searches converge and recall/latency
+    * degrade — the retrain ([[build]] + [[save]]) trigger, the same
+    * cadence contract as `IvfIndex.skewRatio`.
+    */
+  def skewRatio(adj: DataFrame): Double = {
+    val r = occupancy(adj)
+      .agg(max(col("degree")).cast("double"), avg(col("degree")))
+      .collect()(0)
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
   /** End-to-end graph top-k: beam candidates, then the exact cosine
     * re-rank of the candidate set via a broadcast semi join — output
     * schema matches [[Similarity.bruteForceTopK]] ((id, cosine), ties

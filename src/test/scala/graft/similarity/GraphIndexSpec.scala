@@ -25,6 +25,34 @@ class GraphIndexSpec extends SparkTestBase {
     assert(deg.min >= 2)
   }
 
+  test("durable artifact: save/load round-trip, atomic publish, degree observables") {
+    val path = java.nio.file.Files.createTempDirectory("graph_idx").toString
+    try {
+      val adj = GraphIndex.build(emb, "vec_id", "embedding")
+      GraphIndex.save(adj, path)
+      val loaded = GraphIndex.load(spark, path)
+      assert(loaded.as[(Long, Long)].collect().toSet ==
+        adj.as[(Long, Long)].collect().toSet)
+      // served answers from the loaded artifact = in-memory answers
+      val q = emb.filter($"vec_id" === 5).select("embedding").as[Seq[Float]].head()
+      val budget = math.max(200L, emb.count() / 5).toInt
+      val a = GraphIndex.topK(adj, emb, "vec_id", "embedding", q, 10, budget)
+        .as[(Long, Double)].collect().toSeq
+      val b = GraphIndex.topK(loaded, emb, "vec_id", "embedding", q, 10, budget)
+        .as[(Long, Double)].collect().toSeq
+      assert(a == b)
+      // observability: every node has a degree row; skew in a sane band
+      val occ = GraphIndex.occupancy(loaded)
+      assert(occ.count() == emb.count())
+      val skew = GraphIndex.skewRatio(loaded)
+      assert(skew >= 1.0 && skew < 10.0, s"degree skew $skew")
+      // an uncommitted higher generation is invisible to load
+      emb.limit(3).select($"vec_id".as("src"), $"vec_id".as("nb"))
+        .write.parquet(s"$path/g00000001/adj")
+      assert(GraphIndex.load(spark, path).count() == adj.count())
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
+  }
+
   test("beam search: budget-bounded candidates, deterministic, recall@10 >= 0.8; exact re-rank") {
     val q = emb.filter($"vec_id" === 0).select("embedding").as[Seq[Float]].head()
     val adj = GraphIndex.build(emb, "vec_id", "embedding").cache()
