@@ -61,14 +61,21 @@ object GraphIndex {
     val r = emb.select(col(idCol).as("nb"), col(vecCol).as("_rv"),
       (if (bucketBits <= 0) lit(0L)
        else VectorOps.signBucket(col(vecCol), bucketBits)).as("_bkt"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("_c").desc_nulls_last, col("nb"))
+    // the m-NN cut is a BOUNDED HEAP (TopKAgg: ≤m rows per (src,
+    // partition) reach the shuffle, same (cos desc, id) ties as a
+    // window), never a row_number window — the window SORTS the full
+    // candidate-pair set, which at 20× rehearsal scale meant a
+    // 1.6B-row sort the rehearsal caught as a wall. Null cosines
+    // (zero vectors) are filtered: they can never be nearest
+    // neighbors.
     val local = l.join(r, Seq("_bkt"))
       .filter(col("src") =!= col("nb"))
       .select(col("src"), col("nb"), cos(col("_lv"), col("_rv")).as("_c"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= m)
-      .select(col("src"), col("nb"))
+      .filter(col("_c").isNotNull)
+      .groupBy(col("src"))
+      .agg(graft.functions.TopKAgg.topK(m)(col("_c"), col("nb")).as("_top"))
+      .select(col("src"), explode(col("_top")).as("_hit"))
+      .select(col("src"), col("_hit").getField("_2").as("nb"))
     val n = emb.count()
     val wPos = Window.orderBy(md5Of(col(idCol)), col(idCol))
     val pos = emb.select(col(idCol))
