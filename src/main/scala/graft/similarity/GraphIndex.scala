@@ -55,12 +55,25 @@ object GraphIndex {
       bucketBits: Int = 0,
       skips: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): DataFrame = {
     val cos = VectorOps.cosineFor(emb, vecCol)
-    val l = emb.select(col(idCol).as("src"), col(vecCol).as("_lv"),
-      (if (bucketBits <= 0) lit(0L)
-       else VectorOps.signBucket(col(vecCol), bucketBits)).as("_bkt"))
-    val r = emb.select(col(idCol).as("nb"), col(vecCol).as("_rv"),
-      (if (bucketBits <= 0) lit(0L)
-       else VectorOps.signBucket(col(vecCol), bucketBits)).as("_bkt"))
+    // the pair source: exact mode (bucketBits <= 0) is a BROADCAST
+    // cross join — a constant-key equi-join would hash every pair
+    // through ONE task (the rehearsal caught the single-thread wall
+    // at 20×); the bucketed mode equi-joins on the sign bucket
+    val pairs =
+      if (bucketBits <= 0) {
+        // left side spread across the cluster: a single-file corpus
+        // would otherwise drive the whole n² compute from 1 partition
+        val l = emb.select(col(idCol).as("src"), col(vecCol).as("_lv"))
+          .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+        val r = emb.select(col(idCol).as("nb"), col(vecCol).as("_rv"))
+        l.crossJoin(broadcast(r))
+      } else {
+        val l = emb.select(col(idCol).as("src"), col(vecCol).as("_lv"),
+          VectorOps.signBucket(col(vecCol), bucketBits).as("_bkt"))
+        val r = emb.select(col(idCol).as("nb"), col(vecCol).as("_rv"),
+          VectorOps.signBucket(col(vecCol), bucketBits).as("_bkt"))
+        l.join(r, Seq("_bkt"))
+      }
     // the m-NN cut is a BOUNDED HEAP (TopKAgg: ≤m rows per (src,
     // partition) reach the shuffle, same (cos desc, id) ties as a
     // window), never a row_number window — the window SORTS the full
@@ -68,7 +81,7 @@ object GraphIndex {
     // 1.6B-row sort the rehearsal caught as a wall. Null cosines
     // (zero vectors) are filtered: they can never be nearest
     // neighbors.
-    val local = l.join(r, Seq("_bkt"))
+    val local = pairs
       .filter(col("src") =!= col("nb"))
       .select(col("src"), col("nb"), cos(col("_lv"), col("_rv")).as("_c"))
       .filter(col("_c").isNotNull)
