@@ -345,8 +345,11 @@ object Curation {
         e => e.getField("cv"))).as("xhat"))
 
     // ---- graph leg structure: the deterministic navigable graph
-    // (exact-kNN m=16 + md5-ring skips — GraphIndex.build's default)
-    val adj = graft.similarity.GraphIndex.build(emb, "vec_id", "embedding")
+    // (exact-kNN m=16 + md5-ring skips — GraphIndex.buildExact, the
+    // contrast arm: the DuckDB oracle unrolls the TRUE kNN edges, so
+    // this eval leg pins the exact build; the NN-descent default
+    // build is q_sim_graph's engine and the rehearsal's subject)
+    val adj = graft.similarity.GraphIndex.buildExact(emb, "vec_id", "embedding")
 
     (cells, probeCells, recon, adj)
   }
@@ -656,7 +659,11 @@ object Curation {
          |      row_number() OVER (PARTITION BY l.vec_id
          |                         ORDER BY $pairCos DESC NULLS LAST,
          |                                  r.vec_id) AS rn
-         |    FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id)
+         |    FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id
+         |    -- null pair-cosines dropped BEFORE the rn cut, matching
+         |    -- the engine's isNotNull filter exactly (ADVICE r13: a
+         |    -- zero vector gets no kNN out-edges on either side)
+         |    WHERE ($pairCos) IS NOT NULL)
          |  WHERE rn <= 16),
          |gpos AS (
          |  SELECT vec_id,

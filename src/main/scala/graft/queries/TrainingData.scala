@@ -1156,7 +1156,9 @@ object TrainingData {
     * engine (VERDICT r12 next-round #7), same contract as
     * q_sim_ivf / q_sim_pq / q_sim_mrl: the query RUNS the full
     * navigable-graph pipeline ([[graft.similarity.GraphIndex]]:
-    * deterministic exact-kNN + md5-ring adjacency, multi-entry
+    * deterministic NN-DESCENT approximate-kNN + md5-ring adjacency —
+    * the scale-safe default build since r14; the exact-kNN build is
+    * the test-scale contrast arm — multi-entry
     * best-first beam expansion, exact re-rank of the visited set),
     * gates recall@10 ≥ 0.8 against the exact scan in-query, then
     * emits the exact ranking so the driver can hash-check it
@@ -1173,7 +1175,7 @@ object TrainingData {
       .select(col("vec_id"), col("embedding")).cache()
     try {
       val qv = queryVec(s, d)
-      // the kNN build makes an all-pairs pass — emb stays cached
+      // the NN-descent build scans emb ~2× per round — emb stays cached
       val adj = GraphIndex.build(emb, "vec_id", "embedding")
         .localCheckpoint() // the walk probes it once per round
       val budget = math.max(200L, emb.count() / 5).toInt
@@ -1204,9 +1206,14 @@ object TrainingData {
     */
   private val graphBenchIndexes =
     scala.collection.concurrent.TrieMap.empty[String, (String, Seq[Float], Int)]
-  private val qSimGraphServe: Q = (s, d) => {
-    import graft.similarity.GraphIndex
-    val (path, qv, budget) = graphBenchIndexes.getOrElseUpdate(d, {
+  /** Build+save the NN-descent graph artifact over `d`'s embeddings
+    * ONCE per JVM — shared by the single-query serve override and the
+    * streaming probe (the ivfIndexPathFor precedent for the graph
+    * engine).
+    */
+  private def graphIndexFor(s: SparkSession, d: String): (String, Seq[Float], Int) =
+    graphBenchIndexes.getOrElseUpdate(d, {
+      import graft.similarity.GraphIndex
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding")).cache()
       try {
@@ -1215,6 +1222,9 @@ object TrainingData {
         (p, queryVec(s, d), math.max(200L, emb.count() / 5).toInt)
       } finally emb.unpersist()
     })
+  private val qSimGraphServe: Q = (s, d) => {
+    import graft.similarity.GraphIndex
+    val (path, qv, budget) = graphIndexFor(s, d)
     GraphIndex.topK(GraphIndex.load(s, path),
       Tables.embeddings(s, d), "vec_id", "embedding", qv,
       k = 10, budget = budget)
@@ -1639,6 +1649,56 @@ object TrainingData {
       .orderBy("query_id", "rk")
   }
 
+  /** q_stream_ann_graph (VERDICT r13 next-round #2): the GRAPH-index
+    * streaming serve — [[qStreamAnn]]'s contract with the saved
+    * NN-descent [[graft.similarity.GraphIndex]] as the engine (the
+    * batched frontier-table beam walk per micro-batch, via
+    * `AnnStream.probeGraphFile` — never the per-query driver loop the
+    * r13 verdict flagged). Gates mean recall@10 ≥ 0.8 against the
+    * exact scan, then emits the exact ranking; the oracle is
+    * [[qStreamAnnSql]] VERBATIM (same emit contract — the FOURTH
+    * reuse, one restatement for all four streaming ANN engines).
+    * Budget max(200, n/5), the q_sim_graph setting.
+    */
+  private val qStreamAnnGraph: Q = (s, d) => {
+    import graft.functions.{TopKAgg, VectorOps}
+    val (path, _, budget) = graphIndexFor(s, d)
+    val ann = graft.streaming.AnnStream.probeGraphFile(s, d, path,
+      k = 10, budget = budget)
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val exact = corpus.join(broadcast(probes))
+      .withColumn("cos", VectorOps.cosine(col("qvec"), col("cvec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topK(10)(col("cos"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("hit._2").as("cid"), round(col("hit._1"), 6).as("cosine"))
+      .localCheckpoint()
+    val nQ = probes.count()
+    val hits = ann.select(col("query_id").as("qid"), col("vec_id").as("cid"))
+      .join(exact.select(col("qid"), col("cid")), Seq("qid", "cid")).count()
+    val recall = if (nQ == 0) 1.0 else hits.toDouble / (nQ * 10.0)
+    require(recall >= 0.8,
+      s"streamed graph mean recall@10 = $recall < 0.8 (beam=4, budget=$budget) — " +
+        "serving quality regressed")
+    exact.orderBy("qid", "rk")
+  }
+
+  /** Bench-path override: the streamed beam-walk probe alone (the
+    * qStreamAnnServe argument applied to the graph engine).
+    */
+  private val qStreamAnnGraphServe: Q = (s, d) => {
+    val (path, _, budget) = graphIndexFor(s, d)
+    graft.streaming.AnnStream.probeGraphFile(s, d, path,
+      k = 10, budget = budget)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rk")
+  }
+
   /** Exact restatement of the streamed-ANN emit — q_knn_join's
     * dialect with the streamed slice as the probe set and the FULL
     * corpus (self included: a query's rank-1 is itself at cosine 1)
@@ -1703,6 +1763,7 @@ object TrainingData {
     "q_stream_ann" -> qStreamAnnServe,
     "q_stream_index_maint" -> qStreamIndexMaintServe,
     "q_stream_ann_pq" -> qStreamAnnPqServe,
+    "q_stream_ann_graph" -> qStreamAnnGraphServe,
     "q_embed_search_ivf" -> qEmbedSearchIvfServe,
     "q_eval_ann" -> Curation.qEvalAnnServe,
     "q_zorder_prune" -> Analytics.qZorderPruneServe,
@@ -2741,6 +2802,7 @@ object TrainingData {
     "q_stream_ann" -> qStreamAnn,
     "q_stream_index_maint" -> qStreamIndexMaint,
     "q_stream_ann_pq" -> qStreamAnnPq,
+    "q_stream_ann_graph" -> qStreamAnnGraph,
     "q_dedup_audit" -> qDedupAudit,
     "q_simhash" -> qSimhash,
     "q_simhash_near" -> qSimhashNear,
@@ -2828,6 +2890,7 @@ object TrainingData {
     "q_stream_ann" -> qStreamAnnSql,
     "q_stream_ann_pq" -> qStreamAnnSql, // same emit contract, second engine
     "q_stream_index_maint" -> qStreamAnnSql, // maintained index serves corpus ∪ Δ = the full table
+    "q_stream_ann_graph" -> qStreamAnnSql, // same emit contract, FOURTH engine (graph beam walk)
     "q_dedup_audit" -> qDedupAuditSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_near" -> qSimhashNearSql,

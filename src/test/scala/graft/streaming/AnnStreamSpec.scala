@@ -170,4 +170,28 @@ class AnnStreamSpec extends SparkTestBase {
     assert(after.nonEmpty && after.map(_._1).distinct.sorted ==
       expected.map(_._1).distinct.sorted)
   }
+
+  test("graph twin: stream≡batch across a forced multi-trigger run") {
+    import graft.similarity.GraphIndex
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val d = tmpDir("ann_graph_stream")
+    emb.repartition(4).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val idxPath = s"${tmpDir("ann_graph_stream_idx")}/idx"
+    GraphIndex.save(GraphIndex.build(emb, "vec_id", "embedding"), idxPath)
+    val adj = GraphIndex.load(spark, idxPath)
+    val budget = math.max(200L, emb.count() / 5).toInt
+    val expected = GraphIndex.probeJoin(adj, emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, budget = budget)
+      .orderBy("query_id", "rk")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(expected.nonEmpty)
+    val got = AnnStream.probeGraphFile(spark, d, idxPath, k = 5,
+      budget = budget,
+      maxFilesPerTrigger = Some(1)) // force a genuinely multi-trigger run
+      .orderBy("query_id", "rk")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected, "graph stream != batch")
+  }
 }
