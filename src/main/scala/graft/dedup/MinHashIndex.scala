@@ -58,23 +58,58 @@ object MinHashIndex {
     Index(buckets, shingles, idCol, shingleK, bands, rowsPerBand)
   }
 
-  /** Atomic publish ([[graft.tools.Artifacts.publish]], VERDICT r11
-    * next-round #2): the three-directory layout lands in a fresh
-    * committed generation, so a rebuild racing a concurrent [[load]]
-    * can never be read torn (new params, old buckets).
+  /** Atomic publish in the MANIFEST-POOL layout (VERDICT r13
+    * next-round #4 — the [[graft.similarity.IvfIndex.save]] protocol
+    * for the lexical index): both corpus-sized sides land under ONE
+    * immutable pool dir (`<pool>/buckets`, `<pool>/shingles`) and the
+    * committed generation holds an (ord, dir) `part_dirs` manifest
+    * plus the tiny params table — [[appendPublish]] passes frozen
+    * part files between generations BY REFERENCE. A rebuild racing a
+    * concurrent [[load]] can never be read torn (new params, old
+    * buckets).
     */
   def save(index: Index, path: String): Unit = {
     val spark = index.buckets.sparkSession
+    val pool = graft.tools.Artifacts.newPoolDir(path)
+    index.buckets.write.mode("overwrite").parquet(s"$pool/buckets")
+    index.shingles.write.mode("overwrite").parquet(s"$pool/shingles")
+    publishGen(spark, path, index, Seq(pool), carryFrom = None)
+  }
+
+  private def publishGen(spark: SparkSession, path: String, index: Index,
+      partDirs: Seq[String], carryFrom: Option[(String, Set[String])],
+      tag: Option[String] = None): Unit = {
     import spark.implicits._
     graft.tools.Artifacts.publish(spark, path) { gen =>
-      index.buckets.write.mode("overwrite").parquet(s"$gen/buckets")
-      index.shingles.write.mode("overwrite").parquet(s"$gen/shingles")
       Seq((index.shingleK, index.bands, index.rowsPerBand))
         .toDF("shingle_k", "bands", "rows_per_band")
         .repartition(1).write.mode("overwrite").parquet(s"$gen/params")
+      graft.tools.Artifacts.writeDirManifest(spark, gen, "part_dirs",
+        path, partDirs)
+      carryFrom.foreach { case (parent, folded) =>
+        graft.tools.Artifacts.carryTombstones(spark, gen, parent, folded)
+      }
+      tag.foreach(t => graft.tools.Artifacts.writeTag(spark, gen, t))
     }
-    ()
+    graft.tools.Artifacts.prunePool(spark, path,
+      graft.tools.Artifacts.committedGens(spark, path)
+        .flatMap(g => partDirsOf(spark, path, g)))
   }
+
+  /** The generation's part dirs in publish order; a pre-r14 layout
+    * (buckets/shingles inside the generation) falls back to the
+    * generation dir itself, whose `buckets`/`shingles` children are
+    * exactly the old layout.
+    */
+  private[graft] def partDirsOf(spark: SparkSession, root: String,
+      gen: String): Seq[String] =
+    graft.tools.Artifacts.readDirManifest(spark, root, gen,
+      "part_dirs", "")
+      .map(_.stripSuffix("/"))
+
+  private def readSide(spark: SparkSession, dirs: Seq[String],
+      side: String): DataFrame =
+    dirs.map(d => spark.read.parquet(s"$d/$side")).reduce(_ unionAll _)
 
   def load(spark: SparkSession, path: String, idCol: String): Index = {
     val gen = graft.tools.Artifacts.requireGen(spark, path)
@@ -82,8 +117,9 @@ object MinHashIndex {
     // here, never silently swap shingle_k/bands and band differently
     // than the saved index (ADVICE r10)
     val p = spark.read.parquet(s"$gen/params").collect()(0)
-    val bucketsRaw = spark.read.parquet(s"$gen/buckets")
-    val shinglesRaw = spark.read.parquet(s"$gen/shingles")
+    val dirs = partDirsOf(spark, path, gen)
+    val bucketsRaw = readSide(spark, dirs, "buckets")
+    val shinglesRaw = readSide(spark, dirs, "shingles")
     // the tombstone sidecar (if any) is consulted HERE, so every
     // classify over a loaded index sees the post-delete corpus with
     // zero changes to the probe path — an anti-join against the
@@ -122,23 +158,45 @@ object MinHashIndex {
       .write.mode("append").parquet(
         s"${graft.tools.Artifacts.requireGen(spark, path)}/tombstones")
 
-  /** Fold the tombstone sidecar into the layout: rewrite buckets and
-    * shingles without the deleted ids, then remove THOSE ids from the
-    * sidecar. The tombstone set is SNAPSHOTTED once (localCheckpoint)
-    * before any rewrite (ADVICE r11): both rewrites filter against
-    * the same frozen set — never two different reads of a sidecar a
-    * concurrent delete() may be appending to — and a delete landing
-    * mid-compact SURVIVES in the sidecar instead of being silently
-    * resurrected. Each directory swap is rename-aside
-    * ([[graft.tools.Artifacts.replaceDir]]); a crash mid-compact
-    * leaves a complete old or new layout per directory plus the
-    * sidecar, so no delete is ever lost. Run on the same cadence as
-    * an IVF retrain — between compactions deletes stay O(|ids|).
+  /** Fold the tombstone sidecar into the layout AND collapse the
+    * manifest: rewrite buckets and shingles minus the snapshotted
+    * tombstone ids into ONE fresh pool dir, publish a new generation
+    * pointing at it. The tombstone snapshot is FILE-level (ADVICE
+    * r12's protocol): a delete() landing mid-compact is carried
+    * forward into the new generation's sidecar instead of being
+    * resurrected or lost. Run on the retrain cadence — between
+    * compactions deletes stay O(|ids|).
     */
-  def compact(spark: SparkSession, path: String, idCol: String): Unit =
-    graft.tools.Artifacts.foldTombstones(spark,
-      graft.tools.Artifacts.requireGen(spark, path),
-      Seq(("buckets", idCol, Nil), ("shingles", idCol, Nil)))
+  def compact(spark: SparkSession, path: String, idCol: String): Unit = {
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val snapFiles = graft.tools.Artifacts.tombstoneFiles(spark, gen)
+    val dirs = partDirsOf(spark, path, gen)
+    val idx = load(spark, path, idCol)
+    def fold(df: DataFrame): DataFrame =
+      if (snapFiles.isEmpty) df
+      else {
+        val snap = spark.read.parquet(snapFiles.toSeq: _*).localCheckpoint()
+        df.join(snap, df(idCol) === snap("id"), "left_anti")
+      }
+    val pool = graft.tools.Artifacts.newPoolDir(path)
+    fold(readSide(spark, dirs, "buckets")).write.parquet(s"$pool/buckets")
+    fold(readSide(spark, dirs, "shingles")).write.parquet(s"$pool/shingles")
+    publishGen(spark, path, idx, Seq(pool),
+      carryFrom = Some((gen, snapFiles)))
+  }
+
+  /** Δ banding under the SAVED params — the shared head of
+    * [[append]]/[[appendPublish]]; the hash family is
+    * corpus-independent, so Δ rows computed here classify exactly
+    * like a rebuild's.
+    */
+  private def bandDelta(spark: SparkSession, gen: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Index = {
+    val p = spark.read.parquet(s"$gen/params").collect()(0)
+    build(newDocs, idCol, textCol,
+      p.getAs[Int]("shingle_k"), p.getAs[Int]("bands"),
+      p.getAs[Int]("rows_per_band"))
+  }
 
   /** Incremental maintenance: band + shingle ONLY the new docs under
     * the saved params and append their rows — cost ∝ |newDocs|, no
@@ -146,16 +204,52 @@ object MinHashIndex {
     * Because the hash family is corpus-independent, an appended index
     * classifies EXACTLY like a rebuild over corpus ∪ Δ — there is no
     * IVF-style drift to monitor.
+    *
+    * IN-PLACE mutation with the [[graft.similarity.IvfIndex.append]]
+    * concurrency contract (ADVICE r13): targets the newest dir
+    * EXCLUSIVE to the current generation, or degrades to one
+    * [[appendPublish]] when every dir is shared with the retained
+    * previous generation.
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame,
       idCol: String, textCol: String): Unit = {
+    val gens = graft.tools.Artifacts.committedGens(spark, path)
+    require(gens.nonEmpty,
+      s"no committed index generation under $path — publish (save) first")
+    val gen = gens.last
+    val curDirs = partDirsOf(spark, path, gen)
+    val prevDirs = gens.dropRight(1).lastOption
+      .map(g => partDirsOf(spark, path, g).toSet).getOrElse(Set.empty)
+    curDirs.filterNot(prevDirs).lastOption match {
+      case Some(target) =>
+        val delta = bandDelta(spark, gen, newDocs, idCol, textCol)
+        delta.buckets.write.mode("append").parquet(s"$target/buckets")
+        delta.shingles.write.mode("append").parquet(s"$target/shingles")
+      case None => appendPublish(spark, path, newDocs, idCol, textCol)
+    }
+  }
+
+  /** Incremental maintenance, GENERATION-PUBLISHED (VERDICT r13
+    * next-round #4 — appendPublish parity for the lexical index):
+    * same frozen-params Δ banding as [[append]], but the new rows
+    * land in a fresh immutable pool dir and a NEW generation is
+    * committed whose manifest = the parent's dirs + the Δ dir
+    * (tombstones carried forward). Write cost ∝ Δ; a concurrent
+    * [[load]] resolves the parent or the child generation, never a
+    * mix — the per-trigger ingest shape
+    * [[graft.streaming.IndexMaintStream]] drives.
+    */
+  def appendPublish(spark: SparkSession, path: String, newDocs: DataFrame,
+      idCol: String, textCol: String, tag: Option[String] = None): Unit = {
     val gen = graft.tools.Artifacts.requireGen(spark, path)
-    val p = spark.read.parquet(s"$gen/params").collect()(0)
-    val delta = build(newDocs, idCol, textCol,
-      p.getAs[Int]("shingle_k"), p.getAs[Int]("bands"),
-      p.getAs[Int]("rows_per_band"))
-    delta.buckets.write.mode("append").parquet(s"$gen/buckets")
-    delta.shingles.write.mode("append").parquet(s"$gen/shingles")
+    val delta = bandDelta(spark, gen, newDocs, idCol, textCol)
+    val pool = graft.tools.Artifacts.newPoolDir(path)
+    delta.buckets.write.parquet(s"$pool/buckets")
+    delta.shingles.write.parquet(s"$pool/shingles")
+    publishGen(spark, path, delta,
+      graft.tools.Artifacts.migrateToPool(spark, path,
+        partDirsOf(spark, path, gen)) :+ pool,
+      carryFrom = Some((gen, Set.empty)), tag = tag)
   }
 
   /** Bucket-occupancy view: (band_idx, band_hash, n) over the LSH

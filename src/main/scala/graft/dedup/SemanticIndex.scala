@@ -64,32 +64,73 @@ object SemanticIndex {
       idCol, vecCol, threshold)
   }
 
-  /** Atomic publish ([[graft.tools.Artifacts.publish]], VERDICT r11
-    * next-round #2): the four-directory layout is written into a
-    * fresh committed generation, so a rebuild racing a concurrent
-    * [[load]] can never be read torn (new centroids, old corpus/reps).
+  /** Atomic publish in the MANIFEST-POOL layout (VERDICT r13
+    * next-round #4 — the [[graft.similarity.IvfIndex.save]] protocol
+    * for the semantic blocking index): the corpus-sized pre-blocked
+    * table lands in an immutable pool dir referenced by an (ord, dir)
+    * `corpus_dirs` manifest, and the FROZEN reps land in their own
+    * pool dir referenced by `reps_dirs` — maintenance publishes carry
+    * both by reference, so [[appendPublish]] writes Δ bytes only (the
+    * reps — ≈ corpus/blockSize rows — are never recopied). Centroids
+    * and params (bounded) live inside the generation. A rebuild
+    * racing a concurrent [[load]] can never be read torn.
     */
   def save(index: Index, path: String): Unit = {
     val spark = index.corpusBlocked.sparkSession
+    val repsPool = graft.tools.Artifacts.newPoolDir(path)
+    index.blocking.reps.write.mode("overwrite").parquet(repsPool)
+    val corpusPool = graft.tools.Artifacts.newPoolDir(path)
+    index.corpusBlocked.write.mode("overwrite").parquet(corpusPool)
+    publishGen(spark, path, index.blocking.centroids,
+      index.blocking.blockSize, index.blocking.signBits, index.threshold,
+      repsPool, Seq(corpusPool), carryFrom = None)
+  }
+
+  private def publishGen(spark: SparkSession, path: String,
+      centroids: Array[Array[Double]], blockSize: Int, signBits: Int,
+      threshold: Double, repsDir: String, corpusDirs: Seq[String],
+      carryFrom: Option[(String, Set[String])],
+      tag: Option[String] = None): Unit = {
     import spark.implicits._
     graft.tools.Artifacts.publish(spark, path) { gen =>
-      index.blocking.centroids.zipWithIndex
+      centroids.zipWithIndex
         .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("cell", "cv")
         .repartition(1).write.mode("overwrite").parquet(s"$gen/centroids")
-      index.blocking.reps.write.mode("overwrite").parquet(s"$gen/reps")
-      index.corpusBlocked.write.mode("overwrite").parquet(s"$gen/corpus")
-      Seq((index.blocking.blockSize, index.blocking.signBits, index.threshold))
+      Seq((blockSize, signBits, threshold))
         .toDF("block_size", "sign_bits", "threshold")
         .repartition(1).write.mode("overwrite").parquet(s"$gen/params")
+      graft.tools.Artifacts.writeDirManifest(spark, gen, "reps_dirs",
+        path, Seq(repsDir))
+      graft.tools.Artifacts.writeDirManifest(spark, gen, "corpus_dirs",
+        path, corpusDirs)
+      carryFrom.foreach { case (parent, folded) =>
+        graft.tools.Artifacts.carryTombstones(spark, gen, parent, folded)
+      }
+      tag.foreach(t => graft.tools.Artifacts.writeTag(spark, gen, t))
     }
-    ()
+    graft.tools.Artifacts.prunePool(spark, path,
+      graft.tools.Artifacts.committedGens(spark, path)
+        .flatMap(g => corpusDirsOf(spark, path, g) :+ repsDirOf(spark, path, g)))
   }
+
+  /** The generation's corpus dirs in publish order; pre-r14 layouts
+    * fall back to `gen/corpus`.
+    */
+  private[graft] def corpusDirsOf(spark: SparkSession, root: String,
+      gen: String): Seq[String] =
+    graft.tools.Artifacts.readDirManifest(spark, root, gen,
+      "corpus_dirs", "corpus")
+
+  private[graft] def repsDirOf(spark: SparkSession, root: String,
+      gen: String): String =
+    graft.tools.Artifacts.readDirManifest(spark, root, gen,
+      "reps_dirs", "reps").head
 
   /** The frozen halves only (params/centroids/reps — everything Δ
     * assignment needs, nothing corpus-sized): shared by [[load]] and
     * [[append]] so an append never touches the corpus table.
     */
-  private def loadBlocking(spark: SparkSession,
+  private def loadBlocking(spark: SparkSession, path: String,
       gen: String): (Dedup.SemanticBlocking, Double) = {
     // by NAME, not position: a column reorder in save must fail
     // loudly, never silently swap block_size/sign_bits (ADVICE r10)
@@ -98,7 +139,7 @@ object SemanticIndex {
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("cv")).toArray)
     val blocking = Dedup.SemanticBlocking(centroids,
-      spark.read.parquet(s"$gen/reps"),
+      spark.read.parquet(repsDirOf(spark, path, gen)),
       p.getAs[Int]("block_size"), p.getAs[Int]("sign_bits"))
     (blocking, p.getAs[Double]("threshold"))
   }
@@ -106,8 +147,9 @@ object SemanticIndex {
   def load(spark: SparkSession, path: String, idCol: String,
       vecCol: String): Index = {
     val gen = graft.tools.Artifacts.requireGen(spark, path)
-    val (blocking, threshold) = loadBlocking(spark, gen)
-    val corpusRaw = spark.read.parquet(s"$gen/corpus")
+    val (blocking, threshold) = loadBlocking(spark, path, gen)
+    val corpusRaw = corpusDirsOf(spark, path, gen)
+      .map(spark.read.parquet(_)).reduce(_ unionAll _)
     // tombstone sidecar (if any) consulted HERE: an anti-join against
     // the bounded tombstone set, so every classify sees the
     // post-delete corpus with zero changes to the probe path
@@ -140,18 +182,38 @@ object SemanticIndex {
       .write.mode("append").parquet(
         s"${graft.tools.Artifacts.requireGen(spark, path)}/tombstones")
 
-  /** Fold tombstones into the layout: rewrite `corpus/` without the
-    * deleted ids, remove those ids from the sidecar. The tombstone
-    * set is snapshotted once before the rewrite and deletes landing
-    * mid-compact survive in the sidecar
-    * ([[graft.tools.Artifacts.foldTombstones]], ADVICE r11).
-    * Centroids and reps stay frozen.
+  /** Fold tombstones into the layout AND collapse the manifest:
+    * rewrite the corpus minus the snapshotted tombstone ids into ONE
+    * fresh pool dir, publish a new generation pointing at it. The
+    * tombstone snapshot is FILE-level (ADVICE r12's protocol): a
+    * delete() landing mid-compact is carried forward into the new
+    * generation's sidecar instead of being resurrected or lost.
+    * Centroids and reps stay frozen (the reps pool dir passes by
+    * reference).
     */
   def compact(spark: SparkSession, path: String, idCol: String,
-      vecCol: String): Unit =
-    graft.tools.Artifacts.foldTombstones(spark,
-      graft.tools.Artifacts.requireGen(spark, path),
-      Seq(("corpus", idCol, Nil)))
+      vecCol: String): Unit = {
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val snapFiles = graft.tools.Artifacts.tombstoneFiles(spark, gen)
+    val raw = corpusDirsOf(spark, path, gen)
+      .map(spark.read.parquet(_)).reduce(_ unionAll _)
+    val folded =
+      if (snapFiles.isEmpty) raw
+      else {
+        val snap = spark.read.parquet(snapFiles.toSeq: _*).localCheckpoint()
+        raw.join(snap, raw(idCol) === snap("id"), "left_anti")
+      }
+    val pool = graft.tools.Artifacts.newPoolDir(path)
+    folded.write.parquet(pool)
+    val p = spark.read.parquet(s"$gen/params").collect()(0)
+    val centroids = spark.read.parquet(s"$gen/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("cv")).toArray)
+    publishGen(spark, path, centroids, p.getAs[Int]("block_size"),
+      p.getAs[Int]("sign_bits"), p.getAs[Double]("threshold"),
+      repsDirOf(spark, path, gen), Seq(pool),
+      carryFrom = Some((gen, snapFiles)))
+  }
 
   /** Incremental maintenance: assign ONLY the new vectors through the
     * frozen centroids + reps and append their (block, sb) rows — cost
@@ -160,14 +222,57 @@ object SemanticIndex {
     * structure applied to corpus ∪ Δ (SemanticIndexSpec pins it); as
     * Δ drifts from the build distribution, [[skewRatio]] climbs and
     * the answer is a retrain, not more appends.
+    *
+    * IN-PLACE mutation with the [[graft.similarity.IvfIndex.append]]
+    * concurrency contract (ADVICE r13): targets the newest dir
+    * EXCLUSIVE to the current generation, or degrades to one
+    * [[appendPublish]] when every dir is shared with the retained
+    * previous generation.
     */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Unit = {
+    val gens = graft.tools.Artifacts.committedGens(spark, path)
+    require(gens.nonEmpty,
+      s"no committed index generation under $path — publish (save) first")
+    val gen = gens.last
+    val curDirs = corpusDirsOf(spark, path, gen)
+    val prevDirs = gens.dropRight(1).lastOption
+      .map(g => corpusDirsOf(spark, path, g).toSet).getOrElse(Set.empty)
+    curDirs.filterNot(prevDirs).lastOption match {
+      case Some(target) =>
+        val (blocking, _) = loadBlocking(spark, path, gen)
+        Dedup.blockCorpus(blocking, newVectors, idCol, vecCol,
+          blocking.signBits)
+          .write.mode("append").parquet(target)
+      case None => appendPublish(spark, path, newVectors, idCol, vecCol)
+    }
+  }
+
+  /** Incremental maintenance, GENERATION-PUBLISHED (VERDICT r13
+    * next-round #4 — appendPublish parity for the semantic index):
+    * same frozen-structure Δ assignment as [[append]], but the new
+    * rows land in a fresh immutable pool dir and a NEW generation is
+    * committed whose manifest = the parent's corpus dirs + the Δ dir,
+    * reps carried by reference, tombstones carried forward. Write
+    * cost ∝ Δ; a concurrent [[load]] resolves the parent or the child
+    * generation, never a mix — the per-trigger ingest shape
+    * [[graft.streaming.IndexMaintStream]] drives.
+    */
+  def appendPublish(spark: SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      tag: Option[String] = None): Unit = {
     val gen = graft.tools.Artifacts.requireGen(spark, path)
-    val (blocking, _) = loadBlocking(spark, gen)
+    val (blocking, threshold) = loadBlocking(spark, path, gen)
+    val pool = graft.tools.Artifacts.newPoolDir(path)
     Dedup.blockCorpus(blocking, newVectors, idCol, vecCol,
-      blocking.signBits)
-      .write.mode("append").parquet(s"$gen/corpus")
+      blocking.signBits).write.parquet(pool)
+    publishGen(spark, path, blocking.centroids, blocking.blockSize,
+      blocking.signBits, threshold,
+      graft.tools.Artifacts.migrateToPool(spark, path,
+        Seq(repsDirOf(spark, path, gen))).head,
+      graft.tools.Artifacts.migrateToPool(spark, path,
+        corpusDirsOf(spark, path, gen)) :+ pool,
+      carryFrom = Some((gen, Set.empty)), tag = tag)
   }
 
   /** Classify a batch against the indexed corpus — identical

@@ -1349,7 +1349,7 @@ object TrainingData {
     import graft.similarity.PqIndex
     val (cb, path, qv, cBudget) = pqIndexFor(s, d)
     PqIndex.topK(cb,
-      s.read.parquet(s"${graft.tools.Artifacts.requireGen(s, path)}/codes"),
+      PqIndex.codesOf(s, path),
       Tables.embeddings(s, d),
       "vec_id", "embedding", qv, k = 10, c = cBudget)
       .withColumn("cosine", round(col("cosine"), 6))

@@ -477,13 +477,11 @@ object GraphIndex {
   }
 
   private def publishGen(spark: SparkSession, path: String,
-      adjDirs: Seq[String]): Unit = {
-    import spark.implicits._
+      adjDirs: Seq[String], tag: Option[String] = None): Unit = {
     graft.tools.Artifacts.publish(spark, path) { gen =>
-      adjDirs.zipWithIndex
-        .map { case (d, i) => (i, d.stripPrefix(path).stripPrefix("/")) }
-        .toDF("ord", "dir")
-        .repartition(1).write.mode("overwrite").parquet(s"$gen/adj_dirs")
+      graft.tools.Artifacts.writeDirManifest(spark, gen, "adj_dirs",
+        path, adjDirs)
+      tag.foreach(t => graft.tools.Artifacts.writeTag(spark, gen, t))
     }
     graft.tools.Artifacts.prunePool(spark, path,
       graft.tools.Artifacts.committedGens(spark, path)
@@ -497,11 +495,8 @@ object GraphIndex {
     */
   private[graft] def adjDirsOf(spark: SparkSession, root: String,
       gen: String): Seq[String] =
-    if (graft.tools.Artifacts.exists(spark, s"$gen/adj_dirs"))
-      spark.read.parquet(s"$gen/adj_dirs")
-        .orderBy("ord").collect().map(_.getString(1)).toSeq
-        .map(d => if (d.startsWith("pool/")) s"$root/$d" else d)
-    else Seq(s"$gen/adj")
+    graft.tools.Artifacts.readDirManifest(spark, root, gen,
+      "adj_dirs", "adj")
 
   def load(spark: SparkSession, path: String): DataFrame = {
     val dirs = adjDirsOf(spark, path,
@@ -570,7 +565,9 @@ object GraphIndex {
     val gen = graft.tools.Artifacts.requireGen(spark, path)
     val pool = graft.tools.Artifacts.newPoolDir(path)
     delta.write.parquet(pool)
-    publishGen(spark, path, adjDirsOf(spark, path, gen) :+ pool)
+    publishGen(spark, path,
+      graft.tools.Artifacts.migrateToPool(spark, path,
+        adjDirsOf(spark, path, gen)) :+ pool)
   }
 
   /** Degree view of an adjacency: (src, degree) — the graph index's

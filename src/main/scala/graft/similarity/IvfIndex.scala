@@ -84,50 +84,47 @@ object IvfIndex {
     publishGen(spark, path, index.centroids, Seq(pool), carryFrom = None)
   }
 
-  /** One generation write: centroids + the corpus-dirs manifest (+
-    * tombstones carried forward from `carryFrom`), then pool prune.
+  /** One generation write: centroids + the (ord, dir) corpus-dirs
+    * manifest (+ tombstones carried forward from `carryFrom`, + the
+    * optional idempotency `tag`), then pool prune. Dirs are stored
+    * root-relative in PUBLISH ORDER ([[graft.tools.Artifacts
+    * .writeDirManifest]]): the layout stays valid when copied or
+    * moved, and "the newest dir" is the highest ord — never a lexical
+    * sort of random pool tokens (ADVICE r13).
     */
   private def publishGen(spark: SparkSession, path: String,
       centroids: Array[Array[Double]], corpusDirs: Seq[String],
-      carryFrom: Option[(String, Set[String])]): Unit = {
+      carryFrom: Option[(String, Set[String])],
+      tag: Option[String] = None): Unit = {
     import spark.implicits._
     graft.tools.Artifacts.publish(spark, path) { gen =>
       centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .repartition(1).write.mode("overwrite").parquet(s"$gen/centroids")
-      // store dirs RELATIVE to the root: the layout stays valid when
-      // copied or moved (the rehearsal's per-pass byte copies, a
-      // cluster relocating an artifact)
-      corpusDirs.map(d => d.stripPrefix(path).stripPrefix("/")).toDF("dir")
-        .repartition(1).write.mode("overwrite").parquet(s"$gen/corpus_dirs")
+      graft.tools.Artifacts.writeDirManifest(spark, gen, "corpus_dirs",
+        path, corpusDirs)
       // tombstones travel with the generation: copy the parent's
       // sidecar files (minus any the caller already folded) so a
       // delete stays deleted across maintenance publishes
       carryFrom.foreach { case (parent, folded) =>
-        val files = tombstoneFiles(spark, parent).filterNot(folded)
-        if (files.nonEmpty)
-          spark.read.parquet(files.toSeq: _*)
-            .write.mode("overwrite").parquet(s"$gen/tombstones")
+        graft.tools.Artifacts.carryTombstones(spark, gen, parent, folded)
       }
+      tag.foreach(t => graft.tools.Artifacts.writeTag(spark, gen, t))
     }
     graft.tools.Artifacts.prunePool(spark, path,
       graft.tools.Artifacts.committedGens(spark, path)
         .flatMap(g => corpusDirsOf(spark, path, g)))
   }
 
-  /** The generation's corpus data dirs, resolved against `root`.
-    * Pool-manifest layouts read `corpus_dirs` (root-relative rows); a
-    * pre-r13 layout (corpus inside the generation) falls back to
-    * `gen/corpus`.
+  /** The generation's corpus data dirs in publish order, resolved
+    * against `root`; a pre-r13 layout (corpus inside the generation)
+    * falls back to `gen/corpus`.
     */
   private[graft] def corpusDirsOf(spark: SparkSession, root: String,
       gen: String): Seq[String] =
-    if (graft.tools.Artifacts.exists(spark, s"$gen/corpus_dirs"))
-      spark.read.parquet(s"$gen/corpus_dirs")
-        .collect().map(_.getString(0)).toSeq.sorted
-        .map(d => if (d.startsWith("pool/")) s"$root/$d" else d)
-    else Seq(s"$gen/corpus")
+    graft.tools.Artifacts.readDirManifest(spark, root, gen,
+      "corpus_dirs", "corpus")
 
   /** The CURRENT committed generation's corpus dirs — the spec-facing
     * physical-layout accessor.
@@ -159,12 +156,17 @@ object IvfIndex {
     * (spec-proven in IvfIndexSpec, alongside an old-files-untouched
     * assertion).
     *
-    * CONCURRENCY CONTRACT (ADVICE r12): this mutates the committed
-    * generation's data — single-writer maintenance only, and a load
-    * racing the append may observe part of Δ (never a torn
-    * centroids/corpus mix — centroids are untouched). When concurrent
-    * probes must see atomic appends — the streaming-maintenance
-    * shape — use [[appendPublish]].
+    * CONCURRENCY CONTRACT (ADVICE r12 + r13): this mutates committed
+    * data — single-writer maintenance only, and a load racing the
+    * append may observe part of Δ (never a torn centroids/corpus mix
+    * — centroids are untouched). The mutation targets the newest dir
+    * EXCLUSIVE to the current generation (post-r13, pool dirs are
+    * shared across generations: appending into a shared dir would
+    * also widen what a reader pinned to the RETAINED PREVIOUS
+    * generation sees — ADVICE r13); when every dir is shared, the
+    * append degrades gracefully to one [[appendPublish]] instead.
+    * When concurrent probes must see atomic appends — the
+    * streaming-maintenance shape — use [[appendPublish]] directly.
     *
     * The layout consequence of freezing: cell occupancy can drift
     * from the trained balance as the distribution shifts — the
@@ -173,12 +175,23 @@ object IvfIndex {
     */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Unit = {
-    val gen = graft.tools.Artifacts.requireGen(spark, path)
-    val centroids = centroidsOf(spark, gen)
-    newVectors.select(col(idCol), col(vecCol))
-      .withColumn("cell", Similarity.cellColumn(col(vecCol), centroids))
-      .write.mode("append").partitionBy("cell")
-      .parquet(corpusDirsOf(spark, path, gen).last)
+    val gens = graft.tools.Artifacts.committedGens(spark, path)
+    require(gens.nonEmpty,
+      s"no committed index generation under $path — publish (save) first")
+    val gen = gens.last
+    val curDirs = corpusDirsOf(spark, path, gen)
+    val prevDirs = gens.dropRight(1).lastOption
+      .map(g => corpusDirsOf(spark, path, g).toSet).getOrElse(Set.empty)
+    // newest dir the previous generation does NOT reference — the one
+    // place an in-place append is invisible to its pinned readers
+    curDirs.filterNot(prevDirs).lastOption match {
+      case Some(target) =>
+        val centroids = centroidsOf(spark, gen)
+        newVectors.select(col(idCol), col(vecCol))
+          .withColumn("cell", Similarity.cellColumn(col(vecCol), centroids))
+          .write.mode("append").partitionBy("cell").parquet(target)
+      case None => appendPublish(spark, path, newVectors, idCol, vecCol)
+    }
   }
 
   /** Incremental maintenance, GENERATION-PUBLISHED (VERDICT r12
@@ -196,7 +209,8 @@ object IvfIndex {
     * (or a retrain [[save]]) folds them back to one dir.
     */
   def appendPublish(spark: SparkSession, path: String,
-      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      tag: Option[String] = None): Unit = {
     val gen = graft.tools.Artifacts.requireGen(spark, path)
     val centroids = centroidsOf(spark, gen)
     val pool = graft.tools.Artifacts.newPoolDir(path)
@@ -204,8 +218,9 @@ object IvfIndex {
       .withColumn("cell", Similarity.cellColumn(col(vecCol), centroids))
       .write.partitionBy("cell").parquet(pool)
     publishGen(spark, path, centroids,
-      corpusDirsOf(spark, path, gen) :+ pool,
-      carryFrom = Some((gen, Set.empty)))
+      graft.tools.Artifacts.migrateToPool(spark, path,
+        corpusDirsOf(spark, path, gen)) :+ pool,
+      carryFrom = Some((gen, Set.empty)), tag = tag)
   }
 
   def load(spark: SparkSession, path: String,
@@ -226,13 +241,7 @@ object IvfIndex {
   }
 
   private def tombstoneFiles(spark: SparkSession, gen: String): Set[String] =
-    if (!graft.tools.Artifacts.exists(spark, s"$gen/tombstones")) Set.empty
-    else {
-      val p = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
-        .filter(_.endsWith(".parquet")).toSet
-    }
+    graft.tools.Artifacts.tombstoneFiles(spark, gen)
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
     if (graft.tools.Artifacts.exists(spark, s"$path/tombstones"))

@@ -171,26 +171,62 @@ object PqIndex {
   }
 
   /** Persist the PQ serving artifact: the codes table (M ints per
-    * vector — the thing that must be cheap to store and scan) plus
-    * the codebook as a tiny (subspace, code, centroid) table. The
-    * durable-artifact triple-precedent: [[IvfIndex.save]] for the
-    * cell layout, `BpeTrainer.save` for the tokenizer, this for the
-    * compressed serving index.
+    * vector — the thing that must be cheap to store and scan) in the
+    * MANIFEST-POOL layout (VERDICT r13 next-round #4 — the
+    * [[IvfIndex.save]] protocol: codes land in an immutable pool dir,
+    * the committed generation holds a (ord, dir) `codes_dirs`
+    * manifest, so [[appendPublish]] passes frozen code files between
+    * generations BY REFERENCE), plus the codebook as a tiny
+    * (subspace, code, centroid) table inside the generation. Atomic
+    * publish: a rebuild racing a concurrent load can never be read
+    * torn (new codebook, old codes).
     */
   def save(cb: Codebook, codes: DataFrame, path: String): Unit = {
     val spark = codes.sparkSession
+    val pool = graft.tools.Artifacts.newPoolDir(path)
+    codes.write.mode("overwrite").parquet(pool)
+    publishGen(spark, path, cb, Seq(pool), carryFrom = None)
+  }
+
+  private def publishGen(spark: org.apache.spark.sql.SparkSession,
+      path: String, cb: Codebook, codesDirs: Seq[String],
+      carryFrom: Option[(String, Set[String])],
+      tag: Option[String] = None): Unit = {
     import spark.implicits._
-    // atomic publish (VERDICT r11 next-round #2): codes + codebook
-    // land in one committed generation — a rebuild racing a
-    // concurrent load can never be read torn (new codebook, old codes)
     graft.tools.Artifacts.publish(spark, path) { gen =>
-      codes.write.mode("overwrite").parquet(s"$gen/codes")
       (for (s <- cb.centroids.indices; c <- cb.centroids(s).indices)
         yield (s, c, cb.centroids(s)(c).toSeq))
         .toDF("subspace", "code", "centroid")
         .repartition(1).write.mode("overwrite").parquet(s"$gen/codebook")
+      graft.tools.Artifacts.writeDirManifest(spark, gen, "codes_dirs",
+        path, codesDirs)
+      carryFrom.foreach { case (parent, folded) =>
+        graft.tools.Artifacts.carryTombstones(spark, gen, parent, folded)
+      }
+      tag.foreach(t => graft.tools.Artifacts.writeTag(spark, gen, t))
     }
-    ()
+    graft.tools.Artifacts.prunePool(spark, path,
+      graft.tools.Artifacts.committedGens(spark, path)
+        .flatMap(g => codesDirsOf(spark, path, g)))
+  }
+
+  /** The generation's codes dirs in publish order; pre-r14 layouts
+    * (codes inside the generation) fall back to `gen/codes`.
+    */
+  private[graft] def codesDirsOf(spark: org.apache.spark.sql.SparkSession,
+      root: String, gen: String): Seq[String] =
+    graft.tools.Artifacts.readDirManifest(spark, root, gen,
+      "codes_dirs", "codes")
+
+  /** The current committed generation's RAW codes scan (tombstones
+    * NOT applied — [[load]] is the serving accessor); the bench/spec
+    * face of the physical layout.
+    */
+  def codesOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    codesDirsOf(spark, path, gen).map(spark.read.parquet(_))
+      .reduce(_ unionAll _)
   }
 
   /** Load a saved artifact: (codebook, codes). Codebook collect is
@@ -211,7 +247,8 @@ object PqIndex {
     rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) =
       r.getSeq[Double](2).toArray)
     val subDim = cents(0)(0).length
-    val codesRaw = spark.read.parquet(s"$gen/codes")
+    val codesRaw = codesDirsOf(spark, path, gen)
+      .map(spark.read.parquet(_)).reduce(_ unionAll _)
     val idName = codesRaw.columns.filter(_ != "codes").head
     val codes = tombstones(spark, gen) match {
       case Some(t) =>
@@ -244,20 +281,31 @@ object PqIndex {
       .write.mode("append").parquet(
         s"${graft.tools.Artifacts.requireGen(spark, path)}/tombstones")
 
-  /** Fold tombstones into the layout: rewrite `codes/` without the
-    * deleted ids, remove those ids from the sidecar. The tombstone
-    * set is snapshotted once before the rewrite and deletes landing
-    * mid-compact survive in the sidecar
-    * ([[graft.tools.Artifacts.foldTombstones]], ADVICE r11). The
+  /** Fold tombstones into the layout AND collapse the manifest:
+    * rewrite the codes minus the snapshotted tombstone ids into ONE
+    * fresh pool dir, publish a new generation pointing at it. The
+    * tombstone snapshot is FILE-level (ADVICE r12's protocol): a
+    * delete() landing mid-compact is carried forward into the new
+    * generation's sidecar instead of being resurrected or lost. The
     * codebook stays frozen.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val gen = graft.tools.Artifacts.requireGen(spark, path)
-    val idName = spark.read.parquet(s"$gen/codes")
-      .columns.filter(_ != "codes").head
-    graft.tools.Artifacts.foldTombstones(spark, gen,
-      Seq(("codes", idName, Nil)))
+    val snapFiles = graft.tools.Artifacts.tombstoneFiles(spark, gen)
+    val raw = codesDirsOf(spark, path, gen)
+      .map(spark.read.parquet(_)).reduce(_ unionAll _)
+    val folded =
+      if (snapFiles.isEmpty) raw
+      else {
+        val idName = raw.columns.filter(_ != "codes").head
+        val snap = spark.read.parquet(snapFiles.toSeq: _*).localCheckpoint()
+        raw.join(snap, raw(idName) === snap("id"), "left_anti")
+      }
+    val pool = graft.tools.Artifacts.newPoolDir(path)
+    folded.write.parquet(pool)
+    publishGen(spark, path, load(spark, path)._1, Seq(pool),
+      carryFrom = Some((gen, snapFiles)))
   }
 
   /** Incremental maintenance, the [[IvfIndex.append]] twin: encode
@@ -269,13 +317,51 @@ object PqIndex {
     * corpus ∪ Δ at the same codebook (spec-proven in PqIndexSpec).
     * Same drift trade as the IVF append: codebook quality ages as
     * the distribution shifts; retrain on a cadence, append between.
+    *
+    * IN-PLACE mutation with the [[IvfIndex.append]] concurrency
+    * contract (ADVICE r13): targets the newest dir EXCLUSIVE to the
+    * current generation, or degrades to one [[appendPublish]] when
+    * every dir is shared with the retained previous generation.
     */
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val gens = graft.tools.Artifacts.committedGens(spark, path)
+    require(gens.nonEmpty,
+      s"no committed index generation under $path — publish (save) first")
+    val gen = gens.last
+    val curDirs = codesDirsOf(spark, path, gen)
+    val prevDirs = gens.dropRight(1).lastOption
+      .map(g => codesDirsOf(spark, path, g).toSet).getOrElse(Set.empty)
+    val (cb, _) = load(spark, path)
+    curDirs.filterNot(prevDirs).lastOption match {
+      case Some(target) =>
+        encode(cb, newVectors, idCol, vecCol)
+          .write.mode("append").parquet(target)
+      case None => appendPublish(spark, path, newVectors, idCol, vecCol)
+    }
+  }
+
+  /** Incremental maintenance, GENERATION-PUBLISHED (VERDICT r13
+    * next-round #4 — [[IvfIndex.appendPublish]] parity for the
+    * compressed index): same frozen-codebook Δ-encode as [[append]],
+    * but the new codes land in a fresh immutable pool dir and a NEW
+    * generation is committed whose manifest = the parent's dirs + the
+    * Δ dir (tombstones carried forward). Write cost ∝ Δ; a concurrent
+    * [[load]] resolves the parent or the child generation, never a
+    * mix — the per-trigger ingest shape
+    * [[graft.streaming.IndexMaintStream]] drives.
+    */
+  def appendPublish(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      tag: Option[String] = None): Unit = {
     val gen = graft.tools.Artifacts.requireGen(spark, path)
     val (cb, _) = load(spark, path)
-    encode(cb, newVectors, idCol, vecCol)
-      .write.mode("append").parquet(s"$gen/codes")
+    val pool = graft.tools.Artifacts.newPoolDir(path)
+    encode(cb, newVectors, idCol, vecCol).write.parquet(pool)
+    publishGen(spark, path, cb,
+      graft.tools.Artifacts.migrateToPool(spark, path,
+        codesDirsOf(spark, path, gen)) :+ pool,
+      carryFrom = Some((gen, Set.empty)), tag = tag)
   }
 
   /** Batched online ADC probe — the [[IvfIndex.probeJoin]] twin for

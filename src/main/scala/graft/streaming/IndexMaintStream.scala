@@ -3,63 +3,142 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** STREAMING INDEX MAINTENANCE (VERDICT r12 next-round #3) — the
-  * production ingest loop for a live ANN serving index, composed from
-  * parts that each existed but were never exercised as one operator:
-  * new vectors arrive as a real file stream, and every micro-batch
-  * Δ-appends into the saved [[graft.similarity.IvfIndex]] at the
-  * FROZEN centroid layout, publishing ONE committed generation per
-  * trigger ([[graft.similarity.IvfIndex.appendPublish]]) — while
-  * concurrent probes keep serving the last committed generation. A
-  * reader can never observe a torn layout or a partial Δ: the frozen
-  * corpus dirs pass between generations by manifest reference, the
-  * trigger's new dir becomes visible only with the commit marker, and
-  * centroids never move (IndexMaintStreamSpec loads the index from
-  * inside the stream and asserts every observation is a complete
-  * committed prefix).
+/** STREAMING INDEX MAINTENANCE (VERDICT r12 next-round #3, generalized
+  * over the index kind in r14 per VERDICT r13 next-round #4) — the
+  * production ingest loop for a live serving index: new rows arrive as
+  * a real file stream, and every micro-batch Δ-appends into the saved
+  * index at its FROZEN structure (centroids / codebook / band params /
+  * blocking), publishing ONE committed generation per trigger through
+  * the index's `appendPublish` — while concurrent probes keep serving
+  * the last committed generation. A reader can never observe a torn
+  * layout or a partial Δ: frozen dirs pass between generations by
+  * manifest reference, the trigger's new dir becomes visible only with
+  * the commit marker, and the frozen structure never moves
+  * (IndexMaintStreamSpec loads the index from inside the stream and
+  * asserts every observation is a complete committed prefix).
   *
-  * Because [[graft.similarity.IvfIndex.encode]]-style assignment is a
-  * pure function of (vector, frozen centroids), the trigger split is
-  * invisible: stream-appending a corpus ≡ one batch append of the
-  * union ≡ a re-assignment of corpus ∪ Δ at the same centroids — the
-  * existing append≡rebuild contracts COMPOSE (spec-pinned). Retrain
-  * stays a cadence decision driven by
-  * [[graft.similarity.IvfIndex.skewRatio]], exactly as in batch
-  * maintenance.
+  * EXACTLY-ONCE per trigger (ADVICE r13): foreachBatch is
+  * at-least-once — a crash between the generation publish and the
+  * stream commit replays the trigger, and a blind re-publish would
+  * duplicate Δ. Each publish is stamped with the trigger's batchId as
+  * the generation's idempotency tag
+  * ([[graft.tools.Artifacts.writeTag]], committed atomically with the
+  * generation); a replayed trigger sees its own tag on the current
+  * committed generation and SKIPS the re-publish. With a durable
+  * `checkpoint` the loop therefore survives restarts with no
+  * duplicates — the [[CcStream.labelStoreFile]] recovery contract
+  * applied to the serving indexes.
+  *
+  * Because each index's Δ assignment is a pure function of
+  * (row, frozen structure), the trigger split is invisible:
+  * stream-appending a corpus ≡ one batch append of the union ≡ a
+  * re-assignment of corpus ∪ Δ at the same structure — the existing
+  * append≡rebuild contracts COMPOSE (spec-pinned). Retrain stays a
+  * cadence decision driven by each index's skewRatio, exactly as in
+  * batch maintenance.
   */
 object IndexMaintStream {
 
-  /** Drain `dir`'s `table` into the index at `indexPath`, one
+  /** Which serving index the stream maintains: the source table, its
+    * projected columns, and the generation-published Δ append.
+    */
+  sealed trait Kind {
+    def table: String
+    def cols: Seq[String]
+    def publish(spark: SparkSession, indexPath: String, mb: DataFrame,
+        tag: Option[String]): Unit
+  }
+
+  final case class IvfKind(idCol: String = "vec_id",
+      vecCol: String = "embedding") extends Kind {
+    val table = "embeddings"
+    val cols = Seq(idCol, vecCol)
+    def publish(spark: SparkSession, indexPath: String, mb: DataFrame,
+        tag: Option[String]): Unit =
+      graft.similarity.IvfIndex.appendPublish(spark, indexPath, mb,
+        idCol, vecCol, tag)
+  }
+
+  final case class PqKind(idCol: String = "vec_id",
+      vecCol: String = "embedding") extends Kind {
+    val table = "embeddings"
+    val cols = Seq(idCol, vecCol)
+    def publish(spark: SparkSession, indexPath: String, mb: DataFrame,
+        tag: Option[String]): Unit =
+      graft.similarity.PqIndex.appendPublish(spark, indexPath, mb,
+        idCol, vecCol, tag)
+  }
+
+  final case class MinHashKind(idCol: String = "doc_id",
+      textCol: String = "text") extends Kind {
+    val table = "documents"
+    val cols = Seq(idCol, textCol)
+    def publish(spark: SparkSession, indexPath: String, mb: DataFrame,
+        tag: Option[String]): Unit =
+      graft.dedup.MinHashIndex.appendPublish(spark, indexPath, mb,
+        idCol, textCol, tag)
+  }
+
+  final case class SemanticKind(idCol: String = "vec_id",
+      vecCol: String = "embedding") extends Kind {
+    val table = "embeddings"
+    val cols = Seq(idCol, vecCol)
+    def publish(spark: SparkSession, indexPath: String, mb: DataFrame,
+        tag: Option[String]): Unit =
+      graft.dedup.SemanticIndex.appendPublish(spark, indexPath, mb,
+        idCol, vecCol, tag)
+  }
+
+  /** One guarded Δ publish — the foreachBatch body, exposed for the
+    * replay spec: stamps the generation with `tag` and returns false
+    * (no-op) when the current committed generation already carries it
+    * (an at-least-once replay of the same trigger).
+    */
+  private[graft] def publishOnce(spark: SparkSession, indexPath: String,
+      kind: Kind, mb: DataFrame, tag: String): Boolean = {
+    val cur = graft.tools.Artifacts.requireGen(spark, indexPath)
+    if (graft.tools.Artifacts.tagOf(spark, cur).contains(tag)) false
+    else {
+      kind.publish(spark, indexPath, mb, Some(tag))
+      true
+    }
+  }
+
+  /** Drain `dir`'s source table into the index at `indexPath`, one
     * generation publish per micro-batch. `onTrigger` runs once per
     * micro-batch BEFORE its append with the batch rows — the
     * concurrent-reader seam the spec probes through (a production
-    * caller leaves the default). Returns the trigger count.
+    * caller leaves the default). `checkpoint` persists stream progress
+    * durably (restart resumes; combined with the batch tags the loop
+    * is exactly-once) — None uses a per-call scratch dir (single
+    * uninterrupted drain). Returns the number of triggers that
+    * PUBLISHED (replayed triggers skip and don't count).
     */
   def appendFile(spark: SparkSession, dir: String, indexPath: String,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      table: String = "embeddings", shufflePartitions: Int = 8,
+      kind: Kind = IvfKind(), shufflePartitions: Int = 8,
       maxFilesPerTrigger: Option[Int] = None,
+      checkpoint: Option[String] = None,
       onTrigger: DataFrame => Unit = _ => ()): Long = {
-    val src = EventSource.streamTable(spark, dir, table, maxFilesPerTrigger)
-      .select(col(idCol), col(vecCol))
-    val scratch = java.nio.file.Files.createTempDirectory("graft_idx_maint")
-      .toAbsolutePath.toString
-    var triggers = 0L
+    val src = EventSource.streamTable(spark, dir, kind.table, maxFilesPerTrigger)
+      .select(kind.cols.map(col): _*)
+    val scratch = checkpoint.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_idx_maint").toAbsolutePath.toString)
+    var published = 0L
     try {
       ConfScope.withConf(spark, "spark.sql.shuffle.partitions",
         shufflePartitions.toString) {
         val q = src.writeStream
           .option("checkpointLocation", s"$scratch/ckpt")
-          .foreachBatch { (mb: DataFrame, _: Long) =>
+          .foreachBatch { (mb: DataFrame, batchId: Long) =>
             onTrigger(mb)
-            graft.similarity.IvfIndex.appendPublish(
-              spark, indexPath, mb, idCol, vecCol)
-            triggers += 1
+            if (publishOnce(spark, indexPath, kind, mb, s"b$batchId"))
+              published += 1
           }
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      triggers
-    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(scratch))
+      published
+    } finally if (checkpoint.isEmpty)
+      graft.tools.Scratch.deleteRecursively(new java.io.File(scratch))
   }
 }

@@ -191,6 +191,113 @@ object Artifacts {
       }
   }
 
+  // ------------------------------------------------ manifest helpers
+  // Shared by the manifest-pool indexes (IVF/PQ/MinHash/Semantic/
+  // Graph corpora + the LabelStore): a generation's corpus-sized data
+  // lives in immutable pool dirs and the generation stores an
+  // (ord, root-relative dir) manifest — untouched dirs pass between
+  // generations BY REFERENCE, so Δ maintenance writes Δ bytes only.
+
+  /** Write the (ord, dir) manifest `name` into `gen`, dirs stored
+    * root-relative (the layout stays valid when copied or moved) in
+    * PUBLISH ORDER — readers that need "the newest dir" sort by ord,
+    * never lexically (ADVICE r13: pool tokens are random, `.last` of
+    * a lexical sort is an arbitrary dir).
+    */
+  def writeDirManifest(spark: SparkSession, gen: String, name: String,
+      root: String, dirs: Seq[String]): Unit = {
+    import spark.implicits._
+    dirs.zipWithIndex
+      .map { case (d, i) => (i, d.stripPrefix(root).stripPrefix("/")) }
+      .toDF("ord", "dir")
+      .repartition(1).write.mode("overwrite").parquet(s"$gen/$name")
+  }
+
+  /** Read manifest `name` back in publish order, resolved against
+    * `root`. Pre-manifest layouts fall back to `gen/<fallback>`.
+    * Handles the pre-r14 single-column manifest (dir only, lexical
+    * order) for layouts written before `ord` existed.
+    */
+  def readDirManifest(spark: SparkSession, root: String, gen: String,
+      name: String, fallback: String): Seq[String] =
+    if (!exists(spark, s"$gen/$name")) Seq(s"$gen/$fallback")
+    else {
+      val df = spark.read.parquet(s"$gen/$name")
+      val rel =
+        if (df.columns.contains("ord"))
+          df.orderBy("ord").collect().map(_.getAs[String]("dir")).toSeq
+        else df.collect().map(_.getString(0)).toSeq.sorted
+      rel.map(d => if (d.startsWith("pool/")) s"$root/$d" else d)
+    }
+
+  /** The tombstone sidecar's data files under `gen` — the FILE-level
+    * snapshot unit of the fold protocol.
+    */
+  def tombstoneFiles(spark: SparkSession, gen: String): Set[String] =
+    if (!exists(spark, s"$gen/tombstones")) Set.empty
+    else {
+      val (f, p) = fs(spark, s"$gen/tombstones")
+      f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+
+  /** Copy the parent generation's tombstone sidecar (minus any files
+    * the caller already folded) into `gen` — deletes stay deleted
+    * across maintenance publishes.
+    */
+  def carryTombstones(spark: SparkSession, gen: String, parent: String,
+      folded: Set[String]): Unit = {
+    val files = tombstoneFiles(spark, parent).filterNot(folded)
+    if (files.nonEmpty)
+      spark.read.parquet(files.toSeq: _*)
+        .write.mode("overwrite").parquet(s"$gen/tombstones")
+  }
+
+  /** Ensure every data dir is POOL-resident: a pre-manifest layout's
+    * data lives INSIDE a generation dir, and generation rotation
+    * (publish retains only previous + current) would prune it out
+    * from under a newer manifest that references it. Non-pool dirs
+    * are byte-copied into fresh pool dirs ONCE (first maintenance
+    * publish over an old-layout artifact — a migration cost, never
+    * recurring); pool dirs pass through untouched.
+    */
+  def migrateToPool(spark: SparkSession, root: String,
+      dirs: Seq[String]): Seq[String] =
+    dirs.map { d =>
+      if (d.contains("/pool/")) d
+      else {
+        val dst = newPoolDir(root)
+        val (f, srcP) = fs(spark, d)
+        org.apache.hadoop.fs.FileUtil.copy(f, srcP, f,
+          new org.apache.hadoop.fs.Path(dst), false, false,
+          spark.sparkContext.hadoopConfiguration)
+        dst
+      }
+    }
+
+  private val TagPrefix = "_TAG_"
+
+  /** Stamp `gen` with an idempotency tag (one atomic empty-file
+    * create; called INSIDE [[publish]]'s write so the tag commits
+    * with the generation). The streaming maintenance loop uses this
+    * to make at-least-once trigger replays exactly-once (ADVICE r13):
+    * a replayed foreachBatch sees its own batch tag on the current
+    * committed generation and skips the re-publish.
+    */
+  def writeTag(spark: SparkSession, gen: String, tag: String): Unit = {
+    val (f, _) = fs(spark, gen)
+    f.mkdirs(new org.apache.hadoop.fs.Path(gen))
+    f.create(new org.apache.hadoop.fs.Path(gen, TagPrefix + tag), true).close()
+  }
+
+  /** The idempotency tag of `gen`, if any. */
+  def tagOf(spark: SparkSession, gen: String): Option[String] = {
+    val (f, p) = fs(spark, gen)
+    if (!f.exists(p)) None
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .find(_.startsWith(TagPrefix)).map(_.stripPrefix(TagPrefix))
+  }
+
   /** Publish a new generation: `write` receives a fresh `g<N>/` path
     * and must write the COMPLETE layout into it; the commit marker is
     * created only after `write` returns, then generations older than

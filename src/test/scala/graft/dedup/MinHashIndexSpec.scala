@@ -8,6 +8,15 @@ class MinHashIndexSpec extends SparkTestBase {
 
   /** Physical-layout assertions address the CURRENT COMMITTED
     * generation (save publishes by commit marker since r12). */
+  /** All files across the current generation's part pool dirs for one
+    * side, keyed dir-qualified. */
+  private def sideFiles(root: String, side: String): Map[String, Long] =
+    MinHashIndex.partDirsOf(spark, root,
+      graft.tools.Artifacts.requireGen(spark, root)).flatMap { d =>
+      val local = graft.tools.Artifacts.localPath(d)
+      allFiles(s"$local/$side").map { case (k, v) => (s"$d/$side/$k", v) }
+    }.toMap
+
   private def gen(root: String): String = {
     // currentGen returns a fully-qualified URI (file:/…); the file
     // helpers here want the plain filesystem path
@@ -72,8 +81,8 @@ class MinHashIndexSpec extends SparkTestBase {
     val path = tmpDir()
     MinHashIndex.save(MinHashIndex.build(corpus, "doc_id", "text",
       shingleK = 3, bands = 16, rowsPerBand = 2), path)
-    val bucketsBefore = allFiles(s"${gen(path)}/buckets")
-    val shinglesBefore = allFiles(s"${gen(path)}/shingles")
+    val bucketsBefore = sideFiles(path, "buckets")
+    val shinglesBefore = sideFiles(path, "shingles")
     val paramsBefore = allFiles(s"${gen(path)}/params")
 
     MinHashIndex.append(spark, path, delta, "doc_id", "text")
@@ -81,8 +90,8 @@ class MinHashIndexSpec extends SparkTestBase {
     // frozen-layout economics: append writes Δ's rows as NEW files,
     // never rewriting the corpus's (path+size identical), and the
     // params artifact is untouched
-    val bucketsAfter = allFiles(s"${gen(path)}/buckets")
-    val shinglesAfter = allFiles(s"${gen(path)}/shingles")
+    val bucketsAfter = sideFiles(path, "buckets")
+    val shinglesAfter = sideFiles(path, "shingles")
     bucketsBefore.foreach { case (f, sz) =>
       assert(bucketsAfter.get(f).contains(sz), s"append rewrote bucket file $f")
     }
@@ -120,8 +129,8 @@ class MinHashIndexSpec extends SparkTestBase {
     val path = tmpDir()
     MinHashIndex.save(MinHashIndex.build(corpus, "doc_id", "text",
       shingleK = 3, bands = 16, rowsPerBand = 2), path)
-    val bucketsBefore = allFiles(s"${gen(path)}/buckets")
-    val shinglesBefore = allFiles(s"${gen(path)}/shingles")
+    val bucketsBefore = sideFiles(path, "buckets")
+    val shinglesBefore = sideFiles(path, "shingles")
     def classifyNow(): Seq[(Long, String, Option[Long], Option[Double])] =
       MinHashIndex.classify(MinHashIndex.load(spark, path, "doc_id"),
         batch, "doc_id", "text", 0.5).orderBy("doc_id")
@@ -134,8 +143,8 @@ class MinHashIndexSpec extends SparkTestBase {
     MinHashIndex.delete(spark, path, deleted.toDF("doc_id"), "doc_id")
 
     // logical delete: sidecar only, both layouts byte-identical
-    assert(allFiles(s"${gen(path)}/buckets") == bucketsBefore, "delete touched buckets")
-    assert(allFiles(s"${gen(path)}/shingles") == shinglesBefore, "delete touched shingles")
+    assert(sideFiles(path, "buckets") == bucketsBefore, "delete touched buckets")
+    assert(sideFiles(path, "shingles") == shinglesBefore, "delete touched shingles")
     val afterDelete = classifyNow()
     assert(afterDelete.flatMap(_._3).intersect(deleted).isEmpty,
       "deleted ids still resolved as dup_of")
@@ -152,7 +161,7 @@ class MinHashIndexSpec extends SparkTestBase {
 
     MinHashIndex.compact(spark, path, "doc_id")
     assert(!new java.io.File(s"${gen(path)}/tombstones").exists, "sidecar not dropped")
-    assert(allFiles(s"${gen(path)}/buckets") != bucketsBefore, "compact did not rewrite")
+    assert(sideFiles(path, "buckets") != bucketsBefore, "compact did not rewrite")
     assert(classifyNow() == afterDelete)
   }
 

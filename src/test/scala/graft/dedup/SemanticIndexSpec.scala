@@ -8,6 +8,22 @@ class SemanticIndexSpec extends SparkTestBase {
 
   /** Physical-layout assertions address the CURRENT COMMITTED
     * generation (save publishes by commit marker since r12). */
+  /** All files across the current generation's corpus pool dirs,
+    * keyed dir-qualified. */
+  private def corpusFiles(root: String): Map[String, Long] =
+    SemanticIndex.corpusDirsOf(spark, root,
+      graft.tools.Artifacts.requireGen(spark, root)).flatMap { d =>
+      val local = graft.tools.Artifacts.localPath(d)
+      allFiles(local).map { case (k, v) => (s"$d/$k", v) }
+    }.toMap
+
+  private def repsFiles(root: String): Map[String, Long] = {
+    val d = SemanticIndex.repsDirOf(spark, root,
+      graft.tools.Artifacts.requireGen(spark, root))
+    allFiles(graft.tools.Artifacts.localPath(d))
+      .map { case (k, v) => (s"$d/$k", v) }
+  }
+
   private def gen(root: String): String = {
     // currentGen returns a fully-qualified URI (file:/…); the file
     // helpers here want the plain filesystem path
@@ -76,8 +92,8 @@ class SemanticIndexSpec extends SparkTestBase {
   test("append is delta-only (existing files untouched) and classifies through the frozen structure") {
     val path = tmpDir()
     SemanticIndex.save(SemanticIndex.build(corpus, "vec_id", "embedding", T), path)
-    val corpusBefore = allFiles(s"${gen(path)}/corpus")
-    val repsBefore = allFiles(s"${gen(path)}/reps")
+    val corpusBefore = corpusFiles(path)
+    val repsBefore = repsFiles(path)
     val centroidsBefore = allFiles(s"${gen(path)}/centroids")
 
     SemanticIndex.append(spark, path, delta, "vec_id", "embedding")
@@ -86,12 +102,12 @@ class SemanticIndexSpec extends SparkTestBase {
     // nothing existing is rewritten and the trained halves
     // (centroids, reps) are byte-identical — append is ingest, not
     // retrain
-    val corpusAfter = allFiles(s"${gen(path)}/corpus")
+    val corpusAfter = corpusFiles(path)
     corpusBefore.foreach { case (f, sz) =>
       assert(corpusAfter.get(f).contains(sz), s"append rewrote corpus file $f")
     }
     assert((corpusAfter.keySet -- corpusBefore.keySet).nonEmpty)
-    assert(allFiles(s"${gen(path)}/reps") == repsBefore, "append touched reps")
+    assert(repsFiles(path) == repsBefore, "append touched reps")
     assert(allFiles(s"${gen(path)}/centroids") == centroidsBefore,
       "append touched centroids")
 
@@ -113,8 +129,8 @@ class SemanticIndexSpec extends SparkTestBase {
   test("delete tombstones: files untouched, classify equals frozen classify without the ids, compact folds in") {
     val path = tmpDir()
     SemanticIndex.save(SemanticIndex.build(corpus, "vec_id", "embedding", T), path)
-    val corpusBefore = allFiles(s"${gen(path)}/corpus")
-    val repsBefore = allFiles(s"${gen(path)}/reps")
+    val corpusBefore = corpusFiles(path)
+    val repsBefore = repsFiles(path)
     def classifyNow(): Seq[R] =
       rows(SemanticIndex.classify(
         SemanticIndex.load(spark, path, "vec_id", "embedding"), batch))
@@ -125,8 +141,8 @@ class SemanticIndexSpec extends SparkTestBase {
 
     // logical delete: sidecar only, layout byte-identical (reps stay
     // even where a deleted id WAS a rep — frozen geometry)
-    assert(allFiles(s"${gen(path)}/corpus") == corpusBefore, "delete touched corpus")
-    assert(allFiles(s"${gen(path)}/reps") == repsBefore, "delete touched reps")
+    assert(corpusFiles(path) == corpusBefore, "delete touched corpus")
+    assert(repsFiles(path) == repsBefore, "delete touched reps")
     val afterDelete = classifyNow()
     assert(afterDelete.flatMap(_._3).intersect(deleted).isEmpty,
       "deleted ids still resolved as dup_of")
@@ -142,7 +158,7 @@ class SemanticIndexSpec extends SparkTestBase {
 
     SemanticIndex.compact(spark, path, "vec_id", "embedding")
     assert(!new java.io.File(s"${gen(path)}/tombstones").exists, "sidecar not dropped")
-    assert(allFiles(s"${gen(path)}/corpus") != corpusBefore, "compact did not rewrite")
+    assert(corpusFiles(path) != corpusBefore, "compact did not rewrite")
     assert(classifyNow() == afterDelete)
   }
 

@@ -6,6 +6,17 @@ class PqIndexSpec extends SparkTestBase {
 
   /** Physical-layout assertions address the CURRENT COMMITTED
     * generation (save publishes by commit marker since r12). */
+  /** Parquet files across the current generation's codes pool dirs,
+    * keyed dir-qualified (pool tokens are random — same-named part
+    * files in different dirs must not collide). */
+  private def codesFiles(root: String): Map[String, Long] =
+    PqIndex.codesDirsOf(spark, root,
+      graft.tools.Artifacts.requireGen(spark, root)).flatMap { d =>
+      val local = graft.tools.Artifacts.localPath(d)
+      graft.tools.Scratch.listParquetFiles(local)
+        .map { case (k, v) => (s"$d/$k", v) }
+    }.toMap
+
   private def gen(root: String): String = {
     // currentGen returns a fully-qualified URI (file:/…); the file
     // helpers here want the plain filesystem path
@@ -62,7 +73,7 @@ class PqIndexSpec extends SparkTestBase {
         cbLoaded.centroids.flatten.flatten.toSeq ==
           cb.centroids.flatten.flatten.toSeq)
 
-      def files() = graft.tools.Scratch.listParquetFiles(s"${gen(dir)}/codes")
+      def files() = codesFiles(dir)
       val before = files()
       PqIndex.append(spark, dir, delta, "vec_id", "embedding")
       val after = files()
@@ -103,7 +114,7 @@ class PqIndexSpec extends SparkTestBase {
         PqIndex.topK(cbL, codesL, emb, "vec_id", "embedding", q, k = 10, c = 50)
           .as[(Long, Double)].collect().toSeq
       }
-      def codeFiles() = graft.tools.Scratch.listParquetFiles(s"${gen(dir)}/codes")
+      def codeFiles() = codesFiles(dir)
       val before = codeFiles()
       val full = serve()
       assert(full.head._1 == 0L, "self-query should rank itself first")

@@ -76,6 +76,162 @@ class IndexMaintStreamSpec extends SparkTestBase {
     }
   }
 
+  test("PQ kind: stream-appended codes ≡ batch appendPublish; mid-stream loads complete committed prefixes") {
+    import graft.similarity.PqIndex
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val cut = emb.selectExpr("percentile(vec_id, 0.8)").head().getDouble(0).toLong
+    val base = emb.filter($"vec_id" <= cut)
+    val delta = emb.filter($"vec_id" > cut)
+    val nBase = base.count()
+    val streamed = tmp("pq_maint_streamed")
+    val deltaDir = tmp("pq_maint_delta")
+    try {
+      val cb = PqIndex.train(base, "vec_id", "embedding", m = 8, k = 8, iters = 1)
+      PqIndex.save(cb, PqIndex.encode(cb, base, "vec_id", "embedding"), streamed)
+      delta.repartition(3).write.parquet(s"$deltaDir/embeddings.parquet")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val triggers = IndexMaintStream.appendFile(spark, deltaDir, streamed,
+        kind = IndexMaintStream.PqKind(), maxFilesPerTrigger = Some(1),
+        onTrigger = mb => {
+          val (_, codes) = PqIndex.load(spark, streamed)
+          seen += ((codes.count(), mb.count()))
+        })
+      assert(triggers == 3)
+      val prefixes = seen.map(_._2).scanLeft(0L)(_ + _)
+      seen.map(_._1).zip(prefixes).foreach { case (got, expect) =>
+        assert(got == nBase + expect,
+          s"mid-stream PQ load saw $got codes; committed prefix was ${nBase + expect}")
+      }
+      // encode is per-row pure at the frozen codebook: the streamed
+      // codes table ≡ a one-shot re-encode of corpus ∪ Δ
+      val (cbL, codesL) = PqIndex.load(spark, streamed)
+      val got = codesL.as[(Long, Seq[Int])].collect().toMap
+      val want = PqIndex.encode(cbL, emb, "vec_id", "embedding")
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(got == want, "streamed PQ maintenance diverged from re-encode")
+    } finally {
+      Scratch.deleteRecursively(new java.io.File(streamed))
+      Scratch.deleteRecursively(new java.io.File(deltaDir))
+    }
+  }
+
+  test("MinHash kind: stream-appended index classifies ≡ rebuild over corpus ∪ Δ; complete prefixes") {
+    import graft.dedup.MinHashIndex
+    val docs = graft.Tables.documentsParallel(spark, sf)
+      .select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0 && $"doc_id" % 20 =!= 0)
+    val probe = docs.filter($"doc_id" % 20 === 0)
+    val streamed = tmp("mh_maint_streamed")
+    val deltaDir = tmp("mh_maint_delta")
+    try {
+      MinHashIndex.save(MinHashIndex.build(base, "doc_id", "text",
+        shingleK = 5, bands = 16, rowsPerBand = 2), streamed)
+      delta.repartition(2).write.parquet(s"$deltaDir/documents.parquet")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val triggers = IndexMaintStream.appendFile(spark, deltaDir, streamed,
+        kind = IndexMaintStream.MinHashKind(), maxFilesPerTrigger = Some(1),
+        onTrigger = mb => {
+          val idx = MinHashIndex.load(spark, streamed, "doc_id")
+          seen += ((idx.shingles.select($"doc_id").distinct().count(),
+            mb.count()))
+        })
+      assert(triggers == 2)
+      // every mid-stream load covered base + complete committed Δ docs
+      // (doc-level: a doc's bucket+shingle rows land atomically)
+      assert(seen.map(_._1).toSeq == seen.map(_._2)
+        .scanLeft(base.count())(_ + _).dropRight(1).toSeq)
+      // hash family corpus-independent: maintained ≡ rebuild
+      val maintained = MinHashIndex.classify(
+        MinHashIndex.load(spark, streamed, "doc_id"),
+        probe, "doc_id", "text", threshold = 0.5)
+        .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+      val rebuilt = MinHashIndex.build(base.unionAll(delta), "doc_id", "text",
+        shingleK = 5, bands = 16, rowsPerBand = 2)
+      val want = MinHashIndex.classify(rebuilt, probe, "doc_id", "text", 0.5)
+        .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+      assert(maintained == want, "streamed MinHash maintenance diverged from rebuild")
+    } finally {
+      Scratch.deleteRecursively(new java.io.File(streamed))
+      Scratch.deleteRecursively(new java.io.File(deltaDir))
+    }
+  }
+
+  test("Semantic kind: stream-appended corpus classifies ≡ frozen structure over corpus ∪ Δ; complete prefixes") {
+    import graft.dedup.SemanticIndex
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val base = emb.filter($"vec_id" % 10 =!= 0)
+    val delta = emb.filter($"vec_id" % 10 === 0 && $"vec_id" % 20 =!= 0)
+    val probe = emb.filter($"vec_id" % 20 === 0)
+    val streamed = tmp("sem_maint_streamed")
+    val deltaDir = tmp("sem_maint_delta")
+    try {
+      SemanticIndex.save(SemanticIndex.build(base, "vec_id", "embedding",
+        threshold = 0.35), streamed)
+      delta.repartition(2).write.parquet(s"$deltaDir/embeddings.parquet")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val triggers = IndexMaintStream.appendFile(spark, deltaDir, streamed,
+        kind = IndexMaintStream.SemanticKind(), maxFilesPerTrigger = Some(1),
+        onTrigger = mb => {
+          val idx = SemanticIndex.load(spark, streamed, "vec_id", "embedding")
+          seen += ((idx.corpusBlocked.count(), mb.count()))
+        })
+      assert(triggers == 2)
+      assert(seen.map(_._1).toSeq == seen.map(_._2)
+        .scanLeft(base.count())(_ + _).dropRight(1).toSeq)
+      // frozen blocking: maintained ≡ one-shot append of the union
+      val maintained = SemanticIndex.classify(
+        SemanticIndex.load(spark, streamed, "vec_id", "embedding"), probe)
+        .withColumn("cosine", round($"cosine", 6))
+        .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+      val oneShot = tmp("sem_maint_oneshot")
+      try {
+        SemanticIndex.save(SemanticIndex.build(base, "vec_id", "embedding",
+          threshold = 0.35), oneShot)
+        SemanticIndex.append(spark, oneShot, delta, "vec_id", "embedding")
+        val want = SemanticIndex.classify(
+          SemanticIndex.load(spark, oneShot, "vec_id", "embedding"), probe)
+          .withColumn("cosine", round($"cosine", 6))
+          .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+        assert(maintained == want,
+          "streamed semantic maintenance diverged from batch append")
+      } finally Scratch.deleteRecursively(new java.io.File(oneShot))
+    } finally {
+      Scratch.deleteRecursively(new java.io.File(streamed))
+      Scratch.deleteRecursively(new java.io.File(deltaDir))
+    }
+  }
+
+  test("replayed trigger is exactly-once: the batch tag skips the re-publish (ADVICE r13)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val cut = emb.selectExpr("percentile(vec_id, 0.8)").head().getDouble(0).toLong
+    val base = emb.filter($"vec_id" <= cut)
+    val delta = emb.filter($"vec_id" > cut).localCheckpoint()
+    val path = tmp("idx_maint_replay")
+    try {
+      IvfIndex.save(IvfIndex.build(base, "vec_id", "embedding",
+        nCentroids = 8, iters = 1), path)
+      val kind = IndexMaintStream.IvfKind()
+      // first delivery publishes…
+      assert(IndexMaintStream.publishOnce(spark, path, kind, delta, "b0"))
+      val afterFirst = IvfIndex.load(spark, path, "vec_id", "embedding")
+        .corpus.count()
+      val genAfterFirst = graft.tools.Artifacts.requireGen(spark, path)
+      // …the at-least-once REPLAY of the same trigger is a no-op
+      assert(!IndexMaintStream.publishOnce(spark, path, kind, delta, "b0"))
+      assert(graft.tools.Artifacts.requireGen(spark, path) == genAfterFirst)
+      assert(IvfIndex.load(spark, path, "vec_id", "embedding")
+        .corpus.count() == afterFirst, "replay duplicated Δ rows")
+      // the NEXT trigger (new tag) publishes again
+      assert(IndexMaintStream.publishOnce(spark, path, kind,
+        delta.limit(0), "b1"))
+      assert(graft.tools.Artifacts.requireGen(spark, path) != genAfterFirst)
+    } finally Scratch.deleteRecursively(new java.io.File(path))
+  }
+
   test("tombstones survive maintenance publishes: a takedown stays deleted across stream appends") {
     val emb = graft.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding")
