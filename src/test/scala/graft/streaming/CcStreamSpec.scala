@@ -115,6 +115,71 @@ class CcStreamSpec extends SparkTestBase {
     } finally graft.tools.Scratch.deleteRecursively(new java.io.File(store2))
   }
 
+  test("interleaved ingest + live takedowns ≡ batch appendEdges/removeNodes over the same sequence") {
+    import graft.dedup.{ConnectedComponents, LabelStore}
+    val src = java.nio.file.Files.createTempDirectory("cc_take_src").toFile
+    src.deleteOnExit()
+    docs.repartition(4).write.mode("overwrite")
+      .parquet(s"${src.getAbsolutePath}/documents.parquet")
+    val store = java.nio.file.Files.createTempDirectory("cc_take_store").toString
+    try {
+      // per-trigger: takedown every doc_id % 9 == 0 OF THAT TRIGGER
+      // (already ingested by construction), recording the sequence
+      val seq = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Long], Seq[Long])] // (trigger docs, taken down)
+      val got = CcStream.labelStoreFile(spark, src.getAbsolutePath, store,
+        nBuckets = 8, maxFilesPerTrigger = Some(1),
+        takedowns = (_, mb) => {
+          val ids = mb.filter($"doc_id" % 9 === 0).select($"doc_id")
+          val all = mb.select($"doc_id").as[Long].collect().toSeq.sorted
+          val dead = ids.as[Long].collect().toSeq.sorted
+          seq += ((all, dead))
+          if (dead.isEmpty) None else Some(ids.toDF("id"))
+        })
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(seq.size == 4 && seq.exists(_._2.nonEmpty),
+        "fixture produced no takedowns — vacuous test")
+      // replay the RECORDED sequence with the in-memory batch ops
+      val byId = docs.select($"doc_id", $"text").as[(Long, String)]
+        .collect().toMap
+      var labels = spark.range(0).select($"id", $"id".as("component"))
+      val soFar = scala.collection.mutable.Set.empty[Long] // surviving ids
+      seq.foreach { case (ingested, dead) =>
+        val mbDocs = ingested.map(i => (i, byId(i))).toDF("doc_id", "text")
+        soFar ++= ingested
+        labels = ConnectedComponents
+          .appendEdges(labels, CcStream.edgesOf(mbDocs)).localCheckpoint()
+        if (dead.nonEmpty) {
+          soFar --= dead
+          // the batch-op contract takes the CURRENT surviving edge
+          // table — the edges of every doc ingested and not removed
+          val surviving = soFar.toSeq.sorted
+            .map(i => (i, byId(i))).toDF("doc_id", "text")
+          labels = ConnectedComponents.removeNodes(labels,
+            CcStream.edgesOf(surviving), dead.toDF("id")).localCheckpoint()
+        }
+      }
+      val want = labels.filter($"id" < CcStream.HubOffset)
+        .select($"id".as("doc_id"), $"component")
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(got == want, "interleaved stream takedowns != batch sequence")
+      // final state is also the pure function of the survivors: CC
+      // over all docs minus every taken-down id (order-independence)
+      val deadAll = seq.flatMap(_._2).toSet
+      val survivors = docs.filter(!$"doc_id".isin(deadAll.toSeq: _*))
+      val pure = ConnectedComponents
+        .componentsAlternating(CcStream.edgesOf(survivors))
+        .filter($"id" < CcStream.HubOffset)
+        .select($"id".as("doc_id"), $"component")
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(got == pure, "takedown state != CC over surviving docs")
+      // deleted ids are gone from the durable store itself
+      val stored = LabelStore.load(spark, store)
+        .filter($"id".isin(deadAll.toSeq: _*)).count()
+      assert(stored == 0, "taken-down ids still in the store")
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(store))
+  }
+
   test("edge construction is per-row pure: edge set independent of batching") {
     val all = CcStream.edgesOf(docs).as[(Long, Long)].collect().toSet
     val halves = CcStream.edgesOf(docs.filter($"doc_id" < 8))
