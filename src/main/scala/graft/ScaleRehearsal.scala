@@ -1183,38 +1183,59 @@ object ScaleRehearsal {
         (hits.toDouble / (nQ * 10.0), t)
       }
       val opBudget = math.max(200L, nS / 5).toInt
+      def pct(budget: Long): String = f"(${budget * 100.0 / nS}%.0f%%)"
       sb ++= "\n| build | budget | probeJoin s (32-query batch) | recall@10 |\n|---|---|---|---|\n"
+      var exactArmRecall = Double.NaN // measured, interpolated into the prose (ADVICE r14)
+      var defaultRecall = Double.NaN
       for ((label, adj) <- Seq("NN-descent" -> adjNd, "exact arm" -> adjEx);
            budget <- Seq(nS / 10, opBudget.toLong)) {
         val (r, t) = recallOf(adj, budget.toInt)
-        sb ++= f"| $label | $budget (${budget * 100.0 / nS}%.0f%%) | $t%.1f | $r%.2f |\n"
+        if (label == "exact arm" && budget == opBudget.toLong) exactArmRecall = r
+        if (label == "NN-descent" && budget == opBudget.toLong) defaultRecall = r
+        sb ++= f"| $label | $budget ${pct(budget)} | $t%.1f | $r%.2f |\n"
         println(f"[scale] graphserve $label budget=$budget t=$t%.1fs recall=$r%.2f")
       }
       // the recall KNOB, demonstrated: extra descent rounds (and a
       // wider internal list) buy graph quality explicitly — the
       // iters/maxList analogue of IVF's nProbe. Each extra arm builds
-      // at scale and probes at the operating budget.
-      for (arm <- sys.env.getOrElse("SPARK_GRAFT_GRAPH_ARMS", "8x64")
-          .split(",").map(_.trim).filter(_.nonEmpty)) {
-        val Array(it, ml) = arm.split("x").map(_.toInt)
+      // at scale and probes at the operating budget. Arm tokens are
+      // validated up front: a malformed SPARK_GRAFT_GRAPH_ARMS must
+      // name itself, not throw an opaque MatchError (ADVICE r14).
+      val armsEnv = "SPARK_GRAFT_GRAPH_ARMS"
+      val arms = sys.env.getOrElse(armsEnv, "8x64")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { arm =>
+          arm.split("x") match {
+            case Array(it, ml) if it.forall(_.isDigit) && ml.forall(_.isDigit)
+                && ml.toInt >= 16 =>
+              (it.toInt, ml.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"$armsEnv: bad arm token '$arm' — expected ITERSxMAXLIST " +
+                "with maxList >= 16 (the build's m), e.g. 8x64")
+          }
+        }
+      for ((it, ml) <- arms) {
         val (tA, adjA) = timed(() =>
           GraphIndex.build(scaled, "vec_id", "embedding", iters = it,
             maxList = ml))
         val (r, tP) = recallOf(adjA, opBudget)
-        sb ++= f"| NN-descent iters=$it maxList=$ml ($tA%.0f s build) | $opBudget (20%%) | $tP%.1f | $r%.2f |\n"
+        sb ++= f"| NN-descent iters=$it maxList=$ml ($tA%.0f s build) | $opBudget ${pct(opBudget)} | $tP%.1f | $r%.2f |\n"
         println(f"[scale] graphserve iters=$it maxList=$ml build=$tA%.1fs t=$tP%.1fs recall=$r%.2f")
       }
-      sb ++= "\nReading: the fixture's sign-flipped replica vectors are\n" +
-        "near-random — the worst case for ANY locality structure (the\n" +
-        "annServeCheck caveat: IVF pays 25% scan share for 0.81 recall on\n" +
-        "the same data) — so approximate-graph quality at this scale is\n" +
-        "bought explicitly with descent rounds / internal list width\n" +
-        "(the rows above), exactly as IVF buys recall with nProbe; real\n" +
-        "trained embeddings cluster and sit far above this curve at the\n" +
-        "same settings. The exact-arm rows isolate the WALK's quality\n" +
-        "(0.94 on the true-kNN graph): the walk is sound, the remaining\n" +
-        "gap is graph construction quality, priced per round at ~linear\n" +
-        "cost vs the exact build's quadratic wall.\n"
+      sb ++= f"""
+Reading: the fixture's sign-flipped replica vectors are
+near-random — the worst case for ANY locality structure (the
+annServeCheck caveat applies: IVF buys its recall on the same data
+with scan share) — so approximate-graph quality at this scale is
+bought explicitly with descent rounds / internal list width
+(the rows above), exactly as IVF buys recall with nProbe; real
+trained embeddings cluster and sit far above this curve at the
+same settings. The exact-arm rows isolate the WALK's quality
+($exactArmRecall%.2f on the true-kNN graph at the operating budget,
+vs $defaultRecall%.2f for the default build on the same walk): the
+walk is sound, any remaining gap is graph construction quality,
+priced per round at ~linear cost vs the exact build's quadratic
+wall.
+"""
       // insert vs rebuild: hold out ~2.5% as the ingest Δ, build+save
       // on the rest, then publish the Δ through the NSW add-node walk.
       // Pre-existing pool files must be untouched (the manifest-pool
