@@ -77,6 +77,7 @@ class GraphBuildPlanSpec extends SparkTestBase {
       val undir = ring.unionAll(ring.select($"nb".as("src"), $"src".as("nb")))
         .distinct()
       val b0 = GraphIndex.topMEdges(GraphIndex.scorePairs(undir, vecs), 8)
+        .withColumn("_new", lit(true))
         .localCheckpoint()
       val round = GraphIndex.descentRound(b0, vecs, 16, 16)
       val plan = planOf(round)
