@@ -47,6 +47,17 @@ object IndexMaintStream {
     def cols: Seq[String]
     def publish(spark: SparkSession, indexPath: String, mb: DataFrame,
         tag: Option[String]): Unit
+
+    /** The LIVE TAKEDOWN seam (VERDICT r14 next-round #5, the
+      * [[CcStream.takedown]] analogue for the serving indexes): a
+      * tombstone delete against the index this kind maintains —
+      * composes with the ingest loop (call it between triggers, e.g.
+      * from `appendFile`'s `onTrigger`): the current generation's
+      * sidecar grows, every subsequent Δ publish carries it forward,
+      * and a reader never sees the deleted ids again. Cost ∝ |ids|.
+      */
+    def takedown(spark: SparkSession, indexPath: String,
+        ids: DataFrame): Unit
   }
 
   final case class IvfKind(idCol: String = "vec_id",
@@ -57,6 +68,9 @@ object IndexMaintStream {
         tag: Option[String]): Unit =
       graft.similarity.IvfIndex.appendPublish(spark, indexPath, mb,
         idCol, vecCol, tag)
+    def takedown(spark: SparkSession, indexPath: String,
+        ids: DataFrame): Unit =
+      graft.similarity.IvfIndex.delete(spark, indexPath, ids, idCol)
   }
 
   final case class PqKind(idCol: String = "vec_id",
@@ -67,6 +81,9 @@ object IndexMaintStream {
         tag: Option[String]): Unit =
       graft.similarity.PqIndex.appendPublish(spark, indexPath, mb,
         idCol, vecCol, tag)
+    def takedown(spark: SparkSession, indexPath: String,
+      ids: DataFrame): Unit =
+      graft.similarity.PqIndex.delete(spark, indexPath, ids, idCol)
   }
 
   final case class MinHashKind(idCol: String = "doc_id",
@@ -77,6 +94,9 @@ object IndexMaintStream {
         tag: Option[String]): Unit =
       graft.dedup.MinHashIndex.appendPublish(spark, indexPath, mb,
         idCol, textCol, tag)
+    def takedown(spark: SparkSession, indexPath: String,
+      ids: DataFrame): Unit =
+      graft.dedup.MinHashIndex.delete(spark, indexPath, ids, idCol)
   }
 
   final case class SemanticKind(idCol: String = "vec_id",
@@ -87,6 +107,36 @@ object IndexMaintStream {
         tag: Option[String]): Unit =
       graft.dedup.SemanticIndex.appendPublish(spark, indexPath, mb,
         idCol, vecCol, tag)
+    def takedown(spark: SparkSession, indexPath: String,
+      ids: DataFrame): Unit =
+      graft.dedup.SemanticIndex.delete(spark, indexPath, ids, idCol)
+  }
+
+  /** The graph engine's streaming face (VERDICT r14 next-round #5):
+    * each trigger's Δ goes through the NSW add-node walk
+    * ([[graft.similarity.GraphIndex.insertPublishSelf]]) against a
+    * VECTOR-CARRYING artifact (`saveWithVectors` — the corpus side is
+    * read from the artifact itself, so the stream needs no external
+    * corpus handle and corpus ∪ Δ composes across triggers). Unlike
+    * the frozen-structure kinds, a graph insert's links DEPEND on the
+    * current graph, so trigger split is not bit-invisible — the
+    * contract is the insert contract (serve recall within tolerance
+    * of a rebuild; degree skew is the retrain cadence), spec-pinned
+    * in IndexMaintStreamSpec. `budget` is per-new-node search breadth
+    * (efConstruction), constant per trigger row.
+    */
+  final case class GraphKind(idCol: String = "vec_id",
+      vecCol: String = "embedding", m: Int = 16,
+      budget: Int = 400) extends Kind {
+    val table = "embeddings"
+    val cols = Seq(idCol, vecCol)
+    def publish(spark: SparkSession, indexPath: String, mb: DataFrame,
+        tag: Option[String]): Unit =
+      graft.similarity.GraphIndex.insertPublishSelf(spark, indexPath, mb,
+        idCol, vecCol, m = m, budget = budget, tag = tag)
+    def takedown(spark: SparkSession, indexPath: String,
+      ids: DataFrame): Unit =
+      graft.similarity.GraphIndex.delete(spark, indexPath, ids, idCol)
   }
 
   /** One guarded Δ publish — the foreachBatch body, exposed for the
