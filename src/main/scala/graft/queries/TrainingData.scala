@@ -2130,6 +2130,33 @@ object TrainingData {
       .withColumn("n_frames", col("n_frames").cast("long"))
       .orderBy("doc_id")
 
+  /** q_multimodal's oracle (VERDICT r14 next-round #7 — promoted from
+    * `no_oracle`, the q_docx golden-manifest precedent): width /
+    * height / n_frames / kind are restated from the synthesis
+    * formulas exactly like the decode-trio oracles below; the one
+    * non-SQL-expressible column — the ENCODED byte size, a pure
+    * function of (doc_id, JDK codec) — joins the committed golden
+    * manifest measured by direct driver-side codec calls
+    * ([[graft.tools.MultimodalGolden]]; MultimodalGoldenSpec fails
+    * loudly if the live codecs drift from the committed file).
+    */
+  private def qMultimodalSql: String =
+    s"""WITH golden(doc_id, n_bytes) AS (VALUES ${graft.tools.MultimodalGolden.valuesSql()})
+       |SELECT d.doc_id,
+       |  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CAST(g.n_bytes AS BIGINT) AS n_bytes,
+       |  CAST(CASE d.doc_id % 3 WHEN 0 THEN 16 + d.doc_id % 48
+       |       WHEN 1 THEN 8000
+       |       ELSE 16 + d.doc_id % 32 END AS BIGINT) AS width,
+       |  CAST(CASE d.doc_id % 3 WHEN 0 THEN 16 + (d.doc_id // 7) % 48
+       |       WHEN 1 THEN 1
+       |       ELSE 16 + (d.doc_id // 5) % 32 END AS BIGINT) AS height,
+       |  CAST(CASE d.doc_id % 3 WHEN 0 THEN 1
+       |       WHEN 1 THEN 160 + d.doc_id % 640
+       |       ELSE 2 + d.doc_id % 6 END AS BIGINT) AS n_frames
+       |FROM documents d JOIN golden g USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Oracle-checked REAL image decode: javax.imageio over the
     * synthetic PNGs, integer-exact channel sums (see
     * [[Multimodal.decodePixelSums]]). The oracle recomputes the sums
@@ -2906,6 +2933,7 @@ object TrainingData {
     "q_text_topterms" -> qTextTopTermsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_fingerprint" -> qFingerprintSql,
+    "q_multimodal" -> qMultimodalSql,
     "q_image_decode" -> qImageDecodeSql,
     "q_audio_decode" -> qAudioDecodeSql,
     "q_video_decode" -> qVideoDecodeSql,
