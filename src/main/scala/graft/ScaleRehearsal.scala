@@ -70,6 +70,7 @@ object ScaleRehearsal {
       sys.env.getOrElse("SPARK_GRAFT_DELTACC_N", "1000000").toLong))
     if (mode == "adc") println(adcKernelCheck(spark, dir))
     if (mode == "graphbuild") println(graphBuildCheck(spark, src, dir))
+    if (mode == "graphdrift") println(graphDriftCheck(spark, dir))
     if (mode == "qualitytrain") println(qualityTrainCheck(spark, dir))
     spark.stop()
   }
@@ -436,6 +437,9 @@ object ScaleRehearsal {
 
     // --- shape check 5: graph-index build/insert economics ----------
     sb ++= graphBuildCheck(spark, src, dir)
+
+    // --- shape check 5a: graph drift → retrain trigger → rebuild ----
+    sb ++= graphDriftCheck(spark, dir)
 
     // --- shape check 6: native ADC kernel vs closure UDF ------------
     sb ++= adcKernelCheck(spark, dir)
@@ -1291,6 +1295,120 @@ wall.
         require(untouched, "graph insertPublish mutated frozen pool files")
       } finally graft.tools.Scratch.deleteRecursively(new java.io.File(root))
     } finally { base.unpersist(); scaled.unpersist(); () }
+    sb.toString
+  }
+
+  /** Graph drift → retrain trigger → rebuild (mode=graphdrift,
+    * VERDICT r14 next-round #8 — the ivfDriftCheck analogue for the
+    * graph engine): [[graft.similarity.GraphIndex.insertPublish]]
+    * batches land until degree `skewRatio` crosses the cadence band,
+    * serve recall/latency degradation is MEASURED (not documented),
+    * and a full rebuild restores it — the retrain cadence the
+    * insertPublish scaladoc promises, made a measured procedure. Uses
+    * the vector-carrying artifact so corpus ∪ Δ composes through the
+    * artifact itself, exactly the streaming Kind.Graph shape.
+    */
+  def graphDriftCheck(spark: SparkSession, dir: String): String = {
+    import graft.similarity.GraphIndex
+    Bench.scrub(spark)
+    val sb = new StringBuilder
+    sb ++= "\n## Graph drift → retrain trigger → rebuild (degree-skew cadence)\n\n"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      val maxId = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+      // drifted Δ batches: ids beyond the corpus, vectors pulled
+      // toward the all-positive corner (the ivfDriftCheck generator)
+      // — inserts with NO prune grow the hub nodes every Δ walks to
+      def drifted(batch: Int, frac: Double): DataFrame =
+        emb.filter(col("vec_id") % math.round(1 / frac).max(1) === 0)
+          .select((col("vec_id") + lit((batch + 1) * (maxId + 1))).as("vec_id"),
+            transform(col("embedding"),
+              x => x * lit(0.2f) + lit(0.8f)).as("embedding"))
+      val path = java.nio.file.Files.createTempDirectory("graft_graph_drift")
+        .toAbsolutePath.toString
+      try {
+        val (adj0, stats0) = GraphIndex.buildWithStats(emb, "vec_id", "embedding")
+        GraphIndex.saveWithVectors(adj0, emb, "vec_id", "embedding", path,
+          stats0)
+        // probes: 8 base + 8 drifted — the workload mix a shift sends
+        def measure(p: String): (Double, Double, Double, Double) = {
+          val corpus = GraphIndex.loadVectors(spark, p).get
+            .toDF("vec_id", "embedding").localCheckpoint()
+          val n = corpus.count()
+          val probes = corpus.orderBy(col("vec_id").desc).limit(8)
+            .unionAll(corpus.orderBy(col("vec_id").asc).limit(8))
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+            .localCheckpoint()
+          val nQ = probes.count()
+          val exact = corpus
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+            .crossJoin(broadcast(probes))
+            .withColumn("cos",
+              graft.functions.VectorOps.cosine(col("qvec"), col("cvec")))
+            .filter(col("cos").isNotNull)
+            .groupBy(col("qid"))
+            .agg(graft.functions.TopKAgg.topK(10)(col("cos"), col("cid")).as("t"))
+            .select(col("qid"), explode(col("t")).as("h"))
+            .select(col("qid"), col("h._2").as("cid"))
+            .localCheckpoint()
+          val adj = GraphIndex.load(spark, p).localCheckpoint()
+          val skew = GraphIndex.skewRatio(adj)
+          val t0 = System.nanoTime()
+          val got = GraphIndex.probeJoin(adj, corpus, "vec_id", "embedding",
+            probes, "qid", "qvec", k = 10,
+            budget = math.max(200L, n / 5).toInt).localCheckpoint()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val hits = got.select(col("query_id").as("qid"), col("vec_id").as("cid"))
+            .join(exact, Seq("qid", "cid")).count()
+          (skew, hits.toDouble / (nQ * 10.0), wall,
+            GraphIndex.convergence(spark, p).getOrElse(Double.NaN))
+        }
+        sb ++= "| stage | degree skewRatio | recall@10 (16 queries) | probeJoin s | build convergence (fresh frac) |\n|---|---|---|---|---|\n"
+        def row(label: String, m: (Double, Double, Double, Double)): String =
+          f"| $label | ${m._1}%.2f | ${m._2}%.2f | ${m._3}%.1f | ${m._4}%.3f |\n"
+        val m0 = measure(path)
+        sb ++= row("built (NN-descent + ring)", m0)
+        println(f"[scale] graphdrift built skew=${m0._1}%.2f recall=${m0._2}%.2f")
+        var batches = 0
+        var skew = m0._1
+        while (skew < 3.0 && batches < 6) {
+          GraphIndex.insertPublishSelf(spark, path,
+            drifted(batches, 0.25), "vec_id", "embedding",
+            budget = 400)
+          batches += 1
+          skew = GraphIndex.skewRatio(GraphIndex.load(spark, path))
+          println(f"[scale] graphdrift after insert $batches skewRatio=$skew%.2f")
+        }
+        val m1 = measure(path)
+        sb ++= row(s"after $batches drifted insertPublish batches (trigger: skew > 3)", m1)
+        // retrain: full NN-descent rebuild over the artifact's corpus
+        val rebuilt = path + "_rebuilt"
+        try {
+          val corpusNow = GraphIndex.loadVectors(spark, path).get
+            .toDF("vec_id", "embedding").localCheckpoint()
+          val (adjR, statsR) =
+            GraphIndex.buildWithStats(corpusNow, "vec_id", "embedding")
+          GraphIndex.saveWithVectors(adjR, corpusNow, "vec_id", "embedding",
+            rebuilt, statsR)
+          val m2 = measure(rebuilt)
+          sb ++= row("after full rebuild (retrain)", m2)
+          println(f"[scale] graphdrift rebuilt skew=${m2._1}%.2f recall=${m2._2}%.2f")
+        } finally graft.tools.Scratch.deleteRecursively(new java.io.File(rebuilt))
+        sb ++= "\nReading: insertPublish never re-prunes — every Δ batch's beam\n" +
+          "walks converge on the same well-connected nodes and their reverse\n" +
+          "links pile up there, so degree skewRatio is the drift observable\n" +
+          "exactly as cell occupancy is for IVF. While skew holds, serve\n" +
+          "recall/latency hold and Δ maintenance stays ∝ Δ; when it crosses\n" +
+          "the 2–4 band, the hubs both soak beam budget (latency) and crowd\n" +
+          "the candidate cut (recall). The rebuild re-runs NN-descent over\n" +
+          "corpus ∪ Δ — degrees re-balance to ~m + reverse-link variance,\n" +
+          "and the committed convergence column shows the rebuild actually\n" +
+          "converged (fresh fraction ≈ tol) rather than hitting its round\n" +
+          "cap. That is the retrain cadence the insertPublish contract\n" +
+          "documents, measured end to end.\n"
+      } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
+    } finally { emb.unpersist(); () }
     sb.toString
   }
 
