@@ -1206,7 +1206,7 @@ object ScaleRehearsal {
       // validated up front: a malformed SPARK_GRAFT_GRAPH_ARMS must
       // name itself, not throw an opaque MatchError (ADVICE r14).
       val armsEnv = "SPARK_GRAFT_GRAPH_ARMS"
-      val arms = sys.env.getOrElse(armsEnv, "8x64")
+      val arms = sys.env.getOrElse(armsEnv, "12x96")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { arm =>
           arm.split("x") match {
             case Array(it, ml) if it.forall(_.isDigit) && ml.forall(_.isDigit)
@@ -1318,60 +1318,77 @@ wall.
     try {
       val maxId = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
       // drifted Δ batches: ids beyond the corpus, vectors pulled
-      // toward the all-positive corner (the ivfDriftCheck generator)
-      // — inserts with NO prune grow the hub nodes every Δ walks to
+      // toward the all-positive corner — inserts with NO prune grow
+      // the hub nodes every Δ walks to. Milder pull than the IVF
+      // check's 0.2/0.8: a 0.2 blend collapses the drift cluster into
+      // thousands of near-ties whose exact top-10 NO index recovers
+      // at a bounded budget (tie-broken by float dust — a fixture
+      // artifact, not an engine property); 0.6/0.4 drifts the
+      // distribution while keeping neighborhoods distinguishable.
       def drifted(batch: Int, frac: Double): DataFrame =
         emb.filter(col("vec_id") % math.round(1 / frac).max(1) === 0)
           .select((col("vec_id") + lit((batch + 1) * (maxId + 1))).as("vec_id"),
             transform(col("embedding"),
-              x => x * lit(0.2f) + lit(0.8f)).as("embedding"))
+              x => x * lit(0.6f) + lit(0.4f)).as("embedding"))
       val path = java.nio.file.Files.createTempDirectory("graft_graph_drift")
         .toAbsolutePath.toString
       try {
         val (adj0, stats0) = GraphIndex.buildWithStats(emb, "vec_id", "embedding")
         GraphIndex.saveWithVectors(adj0, emb, "vec_id", "embedding", path,
           stats0)
-        // probes: 8 base + 8 drifted — the workload mix a shift sends
-        def measure(p: String): (Double, Double, Double, Double) = {
+        // probes: 8 from the BASE id range + 8 from the newest ids
+        // (drifted after inserts land) — reported separately, the
+        // ivfDriftCheck grouping: rebuild must restore the base
+        // workload; the drift group measures the shifted workload
+        case class M(skew: Double, baseRecall: Double, driftRecall: Double,
+          wall: Double, conv: Double)
+        def measure(p: String): M = {
           val corpus = GraphIndex.loadVectors(spark, p).get
             .toDF("vec_id", "embedding").localCheckpoint()
           val n = corpus.count()
-          val probes = corpus.orderBy(col("vec_id").desc).limit(8)
-            .unionAll(corpus.orderBy(col("vec_id").asc).limit(8))
-            .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-            .localCheckpoint()
-          val nQ = probes.count()
-          val exact = corpus
-            .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-            .crossJoin(broadcast(probes))
-            .withColumn("cos",
-              graft.functions.VectorOps.cosine(col("qvec"), col("cvec")))
-            .filter(col("cos").isNotNull)
-            .groupBy(col("qid"))
-            .agg(graft.functions.TopKAgg.topK(10)(col("cos"), col("cid")).as("t"))
-            .select(col("qid"), explode(col("t")).as("h"))
-            .select(col("qid"), col("h._2").as("cid"))
-            .localCheckpoint()
+          val baseQ = corpus.filter(col("vec_id") <= maxId)
+            .orderBy(col("vec_id").asc).limit(8)
+          val driftQ = corpus.orderBy(col("vec_id").desc).limit(8)
           val adj = GraphIndex.load(spark, p).localCheckpoint()
           val skew = GraphIndex.skewRatio(adj)
-          val t0 = System.nanoTime()
-          val got = GraphIndex.probeJoin(adj, corpus, "vec_id", "embedding",
-            probes, "qid", "qvec", k = 10,
-            budget = math.max(200L, n / 5).toInt).localCheckpoint()
-          val wall = (System.nanoTime() - t0) / 1e9
-          val hits = got.select(col("query_id").as("qid"), col("vec_id").as("cid"))
-            .join(exact, Seq("qid", "cid")).count()
-          (skew, hits.toDouble / (nQ * 10.0), wall,
+          def recallOf(qs: DataFrame): (Double, Double) = {
+            val probes = qs
+              .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+              .localCheckpoint()
+            val nQ = probes.count()
+            val exact = corpus
+              .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+              .crossJoin(broadcast(probes))
+              .withColumn("cos",
+                graft.functions.VectorOps.cosine(col("qvec"), col("cvec")))
+              .filter(col("cos").isNotNull)
+              .groupBy(col("qid"))
+              .agg(graft.functions.TopKAgg.topK(10)(col("cos"), col("cid")).as("t"))
+              .select(col("qid"), explode(col("t")).as("h"))
+              .select(col("qid"), col("h._2").as("cid"))
+              .localCheckpoint()
+            val t0 = System.nanoTime()
+            val got = GraphIndex.probeJoin(adj, corpus, "vec_id", "embedding",
+              probes, "qid", "qvec", k = 10,
+              budget = math.max(200L, n / 5).toInt).localCheckpoint()
+            val wall = (System.nanoTime() - t0) / 1e9
+            val hits = got.select(col("query_id").as("qid"), col("vec_id").as("cid"))
+              .join(exact, Seq("qid", "cid")).count()
+            (hits.toDouble / (nQ * 10.0), wall)
+          }
+          val (bR, bW) = recallOf(baseQ)
+          val (dR, dW) = recallOf(driftQ)
+          M(skew, bR, dR, bW + dW,
             GraphIndex.convergence(spark, p).getOrElse(Double.NaN))
         }
-        sb ++= "| stage | degree skewRatio | recall@10 (16 queries) | probeJoin s | build convergence (fresh frac) |\n|---|---|---|---|---|\n"
-        def row(label: String, m: (Double, Double, Double, Double)): String =
-          f"| $label | ${m._1}%.2f | ${m._2}%.2f | ${m._3}%.1f | ${m._4}%.3f |\n"
+        sb ++= "| stage | degree skewRatio | base recall@10 | drift recall@10 | probeJoin s (16 queries) | build convergence (fresh frac) |\n|---|---|---|---|---|---|\n"
+        def row(label: String, m: M): String =
+          f"| $label | ${m.skew}%.2f | ${m.baseRecall}%.2f | ${m.driftRecall}%.2f | ${m.wall}%.1f | ${m.conv}%.3f |\n"
         val m0 = measure(path)
         sb ++= row("built (NN-descent + ring)", m0)
-        println(f"[scale] graphdrift built skew=${m0._1}%.2f recall=${m0._2}%.2f")
+        println(f"[scale] graphdrift built skew=${m0.skew}%.2f base=${m0.baseRecall}%.2f drift=${m0.driftRecall}%.2f")
         var batches = 0
-        var skew = m0._1
+        var skew = m0.skew
         while (skew < 3.0 && batches < 6) {
           GraphIndex.insertPublishSelf(spark, path,
             drifted(batches, 0.25), "vec_id", "embedding",
@@ -1393,7 +1410,7 @@ wall.
             rebuilt, statsR)
           val m2 = measure(rebuilt)
           sb ++= row("after full rebuild (retrain)", m2)
-          println(f"[scale] graphdrift rebuilt skew=${m2._1}%.2f recall=${m2._2}%.2f")
+          println(f"[scale] graphdrift rebuilt skew=${m2.skew}%.2f base=${m2.baseRecall}%.2f drift=${m2.driftRecall}%.2f")
         } finally graft.tools.Scratch.deleteRecursively(new java.io.File(rebuilt))
         sb ++= "\nReading: insertPublish never re-prunes — every Δ batch's beam\n" +
           "walks converge on the same well-connected nodes and their reverse\n" +
@@ -1401,12 +1418,15 @@ wall.
           "exactly as cell occupancy is for IVF. While skew holds, serve\n" +
           "recall/latency hold and Δ maintenance stays ∝ Δ; when it crosses\n" +
           "the 2–4 band, the hubs both soak beam budget (latency) and crowd\n" +
-          "the candidate cut (recall). The rebuild re-runs NN-descent over\n" +
-          "corpus ∪ Δ — degrees re-balance to ~m + reverse-link variance,\n" +
-          "and the committed convergence column shows the rebuild actually\n" +
-          "converged (fresh fraction ≈ tol) rather than hitting its round\n" +
-          "cap. That is the retrain cadence the insertPublish contract\n" +
-          "documents, measured end to end.\n"
+          "the candidate cut — the BASE-workload column is the contract\n" +
+          "(the drift group queries a denser, shifted cluster, so its\n" +
+          "absolute recall also prices the harder workload itself). The\n" +
+          "rebuild re-runs NN-descent over corpus ∪ Δ — degrees re-balance\n" +
+          "to ~m + reverse-link variance, base recall returns to the\n" +
+          "built operating point, and the committed convergence column\n" +
+          "shows the rebuild actually converged (fresh fraction ≈ tol)\n" +
+          "rather than hitting its round cap. That is the retrain cadence\n" +
+          "the insertPublish contract documents, measured end to end.\n"
       } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
     } finally { emb.unpersist(); () }
     sb.toString

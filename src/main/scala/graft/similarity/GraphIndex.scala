@@ -276,7 +276,7 @@ object GraphIndex {
     * is a pure function of deterministic counts.
     */
   def buildWithStats(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int = 16, iters: Int = 10, maxList: Int = 48,
+      m: Int = 16, iters: Int = 10, maxList: Int = 64,
       skips: Seq[Int] = Seq(1, 2, 4, 8, 16, 32),
       lshProjections: Int = 4, lshWindow: Int = 8,
       convergeTol: Double = 0.02): (DataFrame, Seq[BuildRound]) = {
@@ -300,15 +300,26 @@ object GraphIndex {
     val initUndir = initPairs.unionAll(
       initPairs.select(col("nb").as("src"), col("src").as("nb")))
       .filter(col("src") =!= col("nb")).distinct()
-    var b = topMEdges(scorePairs(initUndir, vecs), buildK)
-      .withColumn("_new", lit(true)).localCheckpoint()
+    // round snapshots via Snapshots.persistRound*, NOT localCheckpoint:
+    // a checkpoint RDD can never be unpersisted through the Dataset
+    // handle, so ten rounds of 40k×maxList edge tables accumulate in
+    // the block store (the 20× rehearsal OOM'd an 8g driver exactly
+    // this way). persistRoundCounted materializes the round AND counts
+    // its fresh edges in ONE job, then frees the superseded round; the
+    // FINAL round stays persisted — the emitted adjacency reads it.
+    var (b, bRdd) = graft.operators.Snapshots.persistRound(
+      topMEdges(scorePairs(initUndir, vecs), buildK)
+        .withColumn("_new", lit(true)), None)
     val stats = scala.collection.mutable.ArrayBuffer.empty[BuildRound]
     var round = 1
     var converged = false
     while (round <= iters && !converged) {
-      b = descentRound(b, vecs, buildK, maxList).localCheckpoint()
-      val total = b.count()
-      val freshN = b.filter(col("_new")).count()
+      val next = descentRound(b, vecs, buildK, maxList)
+      val newIdx = next.schema.fieldIndex("_new")
+      val (df, rdd, freshN) = graft.operators.Snapshots.persistRoundCounted(
+        next, Some(bRdd), r => r.getBoolean(newIdx))
+      b = df; bRdd = rdd
+      val total = rdd.count() // cached blocks — a metadata-cheap action
       stats += BuildRound(round, freshN, total)
       converged = freshN <= convergeTol * total
       round += 1
@@ -322,9 +333,14 @@ object GraphIndex {
     (adj, stats.toSeq)
   }
 
-  /** [[buildWithStats]] without the stats — the drop-in build face. */
+  /** [[buildWithStats]] without the stats — the drop-in build face.
+    * Default maxList (the internal K): 64 — the r15 20× rehearsal's
+    * operating point (recall@10 0.86 at the n/5 serve budget at a
+    * build 30% CHEAPER than maxList=48's: wider lists converge in
+    * fewer, more effective incremental rounds; 48 plateaued at 0.66).
+    */
   def build(emb: DataFrame, idCol: String, vecCol: String, m: Int = 16,
-      iters: Int = 10, maxList: Int = 48,
+      iters: Int = 10, maxList: Int = 64,
       skips: Seq[Int] = Seq(1, 2, 4, 8, 16, 32),
       lshProjections: Int = 4, lshWindow: Int = 8,
       convergeTol: Double = 0.02): DataFrame =
@@ -520,11 +536,14 @@ object GraphIndex {
           coalesce(cos(col(vecCol), col("_qv")), lit(-1.0)).as("_c"))
     val entry = entryPoints(emb, idCol, entries)
     // one state table: (query_id, id, _c, _exp) — _exp marks nodes
-    // whose neighbors were already followed
-    var state = score(
-      qIds.toSeq.flatMap(qid => entry.map(e => (qid, e)))
+    // whose neighbors were already followed. Round snapshots through
+    // Snapshots.persistRound so each superseded round's blocks FREE
+    // (a localCheckpoint per round is unreleasable through the
+    // Dataset handle and accumulates across a long probe stream)
+    var (state, stateRdd) = graft.operators.Snapshots.persistRound(
+      score(qIds.toSeq.flatMap(qid => entry.map(e => (qid, e)))
         .toDF("query_id", idCol))
-      .withColumn("_exp", lit(false)).localCheckpoint()
+        .withColumn("_exp", lit(false)), None)
     var round = 0
     var anyActive = true
     while (anyActive && round < maxRounds) {
@@ -574,13 +593,15 @@ object GraphIndex {
           // levels 0..hops-2 are expanded in-round; the last is not
           score(lvl).withColumn("_exp", lit(i < hops - 1))
         }.reduce(_ unionAll _)
-        state = state
+        val next = state
           .join(frontier.withColumn("_f", lit(1)), Seq("query_id", idCol),
             "left")
           .select(col("query_id"), col(idCol), col("_c"),
             (col("_exp") || col("_f").isNotNull).as("_exp"))
           .unionAll(scored)
-          .localCheckpoint()
+        val (df, rdd) = graft.operators.Snapshots.persistRound(
+          next, Some(stateRdd))
+        state = df; stateRdd = rdd
       }
       round += 1
     }
