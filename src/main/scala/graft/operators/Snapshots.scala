@@ -34,6 +34,40 @@ object Snapshots {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
+  /** [[persistRound]] with LINEAGE TRUNCATION: the snapshot RDD is
+    * localCheckpoint'd (blocks persist MEMORY_AND_DISK and the
+    * dependency chain is CUT once materialized), so a long round loop
+    * never accumulates a recursively-serialized ancestry — 60+
+    * persistRound generations overflowed the task deserializer's
+    * stack in the r15 graph-drift rehearsal (each round's task binary
+    * embedded every prior round's full plan). The superseded round
+    * still FREES (the RDD handle's unpersist works where the Dataset
+    * handle's never finds the checkpoint), which Dataset.localCheckpoint
+    * alone cannot do. Fault profile: same as every other
+    * localCheckpoint in this repo — truncated blocks cannot be
+    * recomputed after executor loss; correct in local mode and
+    * accepted cluster-wide for bounded iterative state.
+    */
+  def checkpointRound(df: DataFrame, prev: Option[RDD[Row]])
+      : (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count()
+    prev.foreach(_.unpersist(blocking = false))
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** [[checkpointRound]] fused with a convergence count, the
+    * [[persistRoundCounted]] twin: one job materializes (and
+    * truncates) the snapshot AND returns the matching-row count.
+    */
+  def checkpointRoundCounted(df: DataFrame, prev: Option[RDD[Row]],
+      pred: Row => Boolean): (DataFrame, RDD[Row], Long) = {
+    val rdd = df.rdd.localCheckpoint()
+    val matched = rdd.filter(pred).count()
+    prev.foreach(_.unpersist(blocking = false))
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, matched)
+  }
+
   /** [[persistRound]] fused with a convergence metric: the
     * materializing action is `rdd.filter(pred).count()`, which fully
     * computes (and therefore caches) every partition of the snapshot

@@ -307,7 +307,7 @@ object GraphIndex {
     // this way). persistRoundCounted materializes the round AND counts
     // its fresh edges in ONE job, then frees the superseded round; the
     // FINAL round stays persisted — the emitted adjacency reads it.
-    var (b, bRdd) = graft.operators.Snapshots.persistRound(
+    var (b, bRdd) = graft.operators.Snapshots.checkpointRound(
       topMEdges(scorePairs(initUndir, vecs), buildK)
         .withColumn("_new", lit(true)), None)
     val stats = scala.collection.mutable.ArrayBuffer.empty[BuildRound]
@@ -316,7 +316,7 @@ object GraphIndex {
     while (round <= iters && !converged) {
       val next = descentRound(b, vecs, buildK, maxList)
       val newIdx = next.schema.fieldIndex("_new")
-      val (df, rdd, freshN) = graft.operators.Snapshots.persistRoundCounted(
+      val (df, rdd, freshN) = graft.operators.Snapshots.checkpointRoundCounted(
         next, Some(bRdd), r => r.getBoolean(newIdx))
       b = df; bRdd = rdd
       val total = rdd.count() // cached blocks — a metadata-cheap action
@@ -540,7 +540,7 @@ object GraphIndex {
     // Snapshots.persistRound so each superseded round's blocks FREE
     // (a localCheckpoint per round is unreleasable through the
     // Dataset handle and accumulates across a long probe stream)
-    var (state, stateRdd) = graft.operators.Snapshots.persistRound(
+    var (state, stateRdd) = graft.operators.Snapshots.checkpointRound(
       score(qIds.toSeq.flatMap(qid => entry.map(e => (qid, e)))
         .toDF("query_id", idCol))
         .withColumn("_exp", lit(false)), None)
@@ -599,7 +599,7 @@ object GraphIndex {
           .select(col("query_id"), col(idCol), col("_c"),
             (col("_exp") || col("_f").isNotNull).as("_exp"))
           .unionAll(scored)
-        val (df, rdd) = graft.operators.Snapshots.persistRound(
+        val (df, rdd) = graft.operators.Snapshots.checkpointRound(
           next, Some(stateRdd))
         state = df; stateRdd = rdd
       }
