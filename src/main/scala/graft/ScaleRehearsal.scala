@@ -1415,15 +1415,16 @@ wall.
         sb ++= "\nReading: insertPublish never re-prunes — every Δ batch's beam\n" +
           "walks converge on the same well-connected nodes and their reverse\n" +
           "links pile up there, so degree skewRatio is the drift observable\n" +
-          "exactly as cell occupancy is for IVF. While skew holds, serve\n" +
-          "recall/latency hold and Δ maintenance stays ∝ Δ; when it crosses\n" +
-          "the 2–4 band, the hubs both soak beam budget (latency) and crowd\n" +
-          "the candidate cut — the BASE-workload column is the contract\n" +
-          "(the drift group queries a denser, shifted cluster, so its\n" +
-          "absolute recall also prices the harder workload itself). The\n" +
-          "rebuild re-runs NN-descent over corpus ∪ Δ — degrees re-balance\n" +
-          "to ~m + reverse-link variance, base recall returns to the\n" +
-          "built operating point, and the committed convergence column\n" +
+          "exactly as cell occupancy is for IVF. The degradation shows in\n" +
+          "the SERVE WALL first: the un-pruned hubs soak beam budget, so\n" +
+          "every walk expands through them and the probe wall balloons\n" +
+          "(recall can HOLD while cost degrades — the un-cut lists are\n" +
+          "extra, not wrong, edges). The rebuild re-runs NN-descent over\n" +
+          "corpus ∪ Δ and restores the wall; note ABSOLUTE skew need not\n" +
+          "return to the pre-drift value — a shifted mixture with a denser\n" +
+          "cluster has intrinsically higher in-degree variance — so the\n" +
+          "cadence signal is skew (and wall) RELATIVE to the last rebuild,\n" +
+          "not an absolute band, and the committed convergence column\n" +
           "shows the rebuild actually converged (fresh fraction ≈ tol)\n" +
           "rather than hitting its round cap. That is the retrain cadence\n" +
           "the insertPublish contract documents, measured end to end.\n"
