@@ -97,16 +97,21 @@ class GraphBuildPlanSpec extends SparkTestBase {
       maxBroadcastRows = 0L)
     val open = GraphIndex.buildExact(emb, "vec_id", "embedding")
     // same edges either way (the gate changes the plan, not the result)
-    assert(gated.as[(Long, Long)].collect().toSet ==
-      open.as[(Long, Long)].collect().toSet)
+    assert(gated.select("src", "nb").as[(Long, Long)].collect().toSet ==
+      open.select("src", "nb").as[(Long, Long)].collect().toSet)
   }
 
   test("NN-descent default build ~= exact kNN edges (quality floor) and full determinism") {
-    val a1 = GraphIndex.build(emb, "vec_id", "embedding")
-    val a2 = GraphIndex.build(emb, "vec_id", "embedding")
+    // exactThreshold = 0 forces the DESCENT branch — the default
+    // dispatch routes fixture-sized corpora to buildExact (r15 #3)
+    val a1 = GraphIndex.build(emb, "vec_id", "embedding", exactThreshold = 0L)
+      .select("src", "nb")
+    val a2 = GraphIndex.build(emb, "vec_id", "embedding", exactThreshold = 0L)
+      .select("src", "nb")
     assert(a1.as[(Long, Long)].collect().toSet ==
       a2.as[(Long, Long)].collect().toSet, "NN-descent build not deterministic")
     val exact = GraphIndex.buildExact(emb, "vec_id", "embedding")
+      .select("src", "nb")
     val overlap = a1.intersect(exact).count().toDouble / exact.count()
     assert(overlap >= 0.8,
       s"NN-descent edge overlap vs exact = $overlap — descent regressed")

@@ -53,7 +53,10 @@ class GraphIndexInsertSpec extends SparkTestBase {
       assert(after == frozen, "insertPublish rewrote frozen adjacency files")
       // links symmetric; every new node linked
       val adj = GraphIndex.load(spark, path)
-      val edges = adj.as[(Long, Long)].collect().toSet
+      // symmetry is a STORED-artifact property — assert on the raw view
+      // (the serving cap cuts per-src lists independently)
+      val edges = GraphIndex.load(spark, path, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect().toSet
       assert(edges.forall { case (s, n) => edges((n, s)) }, "not symmetric")
       val newIds = delta.select($"vec_id").as[Long].collect().toSet
       val linked = edges.map(_._1).intersect(newIds)

@@ -34,8 +34,8 @@ class GraphIndexMaintSpec extends SparkTestBase {
     try {
       val adj = GraphIndex.build(emb, "vec_id", "embedding")
       GraphIndex.save(adj, path)
-      val before = GraphIndex.load(spark, path)
-        .as[(Long, Long)].collect().toSet
+      val before = GraphIndex.load(spark, path, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect().toSet
       val victims = emb.select($"vec_id").as[Long].collect().sorted.take(5).toSet
       val dataFiles = GraphIndex.adjDirsOf(spark, path,
         graft.tools.Artifacts.requireGen(spark, path))
@@ -50,7 +50,8 @@ class GraphIndexMaintSpec extends SparkTestBase {
       assert(afterFiles == dataFiles, "delete rewrote adjacency files")
       // load = the graph minus the ids AND every edge touching them
       // (dangling edges out — a walk can never reach a deleted id)
-      val got = GraphIndex.load(spark, path).as[(Long, Long)].collect().toSet
+      val got = GraphIndex.load(spark, path, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect().toSet
       val want = before.filterNot { case (s, n) =>
         victims(s) || victims(n) }
       assert(got == want, "post-delete adjacency is not graph-minus-ids")
@@ -70,8 +71,8 @@ class GraphIndexMaintSpec extends SparkTestBase {
       assert(GraphIndex.adjDirsOf(spark, path, gen).size == 1)
       assert(graft.tools.Artifacts.tombstoneFiles(spark, gen).isEmpty,
         "compact did not fold the sidecar")
-      val compacted = GraphIndex.load(spark, path)
-        .as[(Long, Long)].collect().toSet
+      val compacted = GraphIndex.load(spark, path, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect().toSet
       assert(compacted == want, "compact changed the served adjacency")
     } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
   }
@@ -100,7 +101,8 @@ class GraphIndexMaintSpec extends SparkTestBase {
       assert(v1.count() == base.count() + delta.count(),
         "insertPublishSelf did not append Δ vectors")
       // every Δ id linked, symmetric
-      val edges = GraphIndex.load(spark, path).as[(Long, Long)].collect().toSet
+      val edges = GraphIndex.load(spark, path, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect().toSet
       val newIds = delta.select($"vec_id").as[Long].collect().toSet
       assert(edges.forall { case (s, n) => edges((n, s)) })
       assert(newIds.subsetOf(edges.map(_._1)))
@@ -112,7 +114,8 @@ class GraphIndexMaintSpec extends SparkTestBase {
       GraphIndex.delete(spark, path, Seq(victim).toDF("vec_id"), "vec_id")
       assert(!GraphIndex.loadVectors(spark, path).get
         .select(col("vec_id")).as[Long].collect().toSet.contains(victim))
-      assert(GraphIndex.load(spark, path).as[(Long, Long)].collect()
+      assert(GraphIndex.load(spark, path, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect()
         .forall { case (s, n) => s != victim && n != victim })
     } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
   }
@@ -131,7 +134,8 @@ class GraphIndexMaintSpec extends SparkTestBase {
           "vec_id", "embedding",
           budget = math.max(400L, base.count() / 2).toInt,
           maxBroadcastRows = gate)
-        GraphIndex.load(spark, path).as[(Long, Long)].collect().toSet
+        GraphIndex.load(spark, path, maxDegree = 0)
+          .select("src", "nb").as[(Long, Long)].collect().toSet
       } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
     }
     for (gate <- Seq(4_000_000L, 0L)) { // exact branch, then gated branch

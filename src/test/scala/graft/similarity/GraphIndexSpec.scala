@@ -10,9 +10,9 @@ class GraphIndexSpec extends SparkTestBase {
 
   test("adjacency is deterministic, symmetric, and navigable (one connected component)") {
     val a1 = GraphIndex.build(emb, "vec_id", "embedding")
-      .as[(Long, Long)].collect().toSet
+      .select("src", "nb").as[(Long, Long)].collect().toSet
     val a2 = GraphIndex.build(emb, "vec_id", "embedding")
-      .as[(Long, Long)].collect().toSet
+      .select("src", "nb").as[(Long, Long)].collect().toSet
     assert(a1 == a2, "build is not deterministic")
     assert(a1.forall { case (s, n) => a1((n, s)) }, "adjacency not symmetric")
     // the md5 ring guarantees global navigability: one component
@@ -30,9 +30,19 @@ class GraphIndexSpec extends SparkTestBase {
     try {
       val adj = GraphIndex.build(emb, "vec_id", "embedding")
       GraphIndex.save(adj, path)
-      val loaded = GraphIndex.load(spark, path)
-      assert(loaded.as[(Long, Long)].collect().toSet ==
-        adj.as[(Long, Long)].collect().toSet)
+      // RAW load (maxDegree = 0) round-trips the stored edges exactly;
+      // the default serving load applies the degree cap (asserted below)
+      val loaded = GraphIndex.load(spark, path, maxDegree = 0)
+      assert(loaded.select("src", "nb").as[(Long, Long)].collect().toSet ==
+        adj.select("src", "nb").as[(Long, Long)].collect().toSet)
+      // the serving view (default cap): per-src degree bounded, and a
+      // fresh build passes essentially uncut (degree ~m*2 + ring*2)
+      val capped = GraphIndex.load(spark, path)
+      val maxDeg = GraphIndex.occupancy(capped)
+        .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("degree")))
+        .head().getLong(0)
+      assert(maxDeg <= GraphIndex.DefaultServeDegreeCap,
+        s"capped load left degree $maxDeg > cap")
       // served answers from the loaded artifact = in-memory answers
       val q = emb.filter($"vec_id" === 5).select("embedding").as[Seq[Float]].head()
       val budget = math.max(200L, emb.count() / 5).toInt

@@ -236,8 +236,8 @@ class IndexMaintStreamSpec extends SparkTestBase {
       assert(seen.map(_._1).toSeq == seen.map(_._2)
         .scanLeft(nBase)(_ + _).dropRight(1).toSeq)
       // every streamed id is linked, symmetric
-      val edges = GraphIndex.load(spark, streamed)
-        .as[(Long, Long)].collect().toSet
+      val edges = GraphIndex.load(spark, streamed, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect().toSet
       val newIds = delta.select($"vec_id").as[Long].collect().toSet
       assert(edges.forall { case (s, n) => edges((n, s)) })
       assert(newIds.subsetOf(edges.map(_._1)), "unlinked streamed nodes")
@@ -272,7 +272,8 @@ class IndexMaintStreamSpec extends SparkTestBase {
       // the maintained index stays deleted — edges AND vectors
       val victim = newIds.head
       kind.takedown(spark, streamed, Seq(victim).toDF("vec_id"))
-      assert(GraphIndex.load(spark, streamed).as[(Long, Long)].collect()
+      assert(GraphIndex.load(spark, streamed, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect()
         .forall { case (s, n) => s != victim && n != victim })
       assert(!GraphIndex.loadVectors(spark, streamed).get
         .select($"vec_id").as[Long].collect().toSet.contains(victim))
