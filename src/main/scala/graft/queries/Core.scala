@@ -1052,8 +1052,25 @@ object Core {
       |  AS t(doc_id, element_type, n_elements, n_markers)
       |ORDER BY doc_id, element_type""".stripMargin
 
+  /** q_pipeline's oracle (VERDICT r15 next-round #6 — promoted from
+    * `no_oracle`, the q_docx golden precedent): the stub generator is
+    * deterministic end to end, so the 6-row per-topic aggregate is a
+    * committed golden manifest ([[graft.tools.PipelineGolden]];
+    * PipelineGoldenSpec re-runs the pipeline per test run and fails
+    * loudly if the live output drifts from the committed rows).
+    */
+  private def qPipelineSql: String =
+    s"""SELECT topic,
+       |  CAST(n_questions AS BIGINT) AS n_questions,
+       |  CAST(n_subtopics AS BIGINT) AS n_subtopics,
+       |  CAST(n_difficulties AS BIGINT) AS n_difficulties
+       |FROM (VALUES ${graft.tools.PipelineGolden.valuesSql()})
+       |  AS t(topic, n_questions, n_subtopics, n_difficulties)
+       |ORDER BY topic""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_docx" -> qDocxSql,
+    "q_pipeline" -> qPipelineSql,
     "q_scan" -> qScanSql,
     "q_seg" -> qSegSql,
     "q_clean" -> qCleanSql,

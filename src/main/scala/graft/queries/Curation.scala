@@ -261,42 +261,22 @@ object Curation {
     * partition by query (bounded input per partition: the cell
     * population / C budget); nothing corpus × corpus exists anywhere.
     */
-  /** TRAIN+ENCODE half of q_eval_ann — the index-build work a serving
-    * deployment amortizes per retrain: the oracle-parity IVF k-means
-    * chain + corpus cell assignment, the per-probe nProbe cell cut,
-    * and the batched PQ codebooks + codeword reconstruction. `emb`
-    * must be CACHED by the caller (training is multi-pass). Returns
-    * the three structure tables the scoring half consumes:
-    * (cells, probeCells, recon).
+  /** The ORACLE-PARITY PQ chain (m=8 × k=16 codebooks, iters=1) —
+    * shared by q_eval_ann and q_index_health. All 8 codebooks train
+    * in ONE distributed pass per round instead of 8 sequential
+    * kmeansCentroids calls (16 jobs → 2): init = the per-subspace
+    * slices of the SAME 16 lowest-id vectors (kmeansCentroids' init
+    * on a sliced frame is exactly this), and the Lloyd round is a
+    * single groupBy(s, cell) decimal-mean job. Per-subspace
+    * arithmetic is bit-identical to kmeansCentroids (q_cluster's
+    * proven dialect) — decimal sums are order-free, empty cells keep
+    * their centroid. Returns (codes (vec_id, s, code),
+    * codebook rows (s, code, cv)).
     */
-  private def evalAnnBuild(s: SparkSession,
-      emb: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  private def pqOracleChain(s: SparkSession,
+      emb: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     import s.implicits._
-    val probesLocal = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .orderBy("query_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-
-    // ---- IVF leg: nProbe=4 of 16 cells --------------------------
-    val ivfCents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      k = 16, iters = 2)
-    val cells = emb.select(col("vec_id"),
-      Similarity.cellColumn(col("embedding"), ivfCents).as("cell"))
-    val probeCells = probesLocal.toSeq.flatMap { case (qid, qv) =>
-      Similarity.nearestCentroids(ivfCents, qv, nProbe = 4)
-        .map(c => (qid, c))
-    }.toDF("query_id", "cell")
-
-    // ---- PQ leg: m=8 × k=16 codebooks -------------------------------
-    // All 8 codebooks train in ONE distributed pass per round
-    // instead of 8 sequential kmeansCentroids calls (16 jobs → 2):
-    // init = the per-subspace slices of the SAME 16 lowest-id
-    // vectors (kmeansCentroids' init on a sliced frame is exactly
-    // this), and the Lloyd round is a single groupBy(s, cell)
-    // decimal-mean job. Per-subspace arithmetic is bit-identical
-    // to kmeansCentroids (q_cluster's proven dialect) — decimal
-    // sums are order-free, empty cells keep their centroid.
     val m = 8; val subDim = 8; val pqK = 16 // 64-dim embeddings
     val initVecs = emb.orderBy("vec_id").limit(pqK)
       .select(col("embedding")).collect().map(_.getSeq[Float](0))
@@ -335,6 +315,38 @@ object Curation {
     val centDf = books.zipWithIndex.flatMap { case (book, sp) =>
       book.zipWithIndex.map { case (cv, c) => (sp, c, cv.toSeq) }
     }.toDF("s", "code", "cv")
+    (codeParts, centDf)
+  }
+
+  /** TRAIN+ENCODE half of q_eval_ann — the index-build work a serving
+    * deployment amortizes per retrain: the oracle-parity IVF k-means
+    * chain + corpus cell assignment, the per-probe nProbe cell cut,
+    * and the batched PQ codebooks + codeword reconstruction. `emb`
+    * must be CACHED by the caller (training is multi-pass). Returns
+    * the three structure tables the scoring half consumes:
+    * (cells, probeCells, recon).
+    */
+  private def evalAnnBuild(s: SparkSession,
+      emb: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
+    import s.implicits._
+    val probesLocal = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    // ---- IVF leg: nProbe=4 of 16 cells --------------------------
+    val ivfCents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 2)
+    val cells = emb.select(col("vec_id"),
+      Similarity.cellColumn(col("embedding"), ivfCents).as("cell"))
+    val probeCells = probesLocal.toSeq.flatMap { case (qid, qv) =>
+      Similarity.nearestCentroids(ivfCents, qv, nProbe = 4)
+        .map(c => (qid, c))
+    }.toDF("query_id", "cell")
+
+    // ---- PQ leg: m=8 × k=16 codebooks (shared chain) ----------------
+    val (codeParts, centDf) = pqOracleChain(s, emb)
     // ADC score = cosine(query, per-subspace codeword RECONSTRUCTION)
     // — exactly adcScores' Σdot / (|q|·√Σ|cv|²) with the sums fused
     // into one relational cosine over the flattened codewords
@@ -585,6 +597,49 @@ object Curation {
     if (iters == 0) s"$c0,\n$fin" else s"$c0,\n$steps,\n$fin"
   }
 
+  /** The exact-kNN (m=16) + md5-ring adjacency CTE chain — the
+    * DuckDB restatement of [[graft.similarity.GraphIndex.buildExact]]
+    * (edge set only; the stored `_c` score column is a serve-side cut
+    * key, not part of the walked edge set). Shared by q_eval_ann's
+    * graph leg and q_index_health's graph degree row.
+    */
+  private val graphAdjSql: String = {
+    val pairCos =
+      """list_sum(list_transform(list_zip(l.embedding, r.embedding),
+        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(l.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(r.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""gknn AS MATERIALIZED (
+       |  SELECT src, nb FROM (
+       |    SELECT l.vec_id AS src, r.vec_id AS nb,
+       |      row_number() OVER (PARTITION BY l.vec_id
+       |                         ORDER BY $pairCos DESC NULLS LAST,
+       |                                  r.vec_id) AS rn
+       |    FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id
+       |    -- null pair-cosines dropped BEFORE the rn cut, matching
+       |    -- the engine's isNotNull filter exactly (ADVICE r13: a
+       |    -- zero vector gets no kNN out-edges on either side)
+       |    WHERE ($pairCos) IS NOT NULL)
+       |  WHERE rn <= 16),
+       |gpos AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                                vec_id) - 1 AS pos
+       |  FROM embeddings),
+       |gring AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS nb
+       |  FROM gpos a, gpos b,
+       |       (SELECT count(*) AS n FROM embeddings) c,
+       |       (SELECT unnest([1, 2, 4, 8, 16, 32]) AS off) o
+       |  WHERE b.pos = (a.pos + o.off) % c.n),
+       |gadjf AS (SELECT src, nb FROM gknn UNION SELECT src, nb FROM gring),
+       |gadj AS MATERIALIZED (
+       |  SELECT src, nb FROM gadjf
+       |  UNION SELECT nb, src FROM gadjf)""".stripMargin
+  }
+
   private val qEvalAnnSql: String = {
     val cosExpr =
       """list_sum(list_transform(list_zip(e.embedding, p.qv),
@@ -623,13 +678,6 @@ object Curation {
     // are MATERIALIZED: DuckDB inlines plain CTEs per reference and
     // a chained walk would expand exponentially (the q_bpe_train
     // lesson).
-    val pairCos =
-      """list_sum(list_transform(list_zip(l.embedding, r.embedding),
-        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(l.embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(r.embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
     def graphRound(i: Int) =
       s"""gf$i AS MATERIALIZED (
          |  SELECT query_id, vec_id FROM (
@@ -653,33 +701,7 @@ object Curation {
          |ge$i AS MATERIALIZED (
          |  SELECT * FROM ge${i - 1} UNION ALL SELECT * FROM gf$i)""".stripMargin
     val graphLeg =
-      s"""gknn AS MATERIALIZED (
-         |  SELECT src, nb FROM (
-         |    SELECT l.vec_id AS src, r.vec_id AS nb,
-         |      row_number() OVER (PARTITION BY l.vec_id
-         |                         ORDER BY $pairCos DESC NULLS LAST,
-         |                                  r.vec_id) AS rn
-         |    FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id
-         |    -- null pair-cosines dropped BEFORE the rn cut, matching
-         |    -- the engine's isNotNull filter exactly (ADVICE r13: a
-         |    -- zero vector gets no kNN out-edges on either side)
-         |    WHERE ($pairCos) IS NOT NULL)
-         |  WHERE rn <= 16),
-         |gpos AS (
-         |  SELECT vec_id,
-         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |                                vec_id) - 1 AS pos
-         |  FROM embeddings),
-         |gring AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS nb
-         |  FROM gpos a, gpos b,
-         |       (SELECT count(*) AS n FROM embeddings) c,
-         |       (SELECT unnest([1, 2, 4, 8, 16, 32]) AS off) o
-         |  WHERE b.pos = (a.pos + o.off) % c.n),
-         |gadjf AS (SELECT src, nb FROM gknn UNION SELECT src, nb FROM gring),
-         |gadj AS MATERIALIZED (
-         |  SELECT src, nb FROM gadjf
-         |  UNION SELECT nb, src FROM gadjf),
+      s"""$graphAdjSql,
          |gent AS (
          |  SELECT vec_id FROM embeddings
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
@@ -1736,7 +1758,175 @@ object Curation {
       |FROM r WHERE rk = 1 AND cos >= 0.35 ORDER BY vec_id""".stripMargin
 
   // ----------------------------------------------------------- maps
+  /** INDEX-HEALTH observables, driver-checked (VERDICT r15 next-round
+    * #5): ONE query emitting every serving-index family's occupancy
+    * observable — the numbers that drive each index's retrain cadence
+    * (`skewRatio` and friends) — over structures built in-query, so
+    * the retrain-cadence contract is part of the hash-checked surface
+    * instead of spec-only. Schema: (engine, structs, max_load, total,
+    * skew) where skew = max_load / (total / structs) — max over mean
+    * load, the shared drift diagnostic — except `graph_descent`,
+    * whose skew column carries the TERMINAL FRESH-EDGE FRACTION of a
+    * default NN-descent build (the convergence observable: ≈0 means
+    * the build converged; near the tolerance means the round cap
+    * bound it).
+    *
+    * Oracle strategy, engine by engine: `ivf` (k=16 × iters=2
+    * oracle-parity k-means — kmeansChainSql, the q_cluster dialect),
+    * `pq` (the m=8 × k=16 codebook chain) and `graph` (exact-kNN m=16
+    * + md5-ring adjacency degree view) are RECOMPUTED in DuckDB;
+    * `minhash_buckets` (seed-fixed xxhash64 band keys) and
+    * `semantic_blocks` (xxhash-free blocking but rep-elimination
+    * windows deep in the plan) and `graph_descent` (ten relational
+    * descent rounds) are deterministic pure functions of the fixture
+    * whose SQL restatement would be infeasible or exponential — they
+    * are GOLDEN rows (the q_docx/q_pipeline precedent), committed per
+    * fixture size and re-measured live by every run: any drift in the
+    * kernels fails the hash check loudly.
+    */
+  private val qIndexHealth: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      val n = emb.count()
+      // IVF: oracle-parity trainer, occupancy over all 16 trained
+      // cells (empties included — IvfIndex.occupancy's contract)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 2)
+      val ivfMax = emb
+        .select(Similarity.cellColumn(col("embedding"), cents).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      // PQ: code usage over all 8×16 (subspace, code) combos
+      val (codes, _) = pqOracleChain(s, emb)
+      val pqMax = codes.groupBy(col("s"), col("code"))
+        .agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      // graph: degree view of the exact-kNN + ring adjacency — the
+      // GraphIndex.skewRatio observable, restated via the q_eval_ann
+      // kNN unroll
+      val adj = graft.similarity.GraphIndex
+        .buildExact(emb, "vec_id", "embedding").localCheckpoint()
+      val gRow = graft.similarity.GraphIndex.occupancy(adj)
+        .agg(count(lit(1)), max(col("degree")), sum(col("degree"))).head()
+      val (gN, gMax, gTot) = (gRow.getLong(0), gRow.getLong(1), gRow.getLong(2))
+      // minhash: LSH bucket occupancy at the q_dedup_minhash band
+      // shape (shingleK=5, 16 bands × 2 rows)
+      val docs = Tables.documentsParallel(s, d)
+      val mhRow = Dedup.minhashBandKeys(docs, "doc_id", "text",
+        shingleK = 5, bands = 16, rowsPerBand = 2)
+        .groupBy(col("band_idx"), col("band_hash")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)), max(col("c")), sum(col("c"))).head()
+      val (mhN, mhMax, mhTot) = (mhRow.getLong(0), mhRow.getLong(1), mhRow.getLong(2))
+      // semantic: candidate-block occupancy of the frozen blocking
+      val blocking = Dedup.semanticBlocking(emb, "vec_id", "embedding",
+        threshold = 0.35)
+      val semRow = Dedup.blockCorpus(blocking, emb, "vec_id", "embedding")
+        .groupBy(col("block")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)), max(col("c")), sum(col("c"))).head()
+      val (semN, semMax, semTot) = (semRow.getLong(0), semRow.getLong(1), semRow.getLong(2))
+      // graph NN-descent terminal convergence — the retrain-cadence
+      // observable (VERDICT r14 #1), now hash-checked
+      val (_, stats) = graft.similarity.GraphIndex
+        .buildWithStats(emb, "vec_id", "embedding")
+      val rows = Seq(
+        ("graph", gN, gMax, gTot),
+        ("graph_descent", stats.size.toLong, stats.last.freshEdges,
+          stats.last.totalEdges),
+        ("ivf", 16L, ivfMax, n),
+        ("minhash_buckets", mhN, mhMax, mhTot),
+        ("pq", 128L, pqMax, 8 * n),
+        ("semantic_blocks", semN, semMax, semTot))
+      rows.toDF("engine", "structs", "max_load", "total")
+        .withColumn("skew",
+          when(col("engine") === "graph_descent",
+            round(col("max_load").cast("double") / col("total"), 6))
+            .otherwise(round(col("max_load").cast("double") /
+              (col("total").cast("double") / col("structs").cast("double")), 6)))
+        .orderBy("engine")
+    } finally { emb.unpersist(); () }
+  }
+
+  /** q_index_health's oracle: ivf/pq/graph recomputed in DuckDB
+    * (kmeansChainSql / the PQ codebook chain / [[graphAdjSql]]);
+    * minhash_buckets / semantic_blocks / graph_descent are GOLDEN
+    * rows per fixture size (keyed on a fixture
+    * FINGERPRINT (sum of documents.n_chars — sf0.001 and sf0.01 both
+    * have 500 rows but different content, so counts cannot key them)), measured once and
+    * re-measured live by every Verify run: kernel drift fails the
+    * hash check loudly (the q_docx/q_pipeline golden precedent).
+    */
+  private val qIndexHealthSql: String = {
+    val pq = (0 until 8).map(sp =>
+      kmeansChainSql(s"e.embedding[${sp * 8 + 1}:${(sp + 1) * 8}]",
+        k = 16, iters = 1, pfx = s"pq$sp")).mkString(",\n")
+    val pqAfUnion = (0 until 8)
+      .map(sp => s"SELECT $sp AS s, vec_id, cluster FROM pq${sp}af")
+      .mkString(" UNION ALL ")
+    s"""WITH ${kmeansChainSql("e.embedding", k = 16, iters = 2, pfx = "ivf")},
+       |$pq,
+       |pqcodes AS ($pqAfUnion),
+       |$graphAdjSql,
+       |gdeg AS (SELECT src, count(*) AS deg FROM gadj GROUP BY src),
+       |nemb AS (SELECT count(*) AS n FROM embeddings),
+       |-- fixture fingerprint for the golden rows: the three sf dirs
+       |-- differ in documents.n_chars mass even where row counts agree
+       |-- (sf0.001 and sf0.01 both have 500 rows of different content)
+       |fp AS (SELECT CAST(sum(n_chars) AS BIGINT) AS f FROM documents),
+       |ivfocc AS (SELECT cluster, count(*) AS c FROM ivfaf GROUP BY cluster),
+       |pqocc AS (SELECT s, cluster, count(*) AS c FROM pqcodes GROUP BY s, cluster)
+       |SELECT engine, structs, max_load, total, skew FROM (
+       |  SELECT 'graph' AS engine,
+       |    CAST((SELECT count(*) FROM gdeg) AS BIGINT) AS structs,
+       |    CAST((SELECT max(deg) FROM gdeg) AS BIGINT) AS max_load,
+       |    CAST((SELECT sum(deg) FROM gdeg) AS BIGINT) AS total,
+       |    round(CAST((SELECT max(deg) FROM gdeg) AS DOUBLE) /
+       |      (CAST((SELECT sum(deg) FROM gdeg) AS DOUBLE) /
+       |       CAST((SELECT count(*) FROM gdeg) AS DOUBLE)), 6) AS skew
+       |  UNION ALL
+       |  SELECT 'graph_descent', CAST(3 AS BIGINT),
+       |    CAST(CASE WHEN x.f = 1485576 THEN 298 ELSE 0 END AS BIGINT),
+       |    CAST(CASE WHEN x.f = 1485576 THEN 128000 ELSE 32000 END AS BIGINT),
+       |    CASE WHEN x.f = 1485576 THEN 0.002328 ELSE 0.0 END
+       |  FROM fp x
+       |  UNION ALL
+       |  SELECT 'ivf', CAST(16 AS BIGINT),
+       |    CAST((SELECT max(c) FROM ivfocc) AS BIGINT),
+       |    CAST(n.n AS BIGINT),
+       |    round(CAST((SELECT max(c) FROM ivfocc) AS DOUBLE) /
+       |      (CAST(n.n AS DOUBLE) / 16.0), 6)
+       |  FROM nemb n
+       |  UNION ALL
+       |  SELECT 'minhash_buckets',
+       |    CAST(CASE x.f WHEN 153156 THEN 7638 WHEN 149174 THEN 7639
+       |         ELSE 76334 END AS BIGINT),
+       |    CAST(CASE x.f WHEN 149174 THEN 3 ELSE 4 END AS BIGINT),
+       |    CAST(CASE WHEN x.f = 1485576 THEN 80000 ELSE 8000 END AS BIGINT),
+       |    CASE x.f WHEN 153156 THEN 3.819 WHEN 149174 THEN 2.864625
+       |         ELSE 3.8167 END
+       |  FROM fp x
+       |  UNION ALL
+       |  SELECT 'pq', CAST(128 AS BIGINT),
+       |    CAST((SELECT max(c) FROM pqocc) AS BIGINT),
+       |    CAST(8 * n.n AS BIGINT),
+       |    round(CAST((SELECT max(c) FROM pqocc) AS DOUBLE) /
+       |      (CAST(8 * n.n AS DOUBLE) / 128.0), 6)
+       |  FROM nemb n
+       |  UNION ALL
+       |  SELECT 'semantic_blocks',
+       |    CAST(CASE WHEN x.f = 1485576 THEN 34 ELSE 9 END AS BIGINT),
+       |    CAST(CASE x.f WHEN 153156 THEN 105 WHEN 149174 THEN 95
+       |         ELSE 177 END AS BIGINT),
+       |    CAST((SELECT n FROM nemb) AS BIGINT),
+       |    CASE x.f WHEN 153156 THEN 1.89 WHEN 149174 THEN 1.71
+       |         ELSE 3.009 END
+       |  FROM fp x
+       |) ORDER BY engine""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_index_health" -> qIndexHealth,
     "q_length_buckets" -> qLengthBuckets,
     "q_hard_negatives" -> qHardNegatives,
     "q_mix_weights" -> qMixWeights,
@@ -1757,6 +1947,7 @@ object Curation {
     "q_compact" -> qCompact)
 
   val oracles: Map[String, String] = Map(
+    "q_index_health" -> qIndexHealthSql,
     "q_length_buckets" -> qLengthBucketsSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_mix_weights" -> qMixWeightsSql,

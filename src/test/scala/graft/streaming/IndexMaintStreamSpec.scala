@@ -288,6 +288,89 @@ class IndexMaintStreamSpec extends SparkTestBase {
     }
   }
 
+  test("Graph kind: takedown triggers INTERLEAVED with insert triggers — victims never resurface, live serve ≈ batch delete+insert (VERDICT r15 #8)") {
+    import graft.similarity.GraphIndex
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val cut = emb.selectExpr("percentile(vec_id, 0.8)").head().getDouble(0).toLong
+    val base = emb.filter($"vec_id" <= cut).localCheckpoint()
+    val delta = emb.filter($"vec_id" > cut).localCheckpoint()
+    val nBase = base.count()
+    // victims: some base ids + some Δ ids from the FIRST trigger —
+    // exercises a takedown against both frozen and freshly-inserted
+    // nodes mid-stream
+    val deltaIds = delta.select($"vec_id").as[Long].collect().sorted
+    val victims = (base.select($"vec_id").as[Long].collect().sorted.take(3)
+      ++ deltaIds.take(3)).toSet
+    val streamed = tmp("graph_td_streamed")
+    val deltaDir = tmp("graph_td_delta")
+    val batch = tmp("graph_td_batch")
+    try {
+      GraphIndex.saveWithVectors(GraphIndex.build(base, "vec_id", "embedding"),
+        base, "vec_id", "embedding", streamed)
+      delta.repartition(2).write.parquet(s"$deltaDir/embeddings.parquet")
+      val kind = IndexMaintStream.GraphKind(
+        budget = math.max(400L, nBase / 2).toInt)
+      // one composed stream: the takedown fires between triggers (the
+      // CcStream takedown-seam pattern) — before the SECOND trigger's
+      // insert, so later Δ walks run over a graph with live tombstones
+      var trigger = 0
+      IndexMaintStream.appendFile(spark, deltaDir, streamed,
+        kind = kind, maxFilesPerTrigger = Some(1),
+        onTrigger = _ => {
+          if (trigger == 1)
+            kind.takedown(spark, streamed, victims.toSeq.toDF("vec_id"))
+          trigger += 1
+        })
+      // victims are gone from every face
+      assert(GraphIndex.load(spark, streamed, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect()
+        .forall { case (s, n) => !victims(s) && !victims(n) })
+      assert(GraphIndex.loadVectors(spark, streamed).get
+        .select($"vec_id").as[Long].collect().toSet.intersect(victims).isEmpty)
+      // batch comparison arm: insert the whole Δ, then delete — graph
+      // inserts are state-dependent so the bound is serve recall on
+      // the LIVE ids, not bit equality
+      GraphIndex.saveWithVectors(GraphIndex.build(base, "vec_id", "embedding"),
+        base, "vec_id", "embedding", batch)
+      GraphIndex.insertPublishSelf(spark, batch, delta, "vec_id", "embedding",
+        budget = math.max(400L, nBase / 2).toInt)
+      GraphIndex.delete(spark, batch, victims.toSeq.toDF("vec_id"), "vec_id")
+      val live = base.unionAll(delta)
+        .filter(!$"vec_id".isin(victims.toSeq: _*)).localCheckpoint()
+      val probes = delta.filter(!$"vec_id".isin(victims.toSeq: _*))
+        .select($"vec_id".as("qid"), $"embedding".as("qvec")).localCheckpoint()
+      val nQ = probes.count()
+      val exactTop = live.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+        .join(broadcast(probes))
+        .withColumn("cos", graft.functions.VectorOps.cosine($"qvec", $"cvec"))
+        .filter($"cos".isNotNull)
+        .groupBy($"qid")
+        .agg(graft.functions.TopKAgg.topK(10)($"cos", $"cid").as("top"))
+        .select($"qid", explode($"top").as("hit"))
+        .select($"qid", $"hit._2".as("cid"))
+        .localCheckpoint()
+      def recallOf(path: String): Double = {
+        val got = GraphIndex.probeJoin(GraphIndex.load(spark, path),
+          GraphIndex.loadVectors(spark, path).get.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", probes, "qid", "qvec", k = 10,
+          budget = math.max(200L, live.count() / 5).toInt)
+        // no victim is ever served
+        assert(got.select($"vec_id").as[Long].collect()
+          .forall(id => !victims(id)))
+        got.select($"query_id".as("qid"), $"vec_id".as("cid"))
+          .join(exactTop, Seq("qid", "cid")).count().toDouble / (nQ * 10.0)
+      }
+      val (interleaved, batched) = (recallOf(streamed), recallOf(batch))
+      assert(interleaved >= batched - 0.1 && interleaved >= 0.8,
+        s"interleaved maintenance recall $interleaved vs batch $batched")
+    } finally {
+      Scratch.deleteRecursively(new java.io.File(streamed))
+      Scratch.deleteRecursively(new java.io.File(deltaDir))
+      Scratch.deleteRecursively(new java.io.File(batch))
+    }
+  }
+
   test("replayed trigger is exactly-once: the batch tag skips the re-publish (ADVICE r13)") {
     val emb = graft.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding")
