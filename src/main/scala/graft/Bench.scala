@@ -93,8 +93,16 @@ object Bench {
     // if the next pass would cross it, stop with the passes done.
     val suitePasses = sys.env.getOrElse("SPARK_GRAFT_SUITE_PASSES", "3")
       .toInt.max(1)
-    val passGapSec = sys.env.getOrElse("SPARK_GRAFT_PASS_GAP_SEC", "45").toInt
-    val maxWallSec = sys.env.getOrElse("SPARK_GRAFT_MAX_WALL_SEC", "1500").toInt
+    // pass gap: 5 MINUTES, not seconds (VERDICT r15 what's-wrong #2).
+    // The r15 min-of-3 ran its passes back-to-back (45 s gaps) inside
+    // ONE contended host window — pass load medians 3.4–4.0 across all
+    // three — so the min inherited the window's inflation and 15
+    // code-untouched queries stayed over 2× floor. Host contention
+    // epochs on this box run minutes-to-tens-of-minutes (the
+    // tools/floors.py lesson, PERF_NOTES r14): passes must STRADDLE
+    // epochs for the min to dodge them.
+    val passGapSec = sys.env.getOrElse("SPARK_GRAFT_PASS_GAP_SEC", "300").toInt
+    val maxWallSec = sys.env.getOrElse("SPARK_GRAFT_MAX_WALL_SEC", "2700").toInt
     // timing per suite pass = min over SPARK_GRAFT_RUNS measured
     // passes (default 1 when several suite passes already sample each
     // query; 2 for a single-suite-pass run): local[n] timings at this
@@ -120,8 +128,16 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
     val passLoads = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // this suite pass's loadavgs, in timing order — the per-pass hint
+    // must come from THIS pass's samples alone (ADVICE r15 #1: deriving
+    // it from passLoads.values.flatten interleaved other passes'
+    // samples per key, so the published per-pass contention attribution
+    // mixed windows)
+    val passLoadBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
     def timedPass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      passLoads(name) = passLoads.getOrElse(name, Vector.empty) :+ loadAvg()
+      val l = loadAvg()
+      passLoads(name) = passLoads.getOrElse(name, Vector.empty) :+ l
+      passLoadBuf += l
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -185,15 +201,15 @@ object Bench {
           f"after $passGapSec s gap (elapsed $elapsedSec%.0f s, load ${loadAvg()}%.2f)")
         Thread.sleep(passGapSec * 1000L)
       }
-      val loadsBefore = passLoads.values.map(_.size).sum
+      passLoadBuf.clear()
       val t0 = System.nanoTime()
       val r = suitePass()
       lastPassSec = (System.nanoTime() - t0) / 1e9
       passResults += r
       val passTotal = r.map(_._2).filter(_ >= 0.0).sum
-      // this pass's load hint: the loadavgs its timed passes recorded
-      val passL = passLoads.values.flatten.drop(loadsBefore)
-        .filter(_ >= 0.0).toSeq.sorted
+      // this pass's load hint: exactly the loadavgs ITS timed passes
+      // recorded, captured in the per-pass buffer
+      val passL = passLoadBuf.filter(_ >= 0.0).toSeq.sorted
       val lh = if (passL.isEmpty) "[]"
         else f"[${passL.head}%.2f,${passL(passL.size / 2)}%.2f,${passL.last}%.2f]"
       passSummaries +=

@@ -100,6 +100,31 @@ object GraphIndex {
     */
   val DefaultServeDegreeCap = 64
 
+  /** Beam-escalation ceiling for the stall-adaptive walk (see
+    * [[searchCandidates]]): a stalled walk's beam doubles per round up
+    * to this, bounding the per-round expansion fan-out at
+    * maxBeam × degree^hops candidate rows per query.
+    */
+  val MaxEscalatedBeam = 256
+
+  /** One deterministic beam-escalation step, shared verbatim by the
+    * single-probe and batched walk faces (their parity is
+    * spec-pinned): a round that visited fewer than 16 × beam new
+    * nodes is STALLING — its frontier's neighborhoods mostly re-reach
+    * already-visited nodes (the dense-cluster regime a drifted Δ
+    * creates: the r16 20× drift rehearsal measured a degree-capped
+    * post-drift serve STILL 4× the fresh wall because walks crawled
+    * toward their budget across ~64 driver rounds of tiny progress) —
+    * so the next round expands twice the frontier for the SAME
+    * per-round fixed driver cost, the term that dominates the serve
+    * wall. Healthy walks (growth ≥ 16 × beam — a fresh build's
+    * near-disjoint neighborhoods) never escalate, so their semantics
+    * are untouched until the budget-tail rounds.
+    */
+  private def escalateBeam(beam: Int, growth: Long): Int =
+    if (growth < beam.toLong * 16) math.min(beam * 2, MaxEscalatedBeam)
+    else beam
+
   /** Deterministic ring edges (forward direction only): node at md5
     * position p links to positions (p + off) % n for each `off`.
     * Positions come from [[graft.operators.PrefixScan]] — a
@@ -595,9 +620,13 @@ object GraphIndex {
     val expanded = scala.collection.mutable.HashSet.empty[Long]
     var round = 0
     var exhausted = false
+    // stall-adaptive beam ([[escalateBeam]]): doubles whenever a
+    // round's progress falls under 16 × beam, so dense-cluster walks
+    // reach their budget in O(log) rounds instead of crawling
+    var curBeam = beam
     while (visited.size < budget && !exhausted && round < maxRounds) {
       val frontier = visited.toSeq.filterNot(p => expanded(p._1))
-        .sortBy { case (id, c) => (-c, id) }.take(beam).map(_._1)
+        .sortBy { case (id, c) => (-c, id) }.take(curBeam).map(_._1)
       if (frontier.isEmpty) exhausted = true
       else {
         val newly = scala.collection.mutable.LinkedHashSet.empty[Long]
@@ -615,6 +644,7 @@ object GraphIndex {
           h += 1
         }
         score(newly.toSeq).foreach { case (id, c) => visited(id) = c }
+        curBeam = escalateBeam(curBeam, newly.size.toLong)
       }
       round += 1
     }
@@ -697,6 +727,12 @@ object GraphIndex {
         .withColumn("_exp", lit(false)), None)
     var round = 0
     var anyActive = true
+    // per-query stall-adaptive beam — the [[escalateBeam]] trajectory,
+    // driven by the same per-round visited growth the single-probe
+    // face sees (growth = Δ of the stats collect's per-query count)
+    val beamOf = scala.collection.mutable.HashMap.empty[Long, Int]
+    qIds.foreach(q => beamOf(q) = beam)
+    val prevN = scala.collection.mutable.HashMap.empty[Long, Long]
     while (anyActive && round < maxRounds) {
       // ONE driver job: per-query visited count + unexpanded count —
       // the budget check AND the exhaustion check together
@@ -704,12 +740,19 @@ object GraphIndex {
         .agg(count(lit(1)).as("_n"),
           sum(when(col("_exp"), 0L).otherwise(1L)).as("_u"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      stats.foreach { case (qid, nV, _) =>
+        prevN.get(qid).foreach(p =>
+          beamOf(qid) = escalateBeam(beamOf(qid), nV - p))
+        prevN(qid) = nV
+      }
       val active = stats.collect {
         case (qid, n, u) if n < budget && u > 0 => qid
       }.sorted
       anyActive = active.nonEmpty
       if (anyActive) {
         val activeDf = broadcast(active.toSeq.toDF("query_id"))
+        val beamDf = broadcast(active.toSeq.map(q => (q, beamOf(q)))
+          .toDF("query_id", "_bm"))
         val wBeam = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
           .orderBy(col("_c").desc, col(idCol).asc)
@@ -717,7 +760,8 @@ object GraphIndex {
           .filter(!col("_exp"))
           .join(activeDf, Seq("query_id"), "left_semi")
           .withColumn("_rn", row_number().over(wBeam))
-          .filter(col("_rn") <= beam)
+          .join(beamDf, Seq("query_id"))
+          .filter(col("_rn") <= col("_bm"))
           .select(col("query_id"), col(idCol))
         // hops-deep expansion inside ONE round plan: level h's new
         // ids are the adjacency image of level h-1, minus everything
