@@ -1156,10 +1156,12 @@ object TrainingData {
     * engine (VERDICT r12 next-round #7), same contract as
     * q_sim_ivf / q_sim_pq / q_sim_mrl: the query RUNS the full
     * navigable-graph pipeline ([[graft.similarity.GraphIndex]]:
-    * deterministic NN-DESCENT approximate-kNN + md5-ring adjacency —
-    * the scale-safe default build since r14; the exact-kNN build is
-    * the test-scale contrast arm — multi-entry
-    * best-first beam expansion, exact re-rank of the visited set),
+    * the SIZE-ADAPTIVE default build (r16 — exact kNN below 65,536
+    * rows where NN-descent's fixed round cost dominates; the
+    * convergence-driven NN-descent above, which q_index_health's
+    * graph_descent row keeps hash-checked) + md5-ring adjacency,
+    * multi-entry best-first beam expansion, exact re-rank of the
+    * visited set),
     * gates recall@10 ≥ 0.8 against the exact scan in-query, then
     * emits the exact ranking so the driver can hash-check it
     * (q_sim_ivf's oracle SQL verbatim — one restatement, FOUR ANN
@@ -1175,9 +1177,12 @@ object TrainingData {
       .select(col("vec_id"), col("embedding")).cache()
     try {
       val qv = queryVec(s, d)
-      // the NN-descent build scans emb ~2× per round — emb stays cached
+      // the size-adaptive build (r16: routes to the exact build below
+      // 65,536 rows — fixture corpora sit under it; the NN-descent
+      // branch is hash-checked by q_index_health's graph_descent row
+      // and plan/recall-pinned by GraphBuildPlanSpec/GraphServeCapSpec);
+      // the emitted adjacency is already snapshot-persisted by build()
       val adj = GraphIndex.build(emb, "vec_id", "embedding")
-        .localCheckpoint() // the walk probes it once per round
       val budget = math.max(200L, emb.count() / 5).toInt
       val graphIds = GraphIndex.searchCandidates(adj, emb,
         "vec_id", "embedding", qv, budget).toSet
