@@ -68,6 +68,37 @@ object Snapshots {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd, matched)
   }
 
+  /** [[checkpointRound]] fused with a per-KEY (rows, flag-misses)
+    * aggregate computed in the SAME materializing job — for iterative
+    * dataflows whose per-round driver decision is keyed (the graph
+    * probeJoin's per-query budget/exhaustion/escalation check): one
+    * job snapshots the round AND returns, per key, the row count and
+    * the count of rows whose `flag` is FALSE. The fold over
+    * per-partition maps touches every partition, so the checkpoint is
+    * fully materialized before the superseded round frees. The key
+    * domain must be BOUNDED (the map is driver-merged).
+    */
+  def checkpointRoundKeyed(df: DataFrame, prev: Option[RDD[Row]],
+      key: Row => Long, flag: Row => Boolean)
+      : (DataFrame, RDD[Row], Map[Long, (Long, Long)]) = {
+    val rdd = df.rdd.localCheckpoint()
+    val stats = rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+      it.foreach { r =>
+        val k = key(r); val (n, u) = m.getOrElse(k, (0L, 0L))
+        m(k) = (n + 1, if (flag(r)) u else u + 1)
+      }
+      Iterator(m.toMap)
+    }.fold(Map.empty[Long, (Long, Long)]) { (a, b) =>
+      b.foldLeft(a) { case (acc, (k, (n, u))) =>
+        val (pn, pu) = acc.getOrElse(k, (0L, 0L))
+        acc.updated(k, (pn + n, pu + u))
+      }
+    }
+    prev.foreach(_.unpersist(blocking = false))
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, stats)
+  }
+
   /** [[persistRound]] fused with a convergence metric: the
     * materializing action is `rdd.filter(pred).count()`, which fully
     * computes (and therefore caches) every partition of the snapshot

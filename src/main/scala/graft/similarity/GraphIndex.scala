@@ -101,11 +101,13 @@ object GraphIndex {
   val DefaultServeDegreeCap = 64
 
   /** Beam-escalation ceiling for the stall-adaptive walk (see
-    * [[searchCandidates]]): a stalled walk's beam doubles per round up
-    * to this, bounding the per-round expansion fan-out at
-    * maxBeam × degree^hops candidate rows per query.
+    * [[searchCandidates]]): a stalled walk's beam jumps up to this,
+    * bounding the per-round expansion fan-out at
+    * maxBeam × degree^hops candidate rows per query (1024 × 64² ≈ 4M
+    * pre-distinct join rows — distributed work, bounded and cheap
+    * next to a saved driver round).
     */
-  val MaxEscalatedBeam = 256
+  val MaxEscalatedBeam = 1024
 
   /** One deterministic beam-escalation step, shared verbatim by the
     * single-probe and batched walk faces (their parity is
@@ -114,16 +116,23 @@ object GraphIndex {
     * already-visited nodes (the dense-cluster regime a drifted Δ
     * creates: the r16 20× drift rehearsal measured a degree-capped
     * post-drift serve STILL 4× the fresh wall because walks crawled
-    * toward their budget across ~64 driver rounds of tiny progress) —
-    * so the next round expands twice the frontier for the SAME
-    * per-round fixed driver cost, the term that dominates the serve
-    * wall. Healthy walks (growth ≥ 16 × beam — a fresh build's
-    * near-disjoint neighborhoods) never escalate, so their semantics
-    * are untouched until the budget-tail rounds.
+    * toward their budget across ~64 driver rounds of tiny progress).
+    * The next round's frontier JUMPS to the width the remaining
+    * budget needs at the observed per-unit-beam yield (not a single
+    * doubling — each extra round costs a fixed driver job, the term
+    * that dominates the serve wall), clamped to [2×, 64×] per step
+    * and [[MaxEscalatedBeam]] overall. Healthy walks (growth ≥ 16 ×
+    * beam — a fresh build's near-disjoint neighborhoods) never
+    * escalate, so their semantics are untouched until the budget-tail
+    * rounds.
     */
-  private def escalateBeam(beam: Int, growth: Long): Int =
-    if (growth < beam.toLong * 16) math.min(beam * 2, MaxEscalatedBeam)
-    else beam
+  private def escalateBeam(beam: Int, growth: Long, remaining: Long): Int =
+    if (remaining <= 0 || growth >= beam.toLong * 16) beam
+    else {
+      val factor = math.min(64L, math.max(2L,
+        remaining / math.max(growth, 1L)))
+      math.min(MaxEscalatedBeam.toLong, beam.toLong * factor).toInt
+    }
 
   /** Deterministic ring edges (forward direction only): node at md5
     * position p links to positions (p + off) % n for each `off`.
@@ -644,7 +653,8 @@ object GraphIndex {
           h += 1
         }
         score(newly.toSeq).foreach { case (id, c) => visited(id) = c }
-        curBeam = escalateBeam(curBeam, newly.size.toLong)
+        curBeam = escalateBeam(curBeam, newly.size.toLong,
+          budget.toLong - visited.size)
       }
       round += 1
     }
@@ -717,11 +727,20 @@ object GraphIndex {
           coalesce(cos(col(vecCol), col("_qv")), lit(-1.0)).as("_c"))
     val entry = entryPoints(emb, idCol, entries)
     // one state table: (query_id, id, _c, _exp) — _exp marks nodes
-    // whose neighbors were already followed. Round snapshots through
-    // Snapshots.persistRound so each superseded round's blocks FREE
-    // (a localCheckpoint per round is unreleasable through the
-    // Dataset handle and accumulates across a long probe stream)
-    var (state, stateRdd) = graft.operators.Snapshots.checkpointRound(
+    // whose neighbors were already followed. Each round materializes
+    // through ONE fused job (Snapshots.checkpointRoundKeyed): the
+    // snapshot — releasable blocks, truncated lineage — AND the
+    // per-query (visited, unexpanded) stats the budget / exhaustion /
+    // escalation decisions read, so a round pays a single driver job
+    // of fixed cost (the term that dominates the serve wall)
+    def snap(df: DataFrame,
+        prev: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
+      val qi = df.schema.fieldIndex("query_id")
+      val ei = df.schema.fieldIndex("_exp")
+      graft.operators.Snapshots.checkpointRoundKeyed(df, prev,
+        r => r.getLong(qi), r => r.getBoolean(ei))
+    }
+    var (state, stateRdd, statsMap) = snap(
       score(qIds.toSeq.flatMap(qid => entry.map(e => (qid, e)))
         .toDF("query_id", idCol))
         .withColumn("_exp", lit(false)), None)
@@ -729,24 +748,18 @@ object GraphIndex {
     var anyActive = true
     // per-query stall-adaptive beam — the [[escalateBeam]] trajectory,
     // driven by the same per-round visited growth the single-probe
-    // face sees (growth = Δ of the stats collect's per-query count)
+    // face sees (growth = Δ of the per-query visited count)
     val beamOf = scala.collection.mutable.HashMap.empty[Long, Int]
     qIds.foreach(q => beamOf(q) = beam)
     val prevN = scala.collection.mutable.HashMap.empty[Long, Long]
     while (anyActive && round < maxRounds) {
-      // ONE driver job: per-query visited count + unexpanded count —
-      // the budget check AND the exhaustion check together
-      val stats = state.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("_n"),
-          sum(when(col("_exp"), 0L).otherwise(1L)).as("_u"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      stats.foreach { case (qid, nV, _) =>
+      statsMap.foreach { case (qid, (nV, _)) =>
         prevN.get(qid).foreach(p =>
-          beamOf(qid) = escalateBeam(beamOf(qid), nV - p))
+          beamOf(qid) = escalateBeam(beamOf(qid), nV - p, budget.toLong - nV))
         prevN(qid) = nV
       }
-      val active = stats.collect {
-        case (qid, n, u) if n < budget && u > 0 => qid
+      val active = statsMap.toSeq.collect {
+        case (qid, (n, u)) if n < budget && u > 0 => qid
       }.sorted
       anyActive = active.nonEmpty
       if (anyActive) {
@@ -794,9 +807,8 @@ object GraphIndex {
           .select(col("query_id"), col(idCol), col("_c"),
             (col("_exp") || col("_f").isNotNull).as("_exp"))
           .unionAll(scored)
-        val (df, rdd) = graft.operators.Snapshots.checkpointRound(
-          next, Some(stateRdd))
-        state = df; stateRdd = rdd
+        val (df, rdd, st) = snap(next, Some(stateRdd))
+        state = df; stateRdd = rdd; statsMap = st
       }
       round += 1
     }
@@ -1228,6 +1240,37 @@ object GraphIndex {
       .toDF(idCol, vecCol)
     insertPublish(spark, path, corpus, newVectors, idCol, vecCol, m,
       budget, entries, beam, tag = tag)
+  }
+
+  /** The operational RETRAIN face for a vector-carrying artifact —
+    * what the skewRatio/convergence cadence triggers call: WARM-START
+    * NN-descent ([[buildWarmWithStats]]) seeded from the artifact's
+    * own current adjacency (raw view — every stored edge is seed
+    * evidence) over its own current corpus ([[loadVectors]], so
+    * tombstoned ids are already absent and the rebuild FOLDS deletes
+    * — the published generation starts with a clean sidecar), then
+    * one atomic generation publish with the fresh convergence stats.
+    * `freshIds` narrows round-1's local join to the neighborhoods
+    * that actually changed (pass the ids inserted since the last
+    * build); None = full-strength refinement from the warm init.
+    * Serving reads keep resolving the previous generation until the
+    * commit marker lands.
+    */
+  def rebuildPublish(spark: SparkSession, path: String,
+      freshIds: Option[DataFrame] = None, m: Int = 16, iters: Int = 10,
+      maxList: Int = 64, skips: Seq[Int] = Seq(1, 2, 4, 8, 16, 32),
+      convergeTol: Double = 0.02): Seq[BuildRound] = {
+    val corpus = loadVectors(spark, path).getOrElse(throw
+      new IllegalStateException(
+        s"graph artifact at $path carries no vectors (vec_dirs) — " +
+          "rebuildPublish needs the corpus in the artifact; use " +
+          "buildWarmWithStats + saveWithVectors with an explicit corpus"))
+    val idCol = corpus.columns(0); val vecCol = corpus.columns(1)
+    val seed = load(spark, path, maxDegree = 0)
+    val (adj, stats) = buildWarmWithStats(corpus, idCol, vecCol, seed,
+      freshIds, m, iters, maxList, skips, convergeTol)
+    saveWithVectors(adj, corpus, idCol, vecCol, path, stats)
+    stats
   }
 
   /** Per-round convergence stats committed with the artifact

@@ -97,6 +97,54 @@ class GraphServeCapSpec extends SparkTestBase {
     assert(dEdges.forall { case (s, n) => dEdges((n, s)) })
   }
 
+  test("rebuildPublish: one-call warm retrain over the artifact — folds tombstones, commits fresh convergence, atomic generation") {
+    val path = java.nio.file.Files.createTempDirectory("graph_rbp").toString
+    try {
+      val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+      val (adj0, stats0) = GraphIndex.buildWithStats(emb, "vec_id", "embedding")
+      GraphIndex.saveWithVectors(adj0, emb, "vec_id", "embedding", path, stats0)
+      // drift it: one insert batch + a takedown
+      val delta = emb.filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + lit(maxId + 1)).as("vec_id"),
+          transform($"embedding", x => x * lit(0.6f) + lit(0.4f))
+            .as("embedding")).localCheckpoint()
+      GraphIndex.insertPublishSelf(spark, path, delta, "vec_id", "embedding",
+        budget = 200)
+      val victims = emb.select($"vec_id").as[Long].collect().sorted.take(5).toSet
+      GraphIndex.delete(spark, path, victims.toSeq.toDF("vec_id"), "vec_id")
+      val genBefore = graft.tools.Artifacts.requireGen(spark, path)
+      val stats = GraphIndex.rebuildPublish(spark, path,
+        freshIds = Some(delta.select($"vec_id")))
+      val gen = graft.tools.Artifacts.requireGen(spark, path)
+      assert(gen != genBefore, "rebuildPublish did not publish a generation")
+      // converged by tolerance, committed with the artifact
+      assert(stats.nonEmpty && stats.last.freshFraction <= 0.02)
+      assert(GraphIndex.buildRounds(spark, path) == stats)
+      // deletes FOLDED: clean sidecar, victims absent from both faces
+      assert(graft.tools.Artifacts.tombstoneFiles(spark, gen).isEmpty,
+        "rebuildPublish carried the tombstone sidecar instead of folding it")
+      val vecIds = GraphIndex.loadVectors(spark, path).get
+        .select($"vec_id").as[Long].collect().toSet
+      assert(vecIds.intersect(victims).isEmpty)
+      assert(vecIds.size == emb.count() + delta.count() - victims.size)
+      assert(GraphIndex.load(spark, path, maxDegree = 0)
+        .select("src", "nb").as[(Long, Long)].collect()
+        .forall { case (s, n) => !victims(s) && !victims(n) })
+      // retrained serve reaches the recall gate on the live corpus
+      val live = GraphIndex.loadVectors(spark, path).get
+        .toDF("vec_id", "embedding").localCheckpoint()
+      val qv = live.orderBy($"vec_id".desc).limit(1)
+        .select("embedding").as[Seq[Float]].head()
+      val budget = math.max(200L, live.count() / 5).toInt
+      val got = GraphIndex.topK(GraphIndex.load(spark, path), live,
+        "vec_id", "embedding", qv, k = 10, budget = budget)
+        .select("vec_id").as[Long].collect().toSet
+      val brute = Similarity.bruteForceTopK(live, "vec_id", "embedding",
+        qv, 10).select("vec_id").as[Long].collect().toSet
+      assert(got.intersect(brute).size / 10.0 >= 0.8)
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
+  }
+
   test("warm-start rebuild: seeded descent converges by tolerance, serves within 0.1 recall of a cold rebuild (VERDICT r15 #7)") {
     val maxId = emb.agg(max($"vec_id")).head().getLong(0)
     val delta = emb.filter($"vec_id" % 5 === 0)
