@@ -1139,11 +1139,14 @@ object ScaleRehearsal {
       .select(col("vec_id"), col("embedding")).cache()
     try {
       val nB = base.count(); val nS = scaled.count()
-      def timed(f: () => DataFrame): (Double, DataFrame) = {
+      def timed(label: String)(f: () => DataFrame): (Double, DataFrame) = {
+        println(s"[scale] graphbuild: $label start")
         val t0 = System.nanoTime()
         val adj = f().localCheckpoint()
         adj.count()
-        ((System.nanoTime() - t0) / 1e9, adj)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] graphbuild: $label done in $t%.1f s")
+        (t, adj)
       }
       // exactThreshold = 0 forces the DESCENT branch: since r16 the
       // default build() dispatches to buildExact below 65,536 rows
@@ -1151,16 +1154,16 @@ object ScaleRehearsal {
       // crossover evidence: exact is ~100× cheaper at n=2,000 and
       // still ~4× cheaper at n=40,000), so pricing the descent arm
       // requires forcing it
-      val (ndB, _) = timed(() => GraphIndex.build(base, "vec_id",
+      val (ndB, _) = timed("nd-base")(() => GraphIndex.build(base, "vec_id",
         "embedding", exactThreshold = 0L))
-      val (ndS, adjNd) = timed(() => GraphIndex.build(scaled, "vec_id",
+      val (ndS, adjNd) = timed("nd-scaled")(() => GraphIndex.build(scaled, "vec_id",
         "embedding", exactThreshold = 0L))
-      val (exB, _) = timed(() => GraphIndex.buildExact(base, "vec_id", "embedding"))
-      val (exS, adjEx) = timed(() => GraphIndex.buildExact(scaled, "vec_id", "embedding"))
+      val (exB, _) = timed("exact-base")(() => GraphIndex.buildExact(base, "vec_id", "embedding"))
+      val (exS, adjEx) = timed("exact-scaled")(() => GraphIndex.buildExact(scaled, "vec_id", "embedding"))
       // the DISPATCHED default — what a production build() call pays at
       // each size (routes to exact at both of these sizes; the descent
       // branch takes over past the 65,536-row threshold)
-      val (dpB, _) = timed(() => GraphIndex.build(base, "vec_id", "embedding"))
+      val (dpB, _) = timed("dispatched-base")(() => GraphIndex.build(base, "vec_id", "embedding"))
       val k = nS.toDouble / nB
       sb ++= f"| build | base s (n=$nB%,d) | scale s (n=$nS%,d, ${k}%.0f×) | x |\n|---|---|---|---|\n"
       sb ++= f"| NN-descent (forced: the >65,536-row branch) | $ndB%.1f | $ndS%.1f | ${ndS / ndB}%.1f |\n"
@@ -1240,7 +1243,7 @@ object ScaleRehearsal {
           }
         }
       for ((it, ml) <- arms) {
-        val (tA, adjA) = timed(() =>
+        val (tA, adjA) = timed(s"arm-${it}x$ml")(() =>
           GraphIndex.build(scaled, "vec_id", "embedding", iters = it,
             maxList = ml, exactThreshold = 0L))
         val (r, tP) = recallOf(adjA, opBudget)

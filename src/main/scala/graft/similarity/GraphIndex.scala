@@ -375,9 +375,40 @@ object GraphIndex {
     // FINAL round stays persisted — the emitted adjacency reads it.
     val init = topMEdges(scorePairs(initUndir, vecs), buildK)
       .withColumn("_new", lit(true))
-    val (b, bRdd, stats) = runDescent(init, vecs, buildK, maxList, iters,
-      convergeTol)
-    (emitScored(b, bRdd, ring, vecs, m), stats)
+    descentShuffleScope(emb.sparkSession, n, maxList) {
+      val (b, bRdd, stats) = runDescent(init, vecs, buildK, maxList, iters,
+        convergeTol)
+      (emitScored(b, bRdd, ring, vecs, m), stats)
+    }
+  }
+
+  /** Scope the descent's shuffle width to its PAIR volume: round 1
+    * proposes up to n·maxList²/2 scored pairs (82M at the 20×
+    * rehearsal's n=40k), and pushing that through the session default
+    * (32 partitions locally) put ~2.5M heavy rows + sort/spill/read-
+    * ahead buffers on each of 32 concurrent tasks — measured
+    * borderline on an 8 GB driver (two of three 20× graphbuild runs
+    * OOM'd in the round-1 TopKAgg; the third passed). Sizing
+    * partitions at ~n/256 (clamped to [session default, 512]) keeps
+    * per-task state bounded as n grows — the same rows-per-task
+    * discipline a 1000-executor run needs, applied locally. AQE
+    * coalesces the later, smaller rounds back down.
+    */
+  private def descentShuffleScope[T](spark: SparkSession, n: Long,
+      maxList: Int)(body: => T): T = {
+    val cur = spark.sessionState.conf.numShufflePartitions
+    val want = math.max(cur, math.min(512L, n / 256L).toInt)
+    if (want == cur) body
+    else {
+      val k = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(k)
+      spark.conf.set(k, want.toString)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
   }
 
   /** The shared NN-descent round loop over an initial (src, nb, _c,
@@ -509,9 +540,11 @@ object GraphIndex {
       buildK)
     val init = cut.join(flagged.select(col("src"), col("nb"), col("_new")),
       Seq("src", "nb"))
-    val (b, bRdd, stats) = runDescent(init, vecs, buildK, maxList, iters,
-      convergeTol)
-    (emitScored(b, bRdd, ring, vecs, m), stats)
+    descentShuffleScope(emb.sparkSession, n, maxList) {
+      val (b, bRdd, stats) = runDescent(init, vecs, buildK, maxList, iters,
+        convergeTol)
+      (emitScored(b, bRdd, ring, vecs, m), stats)
+    }
   }
 
   /** The drop-in build face, SIZE-ADAPTIVE (VERDICT r15 next-round
@@ -570,9 +603,20 @@ object GraphIndex {
     val pairs =
       if (bucketBits <= 0) {
         // left side spread across the cluster: a single-file corpus
-        // would otherwise drive the whole n² compute from 1 partition
+        // would otherwise drive the whole n² compute from 1 partition.
+        // Width is sized by the PAIR volume (~3M pairs per task, min
+        // the default parallelism, capped at 4096): at n=40k the r16
+        // 20× rehearsal measured 32 partitions = 50M pairs per task,
+        // which pushed the downstream TopKAgg into its sort-based
+        // fallback and OOM'd an 8 GB heap 2 runs in 3 — with ~75 src
+        // groups per task the partial agg also stays hash-based
+        // (under the 128-group fallback threshold), so no pair row is
+        // ever sorted at all
+        val parts = math.max(
+          emb.sparkSession.sparkContext.defaultParallelism,
+          math.min(4096L, n * n / 3_000_000L).toInt)
         val l = emb.select(col(idCol).as("src"), col(vecCol).as("_lv"))
-          .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+          .repartition(parts)
         val r = emb.select(col(idCol).as("nb"), col(vecCol).as("_rv"))
         l.crossJoin(if (n <= maxBroadcastRows) broadcast(r) else r)
       } else {
