@@ -1771,6 +1771,7 @@ object TrainingData {
     "q_stream_ann_graph" -> qStreamAnnGraphServe,
     "q_embed_search_ivf" -> qEmbedSearchIvfServe,
     "q_eval_ann" -> Curation.qEvalAnnServe,
+    "q_index_health" -> Curation.qIndexHealthServe,
     "q_zorder_prune" -> Analytics.qZorderPruneServe,
     // inverse of the serve overrides above: the correctness body is
     // CHEAPER than what a user pays (cached merges), so the bench
