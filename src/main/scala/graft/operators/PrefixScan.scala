@@ -43,11 +43,23 @@ object PrefixScan {
     * never splits equal keys across partitions.
     */
   def withCumSums(df: DataFrame, orderCol: String, sumCols: Seq[String],
-      nPartitions: Int = 32): DataFrame = {
+      nPartitions: Int = 32): DataFrame =
+    withCumSumsBy(df, Seq(orderCol), sumCols, nPartitions)
+
+  /** [[withCumSums]] over a COMPOSITE order key: rows are ordered by
+    * `orderCols` lexicographically (range partitioning and the
+    * within-partition window both use the full key), so callers whose
+    * primary order column has ties can append a tiebreaker column
+    * instead of packing a synthetic unique key — e.g. a rank statistic
+    * ordered by (value, id). The combination must be unique per row.
+    */
+  def withCumSumsBy(df: DataFrame, orderCols: Seq[String],
+      sumCols: Seq[String], nPartitions: Int = 32): DataFrame = {
     require(sumCols.nonEmpty, "need at least one column to scan")
+    require(orderCols.nonEmpty, "need at least one order column")
     val spark = df.sparkSession
     val ranged = df
-      .repartitionByRange(nPartitions, col(orderCol))
+      .repartitionByRange(nPartitions, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val partRows = ranged.groupBy(col("__pid"))
@@ -69,7 +81,7 @@ object PrefixScan {
     val offDf = broadcast(
       (0 until nPartitions).map(p => (p, offsets(p)))
         .toDF("__pid", "__off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = ranged.join(offDf, "__pid")
     sumCols.zipWithIndex.foldLeft(joined) { case (d, (c, i)) =>

@@ -863,17 +863,22 @@ object Corpus {
     * expression, no float-reduction ordering anywhere.
     *
     * Scale shape: one map-side-combined per-customer aggregation,
-    * then a rank window over the CUSTOMER domain (not the fact
-    * table) ordered by (spend, custkey) — domain-sized, the
-    * documented trade of any exact rank statistic.
+    * then the rank i = cumulative count over the customer domain
+    * ordered by (spend, custkey), computed by the DISTRIBUTED
+    * two-phase [[graft.operators.PrefixScan]] (the q_ks_test
+    * machinery; VERDICT r16 next-round #6) — one range exchange and
+    * a per-partition window, NEVER a single-partition global
+    * `Window.orderBy`: the customer domain is unbounded at 100 TB
+    * and this was the repo's last unbounded-domain one-task sort.
     */
   private val qGini: Q = (s, d) => {
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
-    val w = Window.orderBy(col("x"), col("o_custkey"))
-    spend
-      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("_one", lit(1L))
+    graft.operators.PrefixScan
+      .withCumSumsBy(spend, Seq("x", "o_custkey"), Seq("_one"))
+      .select(col("x"), col("cum__one").as("i"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).cast("double").as("total"),
         sum((col("i") * col("x")).cast("decimal(38,2)")).cast("double")

@@ -265,7 +265,7 @@ object GraphIndex {
     * per-round update count [[buildWithStats]] terminates on.
     */
   private[similarity] def descentRound(b: DataFrame, vecs: DataFrame,
-      buildK: Int, maxList: Int): DataFrame = {
+      buildK: Int, maxList: Int, width: Int = 0): DataFrame = {
     // undirected view, deduped: (s,n) can arrive from both directions
     // with the same deterministic cosine but different flags — new if
     // EITHER direction is new
@@ -312,8 +312,17 @@ object GraphIndex {
     val fresh = scorePairs(proposed, vecs)
     val cand = fresh.unionAll(
       fresh.select(col("nb").as("src"), col("src").as("nb"), col("_c")))
+    // the merge cut sees the round's full pair volume (round 1: up to
+    // n·maxList²/2 rows) — hash-repartition it by src to `width`
+    // BEFORE the TopKAgg so per-task input stays ~bounded as n grows
+    // (the groupBy reuses the partitioning: no second exchange) —
+    // per-DataFrame sizing instead of mutating the session-global
+    // spark.sql.shuffle.partitions, which a concurrent query on the
+    // same session would observe (ADVICE r16)
+    val mergedIn =
+      b.select(col("src"), col("nb"), col("_c")).unionAll(cand).distinct()
     val merged = topMEdges(
-      b.select(col("src"), col("nb"), col("_c")).unionAll(cand).distinct(),
+      if (width > 0) mergedIn.repartition(width, col("src")) else mergedIn,
       buildK)
     // an edge is new iff it was not in the input list — the flag that
     // drives next round's proposals and this round's update count
@@ -373,43 +382,34 @@ object GraphIndex {
     // this way). persistRoundCounted materializes the round AND counts
     // its fresh edges in ONE job, then frees the superseded round; the
     // FINAL round stays persisted — the emitted adjacency reads it.
-    val init = topMEdges(scorePairs(initUndir, vecs), buildK)
+    val width = descentWidth(emb.sparkSession, n)
+    val init = topMEdges(scorePairs(initUndir, vecs)
+        .repartition(width, col("src")), buildK)
       .withColumn("_new", lit(true))
-    descentShuffleScope(emb.sparkSession, n, maxList) {
-      val (b, bRdd, stats) = runDescent(init, vecs, buildK, maxList, iters,
-        convergeTol)
-      (emitScored(b, bRdd, ring, vecs, m), stats)
-    }
+    val (b, bRdd, stats) = runDescent(init, vecs, buildK, maxList, iters,
+      convergeTol, width)
+    (emitScored(b, bRdd, ring, vecs, m), stats)
   }
 
-  /** Scope the descent's shuffle width to its PAIR volume: round 1
-    * proposes up to n·maxList²/2 scored pairs (82M at the 20×
-    * rehearsal's n=40k), and pushing that through the session default
-    * (32 partitions locally) put ~2.5M heavy rows + sort/spill/read-
-    * ahead buffers on each of 32 concurrent tasks — measured
-    * borderline on an 8 GB driver (two of three 20× graphbuild runs
-    * OOM'd in the round-1 TopKAgg; the third passed). Sizing
-    * partitions at ~n/256 (clamped to [session default, 512]) keeps
-    * per-task state bounded as n grows — the same rows-per-task
-    * discipline a 1000-executor run needs, applied locally. AQE
-    * coalesces the later, smaller rounds back down.
+  /** Width for the descent's merge-cut repartition, sized by PAIR
+    * volume: round 1 proposes up to n·maxList²/2 scored pairs (82M at
+    * the 20× rehearsal's n=40k), and pushing that into a TopKAgg at
+    * the session default (32 partitions locally) put ~2.5M rows per
+    * task through the agg's sort-based fallback — measured borderline
+    * on an 8 GB driver (two of three 20× graphbuild runs OOM'd in the
+    * round-1 TopKAgg; the third passed). ~n/256 partitions (clamped
+    * to [session default, 512]) keeps per-task state bounded as n
+    * grows — the same rows-per-task discipline a 1000-executor run
+    * needs, applied locally. Applied as an EXPLICIT repartition on
+    * the one pair-volume DataFrame per round (see [[descentRound]]),
+    * never by mutating the session-global shuffle-partitions conf: a
+    * streaming maintenance trigger running concurrently on the same
+    * SparkSession must not observe a build's override, and two
+    * overlapping builds must not race a save/restore (ADVICE r16).
     */
-  private def descentShuffleScope[T](spark: SparkSession, n: Long,
-      maxList: Int)(body: => T): T = {
-    val cur = spark.sessionState.conf.numShufflePartitions
-    val want = math.max(cur, math.min(512L, n / 256L).toInt)
-    if (want == cur) body
-    else {
-      val k = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.getOption(k)
-      spark.conf.set(k, want.toString)
-      try body
-      finally prev match {
-        case Some(v) => spark.conf.set(k, v)
-        case None => spark.conf.unset(k)
-      }
-    }
-  }
+  private def descentWidth(spark: SparkSession, n: Long): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(512L, n / 256L).toInt)
 
   /** The shared NN-descent round loop over an initial (src, nb, _c,
     * _new) edge table — [[buildWithStats]] seeds it from ring ∪ LSH
@@ -419,7 +419,7 @@ object GraphIndex {
     * and the per-round convergence stats.
     */
   private def runDescent(init: DataFrame, vecs: DataFrame, buildK: Int,
-      maxList: Int, iters: Int, convergeTol: Double)
+      maxList: Int, iters: Int, convergeTol: Double, width: Int = 0)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
         Seq[BuildRound]) = {
     var (b, bRdd) = graft.operators.Snapshots.checkpointRound(init, None)
@@ -427,7 +427,7 @@ object GraphIndex {
     var round = 1
     var converged = false
     while (round <= iters && !converged) {
-      val next = descentRound(b, vecs, buildK, maxList)
+      val next = descentRound(b, vecs, buildK, maxList, width)
       val newIdx = next.schema.fieldIndex("_new")
       val (df, rdd, freshN) = graft.operators.Snapshots.checkpointRoundCounted(
         next, Some(bRdd), r => r.getBoolean(newIdx))
@@ -502,9 +502,16 @@ object GraphIndex {
     // from `emb` — deletions since the seed was built) drop via two
     // semi-joins, no vectors carried.
     val ids = emb.select(col(idCol).as("_lid")).distinct()
+    // a seed obtained from a CAPPED load carries the -2.0 coalesce
+    // sentinel where the stored score was null (ADVICE r16): any _c
+    // outside the cosine range is not evidence — null it so the pair
+    // is RE-SCORED instead of the sentinel ranking in topMEdges cuts
+    // (and worse, being committed into the new artifact as a score)
     val seedC =
       if (seed.columns.contains("_c"))
-        seed.select(col("src"), col("nb"), col("_c").cast("double"))
+        seed.select(col("src"), col("nb"),
+          when(col("_c").cast("double") < -1.0, lit(null).cast("double"))
+            .otherwise(col("_c").cast("double")).as("_c"))
       else seed.select(col("src"), col("nb"),
         lit(null).cast("double").as("_c"))
     val live = seedC
@@ -540,11 +547,10 @@ object GraphIndex {
       buildK)
     val init = cut.join(flagged.select(col("src"), col("nb"), col("_new")),
       Seq("src", "nb"))
-    descentShuffleScope(emb.sparkSession, n, maxList) {
-      val (b, bRdd, stats) = runDescent(init, vecs, buildK, maxList, iters,
-        convergeTol)
-      (emitScored(b, bRdd, ring, vecs, m), stats)
-    }
+    val width = descentWidth(emb.sparkSession, n)
+    val (b, bRdd, stats) = runDescent(init, vecs, buildK, maxList, iters,
+      convergeTol, width)
+    (emitScored(b, bRdd, ring, vecs, m), stats)
   }
 
   /** The drop-in build face, SIZE-ADAPTIVE (VERDICT r15 next-round
@@ -937,7 +943,8 @@ object GraphIndex {
     * explicitly.
     */
   def saveWithVectors(adj: DataFrame, vectors: DataFrame, idCol: String,
-      vecCol: String, path: String, stats: Seq[BuildRound] = Nil): Unit = {
+      vecCol: String, path: String, stats: Seq[BuildRound] = Nil,
+      tag: Option[String] = None): Unit = {
     val spark = adj.sparkSession
     val pool = graft.tools.Artifacts.newPoolDir(path)
     adj.write.mode("overwrite").parquet(pool)
@@ -945,7 +952,7 @@ object GraphIndex {
     vectors.select(col(idCol), col(vecCol))
       .write.mode("overwrite").parquet(vpool)
     publishGen(spark, path, Seq(pool), vecDirs = Some(Seq(vpool)),
-      stats = stats)
+      stats = stats, tag = tag)
   }
 
   /** One generation publish: adjacency (+ optional vector) manifests,
@@ -1070,7 +1077,20 @@ object GraphIndex {
     }
     // a fully score-less (pre-r16) artifact carries no ranking
     // evidence — cutting on it would drop arbitrary edges
-    if (anyScored) capDegree(live, maxDegree) else live
+    if (!anyScored || maxDegree <= 0) live
+    else {
+      // one-aggregate guard (VERDICT r16 next-round #2): when no list
+      // exceeds the cap — every FRESH build, whose degree is ~m·2 +
+      // ring·2 ≈ 44 — the cut is a no-op, but a lazy capDegree view
+      // would re-run its TopKAgg on every downstream walk round; one
+      // cheap degree aggregate here lets such reads serve the RAW
+      // pushdown-filtered scan instead. Maintenance-grown artifacts
+      // (some degree > cap) pay the cap as before.
+      val maxDeg = live.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+        .agg(max(col("_d"))).collect()(0)
+      if (!maxDeg.isNullAt(0) && maxDeg.getLong(0) <= maxDegree) live
+      else capDegree(live, maxDegree)
+    }
   }
 
   /** The committed corpus vectors, when the artifact carries them
@@ -1128,15 +1148,23 @@ object GraphIndex {
       else Some(spark.read.parquet(snapFiles.toSeq: _*)
         .select(col("id")).localCheckpoint())
     // normalize mixed generations (a pre-r16 score-less build dir +
-    // post-r16 scored Δ dirs) to the scored schema before the union
-    val rawAdj = adjDirsOf(spark, gen = gen, root = path)
-      .map { d =>
-        val df = spark.read.parquet(d)
-        if (df.columns.contains("_c"))
-          df.select(col("src"), col("nb"), col("_c").cast("double"))
-        else df.select(col("src"), col("nb"),
-          lit(null).cast("double").as("_c"))
-      }.reduce(_ unionAll _)
+    // post-r16 scored Δ dirs) to the scored schema before the union —
+    // but ONLY when at least one source dir is scored (ADVICE r16
+    // medium): a fully score-less artifact must compact to the
+    // score-less schema, or the rewritten all-null `_c` column would
+    // make [[load]] apply [[capDegree]] with zero ranking evidence
+    // (every edge at the -2.0 sentinel, lists cut arbitrarily by id) —
+    // exactly the legacy-drift case the uncut fallback protects.
+    val dirDfs = adjDirsOf(spark, gen = gen, root = path)
+      .map(spark.read.parquet(_))
+    val anyScored = dirDfs.exists(_.columns.contains("_c"))
+    val rawAdj = dirDfs.map { df =>
+      if (!anyScored) df.select(col("src"), col("nb"))
+      else if (df.columns.contains("_c"))
+        df.select(col("src"), col("nb"), col("_c").cast("double"))
+      else df.select(col("src"), col("nb"),
+        lit(null).cast("double").as("_c"))
+    }.reduce(_ unionAll _)
     val foldedAdj = snap match {
       case Some(ts) =>
         rawAdj.join(ts, rawAdj("src") === ts("id"), "left_anti")
@@ -1217,7 +1245,7 @@ object GraphIndex {
       budget: Int = 400, entries: Int = 8, beam: Int = 4,
       maxBroadcastRows: Long = 4_000_000L,
       tag: Option[String] = None,
-      maxProbeBatch: Int = 65536): Unit = {
+      maxProbeBatch: Int = 0): Unit = {
     // the walk reads the CAPPED serving adjacency (load's default):
     // insert cost under drift stays bounded by the cap, not by
     // accumulated hub degree
@@ -1227,11 +1255,21 @@ object GraphIndex {
     if (dN == 0L) return
     // probeJoin's contract requires a BOUNDED query slice (it
     // broadcasts the batch and does nQ-scale driver collects per
-    // round) — an oversized Δ is chunked through it in maxProbeBatch
+    // round) — an oversized Δ is chunked through it in probe-batch
     // slices and the results unioned (ADVICE r15 #2: the
     // maxBroadcastRows gate below only degraded the Δ×Δ pair source;
-    // the same Δ flowed into the walk whole)
-    val nChunks = ((dN + maxProbeBatch - 1) / maxProbeBatch).max(1L)
+    // the same Δ flowed into the walk whole). The chunk is sized from
+    // the WALK BUDGET (ADVICE r16): probeJoin's per-round state is
+    // ~nQ × budget rows, force-broadcast at the final emit — a fixed
+    // 65,536-query chunk at budget=400 meant ~26M-row state on the
+    // 8 GB driver profile. ~3.2M state rows per chunk keeps the
+    // broadcast and the ≤nQ×k collect bounded regardless of budget
+    // (8,000 queries per chunk at the default budget=400).
+    // maxProbeBatch > 0 overrides (tests pin chunk-split invariance).
+    val chunkRows =
+      if (maxProbeBatch > 0) maxProbeBatch.toLong
+      else math.max(1024L, 3_200_000L / math.max(1, budget))
+    val nChunks = ((dN + chunkRows - 1) / chunkRows).max(1L)
     val oldCand = (0L until nChunks).map { c =>
       val slice = if (nChunks == 1L) newV
         else newV.filter(pmod(xxhash64(col(idCol)), lit(nChunks)) === c)
@@ -1327,7 +1365,8 @@ object GraphIndex {
   def rebuildPublish(spark: SparkSession, path: String,
       freshIds: Option[DataFrame] = None, m: Int = 16, iters: Int = 10,
       maxList: Int = 64, skips: Seq[Int] = Seq(1, 2, 4, 8, 16, 32),
-      convergeTol: Double = 0.02): Seq[BuildRound] = {
+      convergeTol: Double = 0.02,
+      tag: Option[String] = None): Seq[BuildRound] = {
     val corpus = loadVectors(spark, path).getOrElse(throw
       new IllegalStateException(
         s"graph artifact at $path carries no vectors (vec_dirs) — " +
@@ -1337,7 +1376,7 @@ object GraphIndex {
     val seed = load(spark, path, maxDegree = 0)
     val (adj, stats) = buildWarmWithStats(corpus, idCol, vecCol, seed,
       freshIds, m, iters, maxList, skips, convergeTol)
-    saveWithVectors(adj, corpus, idCol, vecCol, path, stats)
+    saveWithVectors(adj, corpus, idCol, vecCol, path, stats, tag)
     stats
   }
 

@@ -365,6 +365,19 @@ class CorpusSpec extends SparkTestBase {
     assert(g > 0.0 && g < 1.0)
   }
 
+  test("gini plan: rank runs through the distributed PrefixScan — every window is partitioned (VERDICT r16 #6)") {
+    val df = Corpus.defs("q_gini")(spark, sf)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    val wins = plan.split("\n").filter(_.contains("Window "))
+    assert(wins.nonEmpty, s"expected the PrefixScan running window:\n$plan")
+    // the pre-r17 body ranked the customer domain through a
+    // Window.orderBy with NO partition key — one task sorted the whole
+    // domain; now every window partitions (by PrefixScan's __pid)
+    assert(wins.forall(_.contains("__pid")),
+      s"q_gini still ranks through a single-partition window:\n$plan")
+  }
+
   test("shortest path operator: maxHops 0 returns just the source") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")

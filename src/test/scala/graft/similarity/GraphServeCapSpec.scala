@@ -200,4 +200,62 @@ class GraphServeCapSpec extends SparkTestBase {
     assert(warm >= cold - 0.1 && warm >= 0.8,
       s"warm rebuild recall $warm vs cold $cold")
   }
+
+  test("compact preserves the score-less schema: a pre-r16 artifact stays uncut after compaction (ADVICE r16)") {
+    val path = java.nio.file.Files.createTempDirectory("graph_legacy").toString
+    try {
+      // a legacy (score-less) adjacency with one maintenance-grown hub
+      // at degree 80 > the serve cap — the exact case the uncut
+      // fallback protects: no ranking evidence, cutting would drop
+      // arbitrary edges
+      val hub = (1L to 80L).map(nb => (0L, nb)) ++
+        (1L to 80L).map(nb => (nb, 0L))
+      GraphIndex.save(hub.toDF("src", "nb"), path)
+      GraphIndex.delete(spark, path, Seq(5L).toDF("id"), "id")
+      GraphIndex.compact(spark, path)
+      // compact rewrote the layout — but must NOT have normalized the
+      // score-less dir to an all-null _c column, which load would cut
+      // on (every edge at the -2.0 sentinel, tie-broken by id)
+      val served = GraphIndex.load(spark, path) // default serve cap 64
+      val hubDegree = served.filter($"src" === 0L).count()
+      assert(hubDegree == 79L, // 80 minus the tombstoned id
+        s"score-less hub cut to $hubDegree after compact — " +
+          "compaction must not manufacture ranking evidence")
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
+  }
+
+  test("warm seed sentinel scores are re-scored, never trusted or committed (ADVICE r16)") {
+    // a seed as a CAPPED load would emit it: real pairs carrying the
+    // -2.0 null-coalesce sentinel in place of their stored score
+    val ids = emb.select($"vec_id").as[Long].collect().sorted.take(20)
+    val sentinelSeed = ids.toSeq.sliding(2).collect { case Seq(a, b) =>
+      (a, b, -2.0)
+    }.toSeq.toDF("src", "nb", "_c")
+    val (adj, _) = GraphIndex.buildWarmWithStats(emb, "vec_id", "embedding",
+      sentinelSeed, iters = 1)
+    // every emitted score is a genuine cosine (or null for zero-norm
+    // ring edges) — the sentinel must not rank in cuts nor persist
+    assert(adj.filter($"_c" < -1.0).count() == 0L,
+      "out-of-range sentinel scores survived into the rebuilt adjacency")
+  }
+
+  test("fresh-build load skips the degree cap: no list over the cap means the raw view serves (VERDICT r16 #2)") {
+    val path = java.nio.file.Files.createTempDirectory("graph_fresh").toString
+    try {
+      GraphIndex.save(GraphIndex.build(emb, "vec_id", "embedding"), path)
+      val raw = GraphIndex.load(spark, path, maxDegree = 0)
+      val maxDeg = GraphIndex.occupancy(raw)
+        .agg(max($"degree")).head().getLong(0)
+      assert(maxDeg <= GraphIndex.DefaultServeDegreeCap,
+        s"fixture invalidates the premise: fresh max degree $maxDeg")
+      val served = GraphIndex.load(spark, path)
+      // the guard returns the UNCUT view (same edge set) and its plan
+      // carries no aggregate — the serve walk's per-round reads hit
+      // the pushdown-filtered scan, not a re-run TopKAgg cut
+      assert(served.count() == raw.count())
+      assert(!served.queryExecution.executedPlan.toString
+        .contains("ObjectHashAggregate"),
+        "fresh-build serve view still pays the capDegree aggregate per read")
+    } finally graft.tools.Scratch.deleteRecursively(new java.io.File(path))
+  }
 }
