@@ -215,6 +215,44 @@ object SemanticIndex {
       carryFrom = Some((gen, snapFiles)))
   }
 
+  /** The operational RETRAIN face — what the [[skewRatio]] cadence
+    * calls (VERDICT r16 next-round #1): re-train the blocking
+    * (coarse Lloyd centers + quota reps) over the artifact's own
+    * CURRENT live corpus (tombstones folded at the file-level
+    * snapshot — the published generation starts with a clean
+    * sidecar), re-block every vector, and commit one atomic
+    * generation with the optional idempotency `tag`. Params
+    * (block_size / sign_bits / threshold) are read back from the
+    * committed generation, so the retrain changes the STRUCTURE to
+    * fit the drifted corpus, never the contract.
+    */
+  def rebuildPublish(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, tag: Option[String] = None): Unit = {
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val snapFiles = graft.tools.Artifacts.tombstoneFiles(spark, gen)
+    val raw = corpusDirsOf(spark, path, gen)
+      .map(spark.read.parquet(_)).reduce(_ unionAll _)
+      .select(col(idCol), col(vecCol))
+    val live =
+      if (snapFiles.isEmpty) raw
+      else {
+        val snap = spark.read.parquet(snapFiles.toSeq: _*).localCheckpoint()
+        raw.join(snap, raw(idCol) === snap("id"), "left_anti")
+      }
+    val p = spark.read.parquet(s"$gen/params").collect()(0)
+    val idx = build(live.localCheckpoint(), idCol, vecCol,
+      p.getAs[Double]("threshold"), p.getAs[Int]("block_size"),
+      p.getAs[Int]("sign_bits"))
+    val repsPool = graft.tools.Artifacts.newPoolDir(path)
+    idx.blocking.reps.write.mode("overwrite").parquet(repsPool)
+    val corpusPool = graft.tools.Artifacts.newPoolDir(path)
+    idx.corpusBlocked.write.mode("overwrite").parquet(corpusPool)
+    publishGen(spark, path, idx.blocking.centroids,
+      idx.blocking.blockSize, idx.blocking.signBits, idx.threshold,
+      repsPool, Seq(corpusPool), carryFrom = Some((gen, snapFiles)),
+      tag = tag)
+  }
+
   /** Incremental maintenance: assign ONLY the new vectors through the
     * frozen centroids + reps and append their (block, sb) rows — cost
     * ∝ |newVectors|, no corpus re-read, no rewrite of existing files

@@ -292,6 +292,40 @@ object IvfIndex {
       carryFrom = Some((gen, snapFiles)))
   }
 
+  /** The operational RETRAIN face — what the [[skewRatio]] cadence
+    * calls (VERDICT r16 next-round #1): re-run Lloyd over the
+    * artifact's own CURRENT live corpus (tombstones folded at the
+    * file-level snapshot, so the published generation starts with a
+    * clean sidecar), re-assign every vector to the fresh centroids,
+    * and commit one atomic generation with the optional idempotency
+    * `tag`. The centroid count defaults to the committed layout's
+    * (`nCentroids = 0`); serving reads keep resolving the previous
+    * generation until the commit marker lands. This is the full-build
+    * cost by design — the cadence pays it when the frozen structure
+    * has drifted past usefulness, never per Δ.
+    */
+  def rebuildPublish(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, nCentroids: Int = 0, iters: Int = 2,
+      tag: Option[String] = None): Unit = {
+    val gen = graft.tools.Artifacts.requireGen(spark, path)
+    val snapFiles = tombstoneFiles(spark, gen)
+    val raw = readCorpus(spark, corpusDirsOf(spark, path, gen))
+      .select(col(idCol), col(vecCol))
+    val live =
+      if (snapFiles.isEmpty) raw
+      else {
+        val snap = spark.read.parquet(snapFiles.toSeq: _*).localCheckpoint()
+        raw.join(snap, raw(idCol) === snap("id"), "left_anti")
+      }
+    val k = if (nCentroids > 0) nCentroids else centroidsOf(spark, gen).length
+    val idx = build(live, idCol, vecCol, k, iters)
+    val pool = graft.tools.Artifacts.newPoolDir(path)
+    try idx.corpus.write.mode("overwrite").partitionBy("cell").parquet(pool)
+    finally idx.unpersist()
+    publishGen(spark, path, idx.centroids, Seq(pool),
+      carryFrom = Some((gen, snapFiles)), tag = tag)
+  }
+
   /** Cell-occupancy view of an index: (cell, n) for every trained
     * cell, including empties — the observable that drives the
     * retrain-vs-append decision for a frozen-centroid index. One

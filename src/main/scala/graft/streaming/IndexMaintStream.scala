@@ -58,6 +58,28 @@ object IndexMaintStream {
       */
     def takedown(spark: SparkSession, indexPath: String,
         ids: DataFrame): Unit
+
+    /** The artifact's own drift observable — the number the retrain
+      * cadence compares against [[RetrainPolicy.threshold]] (each
+      * index documents its band: skewRatio ≈ 1–2 healthy, > ~3 is
+      * the retrain trigger). One bounded aggregate over the committed
+      * artifact; None when the kind has no self-contained observable.
+      */
+    def observe(spark: SparkSession, indexPath: String): Option[Double] =
+      None
+
+    /** Self-contained one-call retrain over the artifact's CURRENT
+      * corpus, publishing one atomic tagged generation — the action
+      * the cadence fires. Kinds whose artifact cannot reproduce its
+      * own training input (PQ stores codes, not vectors) throw: their
+      * retrain is an operator decision with an external corpus, and a
+      * silent no-op here would let drift compound unbounded.
+      */
+    def retrain(spark: SparkSession, indexPath: String,
+        tag: String): Unit =
+      throw new UnsupportedOperationException(
+        s"$this has no self-contained retrain — supply the corpus " +
+          "and rebuild out-of-band")
   }
 
   final case class IvfKind(idCol: String = "vec_id",
@@ -71,6 +93,14 @@ object IndexMaintStream {
     def takedown(spark: SparkSession, indexPath: String,
         ids: DataFrame): Unit =
       graft.similarity.IvfIndex.delete(spark, indexPath, ids, idCol)
+    override def observe(spark: SparkSession,
+        indexPath: String): Option[Double] =
+      Some(graft.similarity.IvfIndex.skewRatio(
+        graft.similarity.IvfIndex.load(spark, indexPath, idCol, vecCol)))
+    override def retrain(spark: SparkSession, indexPath: String,
+        tag: String): Unit =
+      graft.similarity.IvfIndex.rebuildPublish(spark, indexPath,
+        idCol, vecCol, tag = Some(tag))
   }
 
   final case class PqKind(idCol: String = "vec_id",
@@ -84,6 +114,14 @@ object IndexMaintStream {
     def takedown(spark: SparkSession, indexPath: String,
       ids: DataFrame): Unit =
       graft.similarity.PqIndex.delete(spark, indexPath, ids, idCol)
+    // observable yes (code-usage skew over the stored codes); retrain
+    // deliberately NOT overridden: a PQ artifact stores codes, not the
+    // vectors a codebook retrain needs — the default throws
+    override def observe(spark: SparkSession,
+        indexPath: String): Option[Double] = {
+      val (cb, codes) = graft.similarity.PqIndex.load(spark, indexPath)
+      Some(graft.similarity.PqIndex.skewRatio(cb, codes))
+    }
   }
 
   final case class MinHashKind(idCol: String = "doc_id",
@@ -97,6 +135,15 @@ object IndexMaintStream {
     def takedown(spark: SparkSession, indexPath: String,
       ids: DataFrame): Unit =
       graft.dedup.MinHashIndex.delete(spark, indexPath, ids, idCol)
+    // observable yes (hot-bucket skew); retrain deliberately NOT
+    // overridden: the banding is HASH-derived, not trained — there is
+    // no structure a rebuild would re-fit (skew is a property of the
+    // corpus; the mitigations are classify's per-bucket caps and
+    // compact, both already live)
+    override def observe(spark: SparkSession,
+        indexPath: String): Option[Double] =
+      Some(graft.dedup.MinHashIndex.skewRatio(
+        graft.dedup.MinHashIndex.load(spark, indexPath, idCol)))
   }
 
   final case class SemanticKind(idCol: String = "vec_id",
@@ -110,6 +157,14 @@ object IndexMaintStream {
     def takedown(spark: SparkSession, indexPath: String,
       ids: DataFrame): Unit =
       graft.dedup.SemanticIndex.delete(spark, indexPath, ids, idCol)
+    override def observe(spark: SparkSession,
+        indexPath: String): Option[Double] =
+      Some(graft.dedup.SemanticIndex.skewRatio(
+        graft.dedup.SemanticIndex.load(spark, indexPath, idCol, vecCol)))
+    override def retrain(spark: SparkSession, indexPath: String,
+        tag: String): Unit =
+      graft.dedup.SemanticIndex.rebuildPublish(spark, indexPath,
+        idCol, vecCol, tag = Some(tag))
   }
 
   /** The graph engine's streaming face (VERDICT r14 next-round #5):
@@ -137,20 +192,84 @@ object IndexMaintStream {
     def takedown(spark: SparkSession, indexPath: String,
       ids: DataFrame): Unit =
       graft.similarity.GraphIndex.delete(spark, indexPath, ids, idCol)
+    // the RAW (uncapped) degree view: the serve-time cap must not hide
+    // the hub growth the cadence exists to catch
+    override def observe(spark: SparkSession,
+        indexPath: String): Option[Double] =
+      Some(graft.similarity.GraphIndex.skewRatio(
+        graft.similarity.GraphIndex.load(spark, indexPath, maxDegree = 0)))
+    override def retrain(spark: SparkSession, indexPath: String,
+        tag: String): Unit =
+      graft.similarity.GraphIndex.rebuildPublish(spark, indexPath,
+        m = m, tag = Some(tag))
+  }
+
+  /** The AUTOMATED RETRAIN CADENCE (VERDICT r16 next-round #1 — the
+    * capstone of the index-maintenance work): after each trigger's Δ
+    * publish the loop reads the artifact's own drift observable
+    * ([[Kind.observe]]) and, when it crosses `threshold`, fires the
+    * kind's one-call self-contained retrain ([[Kind.retrain]]) —
+    * exactly-once under at-least-once replay (the retrain generation
+    * carries a derived idempotency tag), atomic to concurrent readers
+    * (the generation protocol: a mid-retrain load resolves the
+    * previous committed generation, never a torn mix). No operator in
+    * the loop: the documented contract "skew > 3 is the trigger" is
+    * now executable.
+    *
+    * `threshold` is in the observable's own units (skewRatio for
+    * every current kind: ≈1–2 healthy, 3 the documented trigger).
+    * `checkEvery` spaces the observable read to every Nth trigger —
+    * the observable is one bounded aggregate over the artifact, but a
+    * high-frequency trigger cadence need not pay it per micro-batch;
+    * the decision stays deterministic per batchId, so replays agree.
+    */
+  final case class RetrainPolicy(threshold: Double = 3.0,
+      checkEvery: Int = 1) {
+    require(threshold > 0 && checkEvery >= 1)
   }
 
   /** One guarded Δ publish — the foreachBatch body, exposed for the
     * replay spec: stamps the generation with `tag` and returns false
     * (no-op) when the current committed generation already carries it
-    * (an at-least-once replay of the same trigger).
+    * (an at-least-once replay of the same trigger). A generation
+    * carrying this trigger's RETRAIN tag (`<tag>-rt`) is also proof
+    * the Δ publish happened — the retrain runs strictly after it — so
+    * a replay that crashed between retrain publish and stream commit
+    * must not re-append the Δ.
     */
   private[graft] def publishOnce(spark: SparkSession, indexPath: String,
       kind: Kind, mb: DataFrame, tag: String): Boolean = {
     val cur = graft.tools.Artifacts.requireGen(spark, indexPath)
-    if (graft.tools.Artifacts.tagOf(spark, cur).contains(tag)) false
+    if (graft.tools.Artifacts.tagOf(spark, cur)
+        .exists(t => t == tag || t == s"$tag-rt")) false
     else {
       kind.publish(spark, indexPath, mb, Some(tag))
       true
+    }
+  }
+
+  /** One guarded cadence check + retrain — runs after the trigger's Δ
+    * publish. Exactly-once per crossing: a replayed trigger whose
+    * retrain already committed sees its own `-rt` tag on the current
+    * generation and skips; a replay that crashed BEFORE the retrain
+    * re-reads the observable (still over threshold — the retrain
+    * didn't happen) and fires it. After a successful retrain the
+    * observable drops under the threshold, so subsequent triggers
+    * pass the check without firing until drift re-accumulates — one
+    * fire per crossing, no operator polling.
+    */
+  private[graft] def maybeRetrainOnce(spark: SparkSession,
+      indexPath: String, kind: Kind, policy: RetrainPolicy,
+      batchId: Long): Boolean = {
+    if (batchId % policy.checkEvery != 0) return false
+    val rtTag = s"b$batchId-rt"
+    val cur = graft.tools.Artifacts.requireGen(spark, indexPath)
+    if (graft.tools.Artifacts.tagOf(spark, cur).contains(rtTag)) false
+    else kind.observe(spark, indexPath) match {
+      case Some(obs) if obs > policy.threshold =>
+        kind.retrain(spark, indexPath, rtTag)
+        true
+      case _ => false
     }
   }
 
@@ -168,7 +287,9 @@ object IndexMaintStream {
       kind: Kind = IvfKind(), shufflePartitions: Int = 8,
       maxFilesPerTrigger: Option[Int] = None,
       checkpoint: Option[String] = None,
-      onTrigger: DataFrame => Unit = _ => ()): Long = {
+      onTrigger: DataFrame => Unit = _ => (),
+      retrain: Option[RetrainPolicy] = None,
+      onRetrain: Long => Unit = _ => ()): Long = {
     val src = EventSource.streamTable(spark, dir, kind.table, maxFilesPerTrigger)
       .select(kind.cols.map(col): _*)
     val scratch = checkpoint.getOrElse(java.nio.file.Files
@@ -183,6 +304,10 @@ object IndexMaintStream {
             onTrigger(mb)
             if (publishOnce(spark, indexPath, kind, mb, s"b$batchId"))
               published += 1
+            retrain.foreach { pol =>
+              if (maybeRetrainOnce(spark, indexPath, kind, pol, batchId))
+                onRetrain(batchId)
+            }
           }
           .start()
         try q.processAllAvailable() finally q.stop()
