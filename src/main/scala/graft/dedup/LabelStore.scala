@@ -91,27 +91,48 @@ object LabelStore {
     }.toMap
   }
 
+  // meta + manifest are tiny bucket-domain tables written ONCE PER
+  // TRIGGER by the streaming CC maintenance loop — since optimization
+  // r17 they are plain text files written/read straight through the
+  // FileSystem (zero Spark jobs; the r16 parquet pair cost two
+  // fixed-overhead write jobs and two read jobs per generation).
+  // Reads keep a parquet branch for layouts committed by earlier
+  // rounds (path is a DIRECTORY there, a FILE here).
   private def writeGen(spark: SparkSession, root: String, nBuckets: Int,
       manifest: Map[Int, String]): Unit = {
-    import spark.implicits._
     Artifacts.publish(spark, root) { gen =>
-      Seq(nBuckets).toDF("n_buckets")
-        .repartition(1).write.parquet(s"$gen/meta")
-      val rows = manifest.toSeq.sorted
-      // empty manifests still need a typed parquet file to read back
-      rows.toDF("bucket", "dir")
-        .repartition(1).write.parquet(s"$gen/manifest")
+      Artifacts.writeLinesFile(spark, s"$gen/meta", Seq(nBuckets.toString))
+      Artifacts.writeLinesFile(spark, s"$gen/manifest",
+        manifest.toSeq.sorted.map { case (b, d) => s"$b\t$d" })
     }
     prunePool(spark, root)
   }
 
-  private def manifestOf(spark: SparkSession,
-      gen: String): (Int, Map[Int, String]) = {
-    val n = spark.read.parquet(s"$gen/meta").collect()(0).getInt(0)
-    val man = spark.read.parquet(s"$gen/manifest").collect()
-      .map(r => r.getInt(0) -> r.getString(1)).toMap
-    (n, man)
+  private def isFile(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.getFileStatus(p).isFile
   }
+
+  /** The bucket → dir manifest of ONE generation (spec-facing; format
+    * aware — text since r17, parquet for older layouts).
+    */
+  def manifestOfGen(spark: SparkSession, gen: String): Map[Int, String] =
+    manifestOf(spark, gen)._2
+
+  private def manifestOf(spark: SparkSession,
+      gen: String): (Int, Map[Int, String]) =
+    if (isFile(spark, s"$gen/meta")) {
+      val n = Artifacts.readLinesFile(spark, s"$gen/meta").head.trim.toInt
+      val man = Artifacts.readLinesFile(spark, s"$gen/manifest")
+        .map(_.split("\t", 2)).map(a => a(0).toInt -> a(1)).toMap
+      (n, man)
+    } else {
+      val n = spark.read.parquet(s"$gen/meta").collect()(0).getInt(0)
+      val man = spark.read.parquet(s"$gen/manifest").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      (n, man)
+    }
 
   /** Drop pool dirs no committed generation references (the previous
     * generation is retained by [[Artifacts.publish]], so its manifest

@@ -76,14 +76,22 @@ object MinHashIndex {
     publishGen(spark, path, index, Seq(pool), carryFrom = None)
   }
 
-  private def publishGen(spark: SparkSession, path: String, index: Index,
+  private def publishGen(spark: SparkSession, path: String, index: => Index,
       partDirs: Seq[String], carryFrom: Option[(String, Set[String])],
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None,
+      copyParamsFrom: Option[String] = None): Unit = {
     import spark.implicits._
     graft.tools.Artifacts.publish(spark, path) { gen =>
-      Seq((index.shingleK, index.bands, index.rowsPerBand))
-        .toDF("shingle_k", "bands", "rows_per_band")
-        .repartition(1).write.mode("overwrite").parquet(s"$gen/params")
+      // frozen-params publishes (append/compact) re-commit the SAME
+      // params row — copy the parent's parquet bytes instead of paying
+      // a Spark write job per trigger (optimization r17)
+      copyParamsFrom match {
+        case Some(parent) =>
+          graft.tools.Artifacts.copyGenFile(spark, parent, gen, "params")
+        case None => Seq((index.shingleK, index.bands, index.rowsPerBand))
+          .toDF("shingle_k", "bands", "rows_per_band")
+          .repartition(1).write.mode("overwrite").parquet(s"$gen/params")
+      }
       graft.tools.Artifacts.writeDirManifest(spark, gen, "part_dirs",
         path, partDirs)
       carryFrom.foreach { case (parent, folded) =>
@@ -182,7 +190,7 @@ object MinHashIndex {
     fold(readSide(spark, dirs, "buckets")).write.parquet(s"$pool/buckets")
     fold(readSide(spark, dirs, "shingles")).write.parquet(s"$pool/shingles")
     publishGen(spark, path, idx, Seq(pool),
-      carryFrom = Some((gen, snapFiles)))
+      carryFrom = Some((gen, snapFiles)), copyParamsFrom = Some(gen))
   }
 
   /** Δ banding under the SAVED params — the shared head of
@@ -249,7 +257,8 @@ object MinHashIndex {
     publishGen(spark, path, delta,
       graft.tools.Artifacts.migrateToPool(spark, path,
         partDirsOf(spark, path, gen)) :+ pool,
-      carryFrom = Some((gen, Set.empty)), tag = tag)
+      carryFrom = Some((gen, Set.empty)), tag = tag,
+      copyParamsFrom = Some(gen))
   }
 
   /** Bucket-occupancy view: (band_idx, band_hash, n) over the LSH

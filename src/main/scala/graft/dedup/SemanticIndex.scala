@@ -87,18 +87,29 @@ object SemanticIndex {
   }
 
   private def publishGen(spark: SparkSession, path: String,
-      centroids: Array[Array[Double]], blockSize: Int, signBits: Int,
-      threshold: Double, repsDir: String, corpusDirs: Seq[String],
+      centroids: => Array[Array[Double]], blockSize: => Int,
+      signBits: => Int, threshold: => Double, repsDir: String,
+      corpusDirs: Seq[String],
       carryFrom: Option[(String, Set[String])],
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None,
+      copyStructureFrom: Option[String] = None): Unit = {
     import spark.implicits._
     graft.tools.Artifacts.publish(spark, path) { gen =>
-      centroids.zipWithIndex
-        .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("cell", "cv")
-        .repartition(1).write.mode("overwrite").parquet(s"$gen/centroids")
-      Seq((blockSize, signBits, threshold))
-        .toDF("block_size", "sign_bits", "threshold")
-        .repartition(1).write.mode("overwrite").parquet(s"$gen/params")
+      // frozen-structure publishes (append/compact) re-commit the SAME
+      // centroids + params — copy the parent's parquet bytes instead
+      // of paying two Spark write jobs per trigger (optimization r17)
+      copyStructureFrom match {
+        case Some(parent) =>
+          graft.tools.Artifacts.copyGenFile(spark, parent, gen, "centroids")
+          graft.tools.Artifacts.copyGenFile(spark, parent, gen, "params")
+        case None =>
+          centroids.zipWithIndex
+            .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("cell", "cv")
+            .repartition(1).write.mode("overwrite").parquet(s"$gen/centroids")
+          Seq((blockSize, signBits, threshold))
+            .toDF("block_size", "sign_bits", "threshold")
+            .repartition(1).write.mode("overwrite").parquet(s"$gen/params")
+      }
       graft.tools.Artifacts.writeDirManifest(spark, gen, "reps_dirs",
         path, Seq(repsDir))
       graft.tools.Artifacts.writeDirManifest(spark, gen, "corpus_dirs",
@@ -205,14 +216,14 @@ object SemanticIndex {
       }
     val pool = graft.tools.Artifacts.newPoolDir(path)
     folded.write.parquet(pool)
-    val p = spark.read.parquet(s"$gen/params").collect()(0)
-    val centroids = spark.read.parquet(s"$gen/centroids")
+    lazy val p = spark.read.parquet(s"$gen/params").collect()(0)
+    lazy val centroids = spark.read.parquet(s"$gen/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("cv")).toArray)
     publishGen(spark, path, centroids, p.getAs[Int]("block_size"),
       p.getAs[Int]("sign_bits"), p.getAs[Double]("threshold"),
       repsDirOf(spark, path, gen), Seq(pool),
-      carryFrom = Some((gen, snapFiles)))
+      carryFrom = Some((gen, snapFiles)), copyStructureFrom = Some(gen))
   }
 
   /** The operational RETRAIN face — what the [[skewRatio]] cadence
@@ -310,7 +321,8 @@ object SemanticIndex {
         Seq(repsDirOf(spark, path, gen))).head,
       graft.tools.Artifacts.migrateToPool(spark, path,
         corpusDirsOf(spark, path, gen)) :+ pool,
-      carryFrom = Some((gen, Set.empty)), tag = tag)
+      carryFrom = Some((gen, Set.empty)), tag = tag,
+      copyStructureFrom = Some(gen))
   }
 
   /** Classify a batch against the indexed corpus — identical

@@ -96,10 +96,21 @@ object LangIdModel {
     */
   def train(docs: DataFrame, lr: Double = DefaultLr,
       iters: Int = DefaultIters): Map[String, Array[Double]] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val f = features(docs).cache()
-    try {
+    try trainFeatures(f, lr, iters) finally f.unpersist()
+  }
+
+  /** [[train]] over an ALREADY-CACHED feature frame (the caller holds
+    * the cache) — lets a train+predict composition (q_langid_trained)
+    * compute the feature battery ONCE instead of once for training
+    * and again for the prediction pass (optimization r17; the feature
+    * projection is the corpus-sized term at any scale).
+    */
+  def trainFeatures(f: DataFrame, lr: Double = DefaultLr,
+      iters: Int = DefaultIters): Map[String, Array[Double]] = {
+    val spark = f.sparkSession
+    import spark.implicits._
+    {
       val n = f.count()
       require(n > 0, "cannot train on an empty corpus")
       var w: Map[String, Array[Double]] =
@@ -142,7 +153,7 @@ object LangIdModel {
         }.toMap
       }
       w
-    } finally f.unpersist()
+    }
   }
 
   /** (doc_id, labeled_lang, guessed_lang): argmax over the five class
@@ -151,9 +162,16 @@ object LangIdModel {
     * states the identical tie rule.
     */
   def guess(docs: DataFrame, w: Map[String, Array[Double]],
+      idCol: String = "doc_id"): DataFrame =
+    guessFeatures(features(docs, idCol), w, idCol)
+
+  /** [[guess]] over a prebuilt feature frame — the [[trainFeatures]]
+    * twin, so train+predict pays the feature battery once.
+    */
+  def guessFeatures(f: DataFrame, w: Map[String, Array[Double]],
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stacked = features(docs, idCol)
+    val stacked = f
       .select(col(idCol), col("lang").as("labeled_lang"),
         explode(array(Classes.map(c =>
           struct(lit(c).as("lang_c"), dotCol(w(c)).as("dot"))): _*)).as("s"))

@@ -86,7 +86,16 @@ object QualityModel {
   def train(docs: DataFrame, lr: Double = DefaultLr,
       iters: Int = DefaultIters): Array[Double] = {
     val f = features(docs).cache() // iters+1 passes
-    try {
+    try trainFeatures(f, lr, iters) finally f.unpersist()
+  }
+
+  /** [[train]] over an ALREADY-CACHED feature frame (caller holds the
+    * cache) — lets train+score compositions (q_quality_trained) pay
+    * the feature projection once (optimization r17).
+    */
+  def trainFeatures(f: DataFrame, lr: Double = DefaultLr,
+      iters: Int = DefaultIters): Array[Double] = {
+    {
       val n = f.count()
       require(n > 0, "cannot train on an empty corpus")
       var w = Array.fill(NumFeatures)(0.0)
@@ -99,17 +108,23 @@ object QualityModel {
           w(j) - lr * (row.getDecimal(j).doubleValue / n))
       }
       w
-    } finally f.unpersist()
+    }
   }
 
   /** (doc_id, score = σ̃(w·x) rounded 6dp, keep = w·x > 0, label) —
     * label echoed so an audit can read the model's agreement with the
     * rule straight off the dump.
     */
-  def score(docs: DataFrame, w: Array[Double]): DataFrame = {
+  def score(docs: DataFrame, w: Array[Double]): DataFrame =
+    scoreFeatures(features(docs), w)
+
+  /** [[score]] over a prebuilt feature frame — the [[trainFeatures]]
+    * twin.
+    */
+  def scoreFeatures(f: DataFrame, w: Array[Double]): DataFrame = {
     require(w.length == NumFeatures)
     val dot = dotCol(w)
-    features(docs).select(col("doc_id"),
+    f.select(col("doc_id"),
       round(link(dot), 6).as("score"),
       (dot > 0).as("keep"),
       col("y").cast("int").as("label"))

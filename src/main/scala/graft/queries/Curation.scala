@@ -399,16 +399,27 @@ object Curation {
           .select(col("query_id"), col("vec_id"), lit(1).as("rel"))
           .localCheckpoint()
 
-        val ivfSys = cells.join(broadcast(probeCells), Seq("cell"))
+        // The four engine legs are INDEPENDENT given the cached `sims`
+        // (materialized above by the truth checkpoint) — submit them
+        // from a thread pool so their snapshot jobs overlap instead of
+        // serializing ~20 tiny jobs on an idle-core box (guide §2.6:
+        // actions are only sequential because the driver calls them
+        // sequentially). Each leg's content is deterministic, so
+        // concurrency cannot change the result.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val ivfSysF = Future { cells.join(broadcast(probeCells), Seq("cell"))
           .join(sims, Seq("query_id", "vec_id"))
           .withColumn("srank", row_number().over(wq))
           .filter(col("srank") <= 10)
           .select(col("query_id"), col("vec_id"), col("srank"))
-          .localCheckpoint()
+          .localCheckpoint() }
 
         val wAdc = Window.partitionBy(col("query_id"))
           .orderBy(col("adc").desc_nulls_last, col("vec_id"))
-        val pqSys = recon.crossJoin(broadcast(probes))
+        val pqSysF = Future { recon.crossJoin(broadcast(probes))
           .select(col("query_id"), col("vec_id"),
             VectorOps.cosineRelational(col("xhat"), col("qv")).as("adc"))
           .withColumn("crk", row_number().over(wAdc))
@@ -417,12 +428,12 @@ object Curation {
           .withColumn("srank", row_number().over(wq))
           .filter(col("srank") <= 10)
           .select(col("query_id"), col("vec_id"), col("srank"))
-          .localCheckpoint()
+          .localCheckpoint() }
 
         // ---- MRL leg: prefix-16 cosine cut at C ---------------------
         val wPre = Window.partitionBy(col("query_id"))
           .orderBy(col("pcos").desc_nulls_last, col("vec_id"))
-        val mrlSys = emb
+        val mrlSysF = Future { emb
           .select(col("vec_id"), slice(col("embedding"), 1, 16).as("pv"))
           .crossJoin(broadcast(probes
             .select(col("query_id"), slice(col("qv"), 1, 16).as("qp"))))
@@ -434,46 +445,56 @@ object Curation {
           .withColumn("srank", row_number().over(wq))
           .filter(col("srank") <= 10)
           .select(col("query_id"), col("vec_id"), col("srank"))
-          .localCheckpoint()
+          .localCheckpoint() }
 
         // ---- graph leg: fixed-round best-first beam -----------------
         // the GraphIndex search with data-INDEPENDENT termination
         // (R=4 rounds, beam 4, 8 md5 entries) so the oracle can unroll
         // it round by round like the k-means chains; per-probe visited
-        // sets stay bounded (≤ entries + R·beam·degree rows) and every
-        // round snapshots so the plan never replicates the walk tree
+        // sets stay bounded (≤ entries + R·beam·degree rows) and the
+        // REFERENCED-NEXT-ROUND frames (gf, gVisited) snapshot so the
+        // plan never replicates the walk tree. gExpanded needs no
+        // snapshot of its own: it is a linear union of the already-
+        // checkpointed gf's, so each round reads checkpoint leaves —
+        // the r16 version paid one more eager job per round for it.
         import s.implicits._
-        val entryDf = graft.similarity.GraphIndex
-          .entryPoints(emb, "vec_id", 8).toDF("vec_id")
-        val adjSnap = adj.localCheckpoint()
-        var gVisited = probes.select(col("query_id"))
-          .crossJoin(broadcast(entryDf)).localCheckpoint()
-        var gExpanded = gVisited.filter(lit(false))
-        val wBeam = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc_nulls_last, col("vec_id"))
-        for (_ <- 1 to 4) {
-          val gf = gVisited
-            .join(gExpanded.select(col("query_id").as("_exq"),
-              col("vec_id").as("_ex")),
-              col("query_id") === col("_exq") &&
-                col("vec_id") === col("_ex"), "left_anti")
+        val graphSysF = Future {
+          val entryDf = graft.similarity.GraphIndex
+            .entryPoints(emb, "vec_id", 8).toDF("vec_id")
+          val adjSnap = adj.localCheckpoint()
+          var gVisited = probes.select(col("query_id"))
+            .crossJoin(broadcast(entryDf)).localCheckpoint()
+          var gExpanded = gVisited.filter(lit(false))
+          val wBeam = Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc_nulls_last, col("vec_id"))
+          for (_ <- 1 to 4) {
+            val gf = gVisited
+              .join(gExpanded.select(col("query_id").as("_exq"),
+                col("vec_id").as("_ex")),
+                col("query_id") === col("_exq") &&
+                  col("vec_id") === col("_ex"), "left_anti")
+              .join(sims, Seq("query_id", "vec_id"))
+              .withColumn("_rn", row_number().over(wBeam))
+              .filter(col("_rn") <= 4)
+              .select(col("query_id"), col("vec_id"))
+              .localCheckpoint()
+            val gn = gf.join(adjSnap, gf("vec_id") === adjSnap("src"))
+              .select(col("query_id"), col("nb").as("vec_id")).distinct()
+              .join(gVisited, Seq("query_id", "vec_id"), "left_anti")
+            gVisited = gVisited.unionAll(gn).localCheckpoint()
+            gExpanded = gExpanded.unionAll(gf)
+          }
+          gVisited
             .join(sims, Seq("query_id", "vec_id"))
-            .withColumn("_rn", row_number().over(wBeam))
-            .filter(col("_rn") <= 4)
-            .select(col("query_id"), col("vec_id"))
+            .withColumn("srank", row_number().over(wq))
+            .filter(col("srank") <= 10)
+            .select(col("query_id"), col("vec_id"), col("srank"))
             .localCheckpoint()
-          val gn = gf.join(adjSnap, gf("vec_id") === adjSnap("src"))
-            .select(col("query_id"), col("nb").as("vec_id")).distinct()
-            .join(gVisited, Seq("query_id", "vec_id"), "left_anti")
-          gVisited = gVisited.unionAll(gn).localCheckpoint()
-          gExpanded = gExpanded.unionAll(gf).localCheckpoint()
         }
-        val graphSys = gVisited
-          .join(sims, Seq("query_id", "vec_id"))
-          .withColumn("srank", row_number().over(wq))
-          .filter(col("srank") <= 10)
-          .select(col("query_id"), col("vec_id"), col("srank"))
-          .localCheckpoint()
+        val ivfSys = Await.result(ivfSysF, Duration.Inf)
+        val pqSys = Await.result(pqSysF, Duration.Inf)
+        val mrlSys = Await.result(mrlSysF, Duration.Inf)
+        val graphSys = Await.result(graphSysF, Duration.Inf)
 
         // ---- q_eval_retrieval's metric tail, once per engine --------
         val idcg = (1 to 10).map(i => lit(1.0) / log2(lit(i + 1.0))).reduce(_ + _)
@@ -1979,14 +2000,34 @@ object Curation {
     import graft.similarity.{GraphIndex, IvfIndex, PqIndex}
     import graft.dedup.{MinHashIndex, SemanticIndex}
     val (ivfP, pqP, mhP, semP, gP) = healthArtifactsFor(s, d)
-    val ivf = IvfIndex.skewRatio(IvfIndex.load(s, ivfP, "vec_id", "embedding"))
-    val (cb, codes) = PqIndex.load(s, pqP)
-    val pq = PqIndex.skewRatio(cb, codes)
-    val mh = MinHashIndex.skewRatio(MinHashIndex.load(s, mhP, "doc_id"))
-    val sem = SemanticIndex.skewRatio(
-      SemanticIndex.load(s, semP, "vec_id", "embedding"))
-    val g = GraphIndex.skewRatio(GraphIndex.load(s, gP, maxDegree = 0))
-    val conv = GraphIndex.convergence(s, gP).getOrElse(-1.0)
+    // the six observables are independent one-aggregate reads over six
+    // distinct artifacts — overlap them (guide §2.6): each is one tiny
+    // job whose fixed cost dominates at any SF, and a cadence tick in
+    // production reads them against different stores anyway. Values
+    // are plain doubles; concurrency cannot reorder the emitted rows
+    // (the frame is built from the awaited scalars).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val ivfF = Future {
+      IvfIndex.skewRatio(IvfIndex.load(s, ivfP, "vec_id", "embedding")) }
+    val pqF = Future {
+      val (cb, codes) = PqIndex.load(s, pqP)
+      PqIndex.skewRatio(cb, codes) }
+    val mhF = Future {
+      MinHashIndex.skewRatio(MinHashIndex.load(s, mhP, "doc_id")) }
+    val semF = Future { SemanticIndex.skewRatio(
+      SemanticIndex.load(s, semP, "vec_id", "embedding")) }
+    val gF = Future {
+      GraphIndex.skewRatio(GraphIndex.load(s, gP, maxDegree = 0)) }
+    val convF = Future { GraphIndex.convergence(s, gP).getOrElse(-1.0) }
+    val ivf = Await.result(ivfF, Duration.Inf)
+    val pq = Await.result(pqF, Duration.Inf)
+    val mh = Await.result(mhF, Duration.Inf)
+    val sem = Await.result(semF, Duration.Inf)
+    val g = Await.result(gF, Duration.Inf)
+    val conv = Await.result(convF, Duration.Inf)
     Seq(("graph", g), ("graph_descent_convergence", conv), ("ivf", ivf),
       ("minhash_buckets", mh), ("pq", pq), ("semantic_blocks", sem))
       .toDF("engine", "observable")

@@ -2575,11 +2575,17 @@ object TrainingData {
   private val qQualityTrained: Q = (s, d) => {
     import graft.ml.QualityModel
     val docs = Tables.documents(s, d)
-    val w = graft.tools.Scratch.withDir("graft_quality_model") { p =>
-      QualityModel.save(s, QualityModel.train(docs), s"$p/weights")
-      QualityModel.load(s, s"$p/weights") // weights collect eagerly
-    }
-    QualityModel.score(docs, w).orderBy("doc_id")
+    // feature projection computed ONCE for train + score (optimization
+    // r17, the q_langid_trained device); eager snapshot so the cache
+    // can release before return
+    val f = QualityModel.features(docs).cache()
+    try {
+      val w = graft.tools.Scratch.withDir("graft_quality_model") { p =>
+        QualityModel.save(s, QualityModel.trainFeatures(f), s"$p/weights")
+        QualityModel.load(s, s"$p/weights") // weights collect eagerly
+      }
+      QualityModel.scoreFeatures(f, w).orderBy("doc_id").localCheckpoint()
+    } finally f.unpersist()
   }
 
   /** The unrolled-GD oracle: wᵢ CTEs thread the weight state through
@@ -2651,11 +2657,19 @@ object TrainingData {
   private val qLangidTrained: Q = (s, d) => {
     import graft.ml.LangIdModel
     val docs = Tables.documents(s, d)
-    val w = graft.tools.Scratch.withDir("graft_langid_model") { p =>
-      LangIdModel.save(s, LangIdModel.train(docs), s"$p/weights")
-      LangIdModel.load(s, s"$p/weights") // weights collect eagerly
-    }
-    LangIdModel.guess(docs, w).orderBy("doc_id")
+    // feature battery computed ONCE for train + predict (optimization
+    // r17): training is 8 cached-frame passes and prediction one more
+    // — the lower()/split()/filter battery is the corpus-sized term,
+    // and recomputing it for the prediction pass doubled it. The
+    // emitted frame snapshots eagerly so the cache can release.
+    val f = LangIdModel.features(docs).cache()
+    try {
+      val w = graft.tools.Scratch.withDir("graft_langid_model") { p =>
+        LangIdModel.save(s, LangIdModel.trainFeatures(f), s"$p/weights")
+        LangIdModel.load(s, s"$p/weights") // weights collect eagerly
+      }
+      LangIdModel.guessFeatures(f, w).orderBy("doc_id").localCheckpoint()
+    } finally f.unpersist()
   }
 
   /** The unrolled 5-chain GD oracle — [[qualityGdSql]]'s devices

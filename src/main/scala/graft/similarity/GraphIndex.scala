@@ -977,12 +977,12 @@ object GraphIndex {
       carryFrom.foreach { case (parent, folded) =>
         graft.tools.Artifacts.carryTombstones(spark, gen, parent, folded)
         // convergence stats travel with the generation until a new
-        // build overwrites them
+        // build overwrites them — copied as parquet bytes, not through
+        // a Spark read+write job pair (optimization r17)
         if (stats.isEmpty &&
             graft.tools.Artifacts.exists(spark, s"$parent/build_stats"))
-          spark.read.parquet(s"$parent/build_stats")
-            .repartition(1).write.mode("overwrite")
-            .parquet(s"$gen/build_stats")
+          graft.tools.Artifacts.copyGenFile(spark, parent, gen,
+            "build_stats")
       }
       if (stats.nonEmpty)
         stats.map(s => (s.round, s.freshEdges, s.totalEdges))

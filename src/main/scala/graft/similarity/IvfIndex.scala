@@ -93,15 +93,23 @@ object IvfIndex {
     * sort of random pool tokens (ADVICE r13).
     */
   private def publishGen(spark: SparkSession, path: String,
-      centroids: Array[Array[Double]], corpusDirs: Seq[String],
+      centroids: => Array[Array[Double]], corpusDirs: Seq[String],
       carryFrom: Option[(String, Set[String])],
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None,
+      copyCentroidsFrom: Option[String] = None): Unit = {
     import spark.implicits._
     graft.tools.Artifacts.publish(spark, path) { gen =>
-      centroids.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell", "centroid")
-        .repartition(1).write.mode("overwrite").parquet(s"$gen/centroids")
+      // frozen-centroid publishes (append/compact) re-commit the SAME
+      // centroid table — copy the parent's parquet bytes instead of
+      // paying a Spark write job per trigger (optimization r17)
+      copyCentroidsFrom match {
+        case Some(parent) =>
+          graft.tools.Artifacts.copyGenFile(spark, parent, gen, "centroids")
+        case None => centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .repartition(1).write.mode("overwrite").parquet(s"$gen/centroids")
+      }
       graft.tools.Artifacts.writeDirManifest(spark, gen, "corpus_dirs",
         path, corpusDirs)
       // tombstones travel with the generation: copy the parent's
@@ -220,7 +228,8 @@ object IvfIndex {
     publishGen(spark, path, centroids,
       graft.tools.Artifacts.migrateToPool(spark, path,
         corpusDirsOf(spark, path, gen)) :+ pool,
-      carryFrom = Some((gen, Set.empty)), tag = tag)
+      carryFrom = Some((gen, Set.empty)), tag = tag,
+      copyCentroidsFrom = Some(gen))
   }
 
   def load(spark: SparkSession, path: String,
@@ -289,7 +298,7 @@ object IvfIndex {
     val pool = graft.tools.Artifacts.newPoolDir(path)
     folded.write.partitionBy("cell").parquet(pool)
     publishGen(spark, path, centroidsOf(spark, gen), Seq(pool),
-      carryFrom = Some((gen, snapFiles)))
+      carryFrom = Some((gen, snapFiles)), copyCentroidsFrom = Some(gen))
   }
 
   /** The operational RETRAIN face — what the [[skewRatio]] cadence

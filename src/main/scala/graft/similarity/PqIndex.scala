@@ -189,15 +189,24 @@ object PqIndex {
   }
 
   private def publishGen(spark: org.apache.spark.sql.SparkSession,
-      path: String, cb: Codebook, codesDirs: Seq[String],
+      path: String, cb: => Codebook, codesDirs: Seq[String],
       carryFrom: Option[(String, Set[String])],
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None,
+      copyCodebookFrom: Option[String] = None): Unit = {
     import spark.implicits._
     graft.tools.Artifacts.publish(spark, path) { gen =>
-      (for (s <- cb.centroids.indices; c <- cb.centroids(s).indices)
-        yield (s, c, cb.centroids(s)(c).toSeq))
-        .toDF("subspace", "code", "centroid")
-        .repartition(1).write.mode("overwrite").parquet(s"$gen/codebook")
+      // frozen-codebook publishes (append/compact) re-commit the SAME
+      // codebook — copy the parent's parquet bytes instead of paying a
+      // Spark write job per trigger (optimization r17)
+      copyCodebookFrom match {
+        case Some(parent) =>
+          graft.tools.Artifacts.copyGenFile(spark, parent, gen, "codebook")
+        case None =>
+          (for (s <- cb.centroids.indices; c <- cb.centroids(s).indices)
+            yield (s, c, cb.centroids(s)(c).toSeq))
+            .toDF("subspace", "code", "centroid")
+            .repartition(1).write.mode("overwrite").parquet(s"$gen/codebook")
+      }
       graft.tools.Artifacts.writeDirManifest(spark, gen, "codes_dirs",
         path, codesDirs)
       carryFrom.foreach { case (parent, folded) =>
@@ -305,7 +314,7 @@ object PqIndex {
     val pool = graft.tools.Artifacts.newPoolDir(path)
     folded.write.parquet(pool)
     publishGen(spark, path, load(spark, path)._1, Seq(pool),
-      carryFrom = Some((gen, snapFiles)))
+      carryFrom = Some((gen, snapFiles)), copyCodebookFrom = Some(gen))
   }
 
   /** Incremental maintenance, the [[IvfIndex.append]] twin: encode
@@ -361,7 +370,8 @@ object PqIndex {
     publishGen(spark, path, cb,
       graft.tools.Artifacts.migrateToPool(spark, path,
         codesDirsOf(spark, path, gen)) :+ pool,
-      carryFrom = Some((gen, Set.empty)), tag = tag)
+      carryFrom = Some((gen, Set.empty)), tag = tag,
+      copyCodebookFrom = Some(gen))
   }
 
   /** Batched online ADC probe — the [[IvfIndex.probeJoin]] twin for

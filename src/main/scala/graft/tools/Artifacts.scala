@@ -198,37 +198,89 @@ object Artifacts {
   // (ord, root-relative dir) manifest — untouched dirs pass between
   // generations BY REFERENCE, so Δ maintenance writes Δ bytes only.
 
+  /** Write a tiny metadata FILE (UTF-8 lines) directly through the
+    * path's FileSystem — a one-line manifest does not need a Spark
+    * job (optimization r17: each `repartition(1).write.parquet`
+    * manifest cost one fixed-overhead job per publish, dominating
+    * per-trigger maintenance wall at any SF; writes inside a
+    * generation are invisible until the `_COMMITTED` marker lands, so
+    * a plain create is as atomic as the protocol needs).
+    */
+  def writeLinesFile(spark: SparkSession, path: String,
+      lines: Seq[String]): Unit = {
+    val (f, p) = fs(spark, path)
+    val out = f.create(p, true)
+    try out.write(lines.map(_ + "\n").mkString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a [[writeLinesFile]] file back (empty Seq when absent). */
+  def readLinesFile(spark: SparkSession, path: String): Seq[String] = {
+    val (f, p) = fs(spark, path)
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in,
+      java.nio.charset.StandardCharsets.UTF_8.name()).getLines().toList
+    finally in.close()
+  }
+
   /** Write the (ord, dir) manifest `name` into `gen`, dirs stored
     * root-relative (the layout stays valid when copied or moved) in
     * PUBLISH ORDER — readers that need "the newest dir" sort by ord,
     * never lexically (ADVICE r13: pool tokens are random, `.last` of
     * a lexical sort is an arbitrary dir).
+    *
+    * Since optimization r17 the manifest is a plain tab-separated
+    * text FILE (`ord\tdir` per line, [[writeLinesFile]]) — zero Spark
+    * jobs on either side; pool tokens and `bucket=N` dirs carry no
+    * tabs or newlines by construction. [[readDirManifest]] keeps the
+    * parquet branch for layouts written by earlier rounds.
     */
   def writeDirManifest(spark: SparkSession, gen: String, name: String,
-      root: String, dirs: Seq[String]): Unit = {
-    import spark.implicits._
-    dirs.zipWithIndex
-      .map { case (d, i) => (i, d.stripPrefix(root).stripPrefix("/")) }
-      .toDF("ord", "dir")
-      .repartition(1).write.mode("overwrite").parquet(s"$gen/$name")
-  }
+      root: String, dirs: Seq[String]): Unit =
+    writeLinesFile(spark, s"$gen/$name",
+      dirs.zipWithIndex.map { case (d, i) =>
+        s"$i\t${d.stripPrefix(root).stripPrefix("/")}"
+      })
 
   /** Read manifest `name` back in publish order, resolved against
     * `root`. Pre-manifest layouts fall back to `gen/<fallback>`.
-    * Handles the pre-r14 single-column manifest (dir only, lexical
-    * order) for layouts written before `ord` existed.
+    * Handles the r17+ text-file manifest, the parquet (ord, dir)
+    * manifest, and the pre-r14 single-column manifest (dir only,
+    * lexical order).
     */
   def readDirManifest(spark: SparkSession, root: String, gen: String,
-      name: String, fallback: String): Seq[String] =
-    if (!exists(spark, s"$gen/$name")) Seq(s"$gen/$fallback")
-    else {
-      val df = spark.read.parquet(s"$gen/$name")
-      val rel =
+      name: String, fallback: String): Seq[String] = {
+    val (f, p) = fs(spark, s"$gen/$name")
+    val rel =
+      if (!f.exists(p)) return Seq(s"$gen/$fallback")
+      else if (f.getFileStatus(p).isFile)
+        readLinesFile(spark, s"$gen/$name")
+          .map(_.split("\t", 2)).map(a => (a(0).toInt, a(1)))
+          .sortBy(_._1).map(_._2)
+      else {
+        val df = spark.read.parquet(s"$gen/$name")
         if (df.columns.contains("ord"))
           df.orderBy("ord").collect().map(_.getAs[String]("dir")).toSeq
         else df.collect().map(_.getString(0)).toSeq.sorted
-      rel.map(d => if (d.startsWith("pool/")) s"$root/$d" else d)
-    }
+      }
+    rel.map(d => if (d.startsWith("pool/")) s"$root/$d" else d)
+  }
+
+  /** Copy an UNCHANGED frozen-structure file/dir (centroids, codebook,
+    * band params) from the parent generation instead of re-writing it
+    * through a Spark job — Δ-maintenance publishes re-commit the same
+    * structure every trigger, and the parquet bytes are already on
+    * disk (optimization r17). Byte-identical by construction.
+    */
+  def copyGenFile(spark: SparkSession, parentGen: String, gen: String,
+      name: String): Unit = {
+    val (f, srcP) = fs(spark, s"$parentGen/$name")
+    org.apache.hadoop.fs.FileUtil.copy(f, srcP, f,
+      new org.apache.hadoop.fs.Path(s"$gen/$name"), false, false,
+      spark.sparkContext.hadoopConfiguration)
+    ()
+  }
 
   /** The tombstone sidecar's data files under `gen` — the FILE-level
     * snapshot unit of the fold protocol.

@@ -116,7 +116,7 @@ class LabelStoreSpec extends SparkTestBase {
       val referenced = Artifacts.committedGens(spark, root)
         .flatMap { g =>
           // manifest() reads the CURRENT gen; read each gen directly
-          spark.read.parquet(s"$g/manifest").collect().map(_.getString(1))
+          LabelStore.manifestOfGen(spark, g).values
         }
         .map(d => d.split("/pool/").last.split("/").head).toSet
       val poolDirs = new java.io.File(s"$root/pool").listFiles()
